@@ -1,0 +1,149 @@
+"""Sampler correctness tests.
+
+Strategy (the reference ships no tests — SURVEY.md §4): verify against
+mathematical invariants of the flow ODE dx/dsigma = v rather than a rewrite of
+the same code:
+  * exact sigma-grid values by closed form (shift transform);
+  * constant velocity fields are integrated *exactly* by every scheme;
+  * linear fields expose the convergence order (2nd-order multistep ~ O(h^2));
+  * the last step with final sigma 0 must return the x0 prediction exactly.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from videocof_tpu.schedulers import (FlowDPMScheduler, FlowEulerScheduler,
+                                     FlowUniPCScheduler, get_scheduler)
+from videocof_tpu.schedulers.flow_dpm import get_sampling_sigmas
+
+
+def run_sampler(sched, v_fn, x_init, num_steps):
+    x = jnp.asarray(x_init)
+    state = sched.init_state(x)
+    for i in range(num_steps):
+        sigma = float(sched.sigmas[i])
+        v = v_fn(x, sigma)
+        x, state = sched.step(v, i, x, state)
+    return np.asarray(x)
+
+
+def test_unipc_sigma_grid_closed_form():
+    s = FlowUniPCScheduler()
+    ts = s.set_timesteps(4, shift=3.0)
+    lin = np.linspace(0.999, 0.0, 5)[:-1]
+    want = 3 * lin / (1 + 2 * lin)
+    np.testing.assert_allclose(s.sigmas[:-1], want, rtol=1e-12)
+    assert s.sigmas[-1] == 0.0
+    np.testing.assert_array_equal(ts, (want * 1000).astype(np.int64))
+
+
+def test_dpm_sigma_grid_starts_at_one():
+    # reference get_sampling_sigmas uses linspace(1, 0, ...) (`fm_solvers.py:22-27`)
+    sig = get_sampling_sigmas(4, 3.0)
+    assert sig[0] == 1.0
+    lin = np.linspace(1.0, 0.0, 5)[:4]
+    np.testing.assert_allclose(sig, 3 * lin / (1 + 2 * lin), rtol=1e-12)
+
+
+@pytest.mark.parametrize("name", ["euler", "unipc", "dpm++"])
+def test_constant_velocity_exact(name):
+    # dx/dsigma = c  =>  x(0) = x(sigma_max) - sigma_max * c, for any steps.
+    rng = np.random.default_rng(0)
+    c = rng.standard_normal((2, 3, 4)).astype(np.float32)
+    sched = get_scheduler(name)
+    sched.set_timesteps(6, shift=3.0)
+    sigma0 = float(sched.sigmas[0])
+    x0_true = rng.standard_normal((2, 3, 4)).astype(np.float32)
+    x_init = x0_true + sigma0 * c
+    out = run_sampler(sched, lambda x, s: jnp.asarray(c), x_init, 6)
+    np.testing.assert_allclose(out, x0_true, rtol=1e-4, atol=1e-4)
+
+
+def _linear_field_error(name, num_steps):
+    # dx/dsigma = v with v implicitly defined by data x(sigma) =
+    # (1-sigma) x0 + sigma n  and a "model" that interpolates between two
+    # fixed endpoints nonlinearly: v(x, sigma) = a*x + b(sigma).
+    a = 0.8
+
+    def v_fn(x, s):
+        return a * x + jnp.asarray([np.sin(3 * s)], dtype=jnp.float32)
+
+    sched = get_scheduler(name)
+    sched.set_timesteps(num_steps, shift=1.0)
+    sigma0 = float(sched.sigmas[0])
+    x_init = np.array([1.3], dtype=np.float64)
+
+    # high-resolution RK4 ground truth over the same interval
+    def f(s, x):
+        return a * x + np.sin(3 * s)
+
+    xs = x_init.copy()
+    grid = np.linspace(sigma0, 0.0, 4001)
+    for s1, s2 in zip(grid[:-1], grid[1:]):
+        h = s2 - s1
+        k1 = f(s1, xs)
+        k2 = f(s1 + h / 2, xs + h / 2 * k1)
+        k3 = f(s1 + h / 2, xs + h / 2 * k2)
+        k4 = f(s2, xs + h * k3)
+        xs = xs + h / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+
+    out = run_sampler(sched, v_fn, x_init.astype(np.float32), num_steps)
+    return abs(float(out[0]) - float(xs[0]))
+
+
+@pytest.mark.parametrize("name", ["unipc", "dpm++"])
+def test_second_order_convergence(name):
+    # in the asymptotic regime quartering h should cut the error ~16x
+    # (allowing slack for the non-uniform sigma grid near sigma=1)
+    e1 = _linear_field_error(name, 40)
+    e2 = _linear_field_error(name, 160)
+    assert e2 < e1 / 7.5, (name, e1, e2)
+    assert e1 < 6e-3
+
+
+def test_euler_first_order_convergence():
+    e1 = _linear_field_error("euler", 40)
+    e2 = _linear_field_error("euler", 80)
+    assert e2 < e1 / 1.6, (e1, e2)
+    # and clearly worse than the multistep solvers at the same step count
+    assert e1 > _linear_field_error("unipc", 40)
+
+
+@pytest.mark.parametrize("name", ["euler", "unipc", "dpm++"])
+def test_final_step_returns_x0_prediction(name):
+    # with final sigma 0 the last update must equal sample - sigma * v exactly
+    sched = get_scheduler(name)
+    sched.set_timesteps(4, shift=3.0)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 2)).astype(np.float32))
+    state = sched.init_state(x)
+    # drive to the final step with a fixed v so multistep history is populated
+    v = jnp.asarray(rng.standard_normal((2, 2)).astype(np.float32))
+    for i in range(3):
+        x, state = sched.step(v, i, x, state)
+    sigma_last = float(sched.sigmas[3])
+    want = np.asarray(x - sigma_last * v)
+    got, _ = sched.step(v, 3, x, state)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+
+def test_unipc_plan_arrays_shapes():
+    sched = FlowUniPCScheduler()
+    sched.set_timesteps(4, shift=3.0)
+    plan = sched.plan_arrays()
+    for k, v in plan.items():
+        assert v.shape == (4,), (k, v.shape)
+    # step 0 has no corrector, later steps do
+    assert not plan["use_corrector"][0]
+    assert plan["use_corrector"][1:].all()
+    # lower_order_final: last predictor is order 1
+    assert plan["p_order2"][1] and not plan["p_order2"][3]
+
+
+def test_add_noise_roundtrip():
+    sched = FlowUniPCScheduler()
+    x0 = jnp.ones((2, 2))
+    n = jnp.zeros((2, 2))
+    out = sched.add_noise(x0, n, 0.25)
+    np.testing.assert_allclose(np.asarray(out), 0.75)

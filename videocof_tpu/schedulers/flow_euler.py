@@ -1,0 +1,72 @@
+"""Flow-matching Euler sampler (the reference delegates this path to
+diffusers' FlowMatchEulerDiscreteScheduler — `inference.py:9`,
+`pipeline_wan.py:611-612`).
+
+x_{i+1} = x_i + (sigma_{i+1} - sigma_i) * v.  Stateless; the per-step sigma
+deltas are host scalars so the update fuses into the surrounding jit.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .common import flow_shift_sigmas
+
+
+class EulerState(NamedTuple):
+    # kept for API symmetry with the multistep samplers
+    pass
+
+
+class FlowEulerScheduler:
+    order = 1
+
+    def __init__(self, num_train_timesteps: int = 1000, shift: float = 1.0):
+        self.num_train_timesteps = num_train_timesteps
+        self.default_shift = shift
+        self.sigmas: Optional[np.ndarray] = None
+        self.timesteps: Optional[np.ndarray] = None
+
+    def set_timesteps(self, num_inference_steps: int,
+                      shift: Optional[float] = None,
+                      mu: Optional[float] = None) -> np.ndarray:
+        # diffusers' FlowMatchEuler grid runs sigma_max=1.0 -> sigma_min=1/T
+        # over `steps` points; with mu given it applies the dynamic time shift
+        # (the Wan pipeline passes mu=1 — `pipeline_wan.py:611-612`).
+        shift = self.default_shift if shift is None else shift
+        T = self.num_train_timesteps
+        sigmas = np.linspace(1.0, 1.0 / T, num_inference_steps,
+                             dtype=np.float64)
+        if mu is not None:
+            sigmas = np.exp(mu) / (np.exp(mu) + (1.0 / sigmas - 1.0))
+        else:
+            sigmas = shift * sigmas / (1.0 + (shift - 1.0) * sigmas)
+        self.timesteps = (sigmas * T).astype(np.int64)
+        self.sigmas = np.concatenate([sigmas, [0.0]])
+        self.num_inference_steps = num_inference_steps
+        return self.timesteps
+
+    def init_state(self, latents: jax.Array) -> EulerState:
+        return EulerState()
+
+    def step(self, model_output: jax.Array, step_index: int,
+             sample: jax.Array, state: EulerState
+             ) -> Tuple[jax.Array, EulerState]:
+        dt = float(self.sigmas[step_index + 1] - self.sigmas[step_index])
+        prev = sample + dt * model_output
+        return prev.astype(sample.dtype), state
+
+    def add_noise(self, original: jax.Array, noise: jax.Array,
+                  sigma) -> jax.Array:
+        return (1.0 - sigma) * original + sigma * noise
+
+    def plan_arrays(self) -> dict:
+        return {
+            "sigma": self.sigmas[:-1].astype(np.float32),
+            "timestep": self.timesteps.astype(np.float32),
+            "dt": np.diff(self.sigmas).astype(np.float32),
+        }
