@@ -13,3 +13,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+# This environment's CPU backend does fp32 matmuls at bf16-grade precision by
+# default (TPU-emulating). Tests check logic, not hardware numerics.
+jax.config.update("jax_default_matmul_precision", "highest")
+# Single-core box: persist compiled executables across test runs.
+_cache = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,137 @@
+"""Wan DiT structural tests (tiny config; SURVEY.md §4 level (c))."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videocof_tpu.configs import WAN_TINY
+from videocof_tpu.models import wan_dit
+from videocof_tpu.ops import attention
+
+
+CFG = WAN_TINY
+GRID = (5, 2, 3)   # latent frames x h x w patches
+SHAPE = (2, CFG.in_dim, GRID[0] * 1, GRID[1] * 2, GRID[2] * 2)  # patch (1,2,2)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    key = jax.random.PRNGKey(0)
+    params = wan_dit.init_wan_dit(key, CFG)
+    x = jax.random.normal(jax.random.PRNGKey(1), SHAPE, jnp.float32)
+    t = jnp.array([999.0, 499.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(2),
+                            (2, CFG.text_len, CFG.text_dim), jnp.float32)
+    cos, sin = wan_dit.make_rope_for_geometry(CFG, GRID, f_src=2, f_ground=1)
+    return params, x, t, ctx, jnp.asarray(cos), jnp.asarray(sin)
+
+
+def test_forward_shape_dtype(setup):
+    params, x, t, ctx, cos, sin = setup
+    out = wan_dit.wan_dit_forward(params, CFG, x, t, ctx, cos, sin)
+    assert out.shape == (2, CFG.out_dim) + SHAPE[2:]
+    assert out.dtype == jnp.float32
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_batch_independence(setup):
+    # row b of a batched forward == forward of that row alone
+    params, x, t, ctx, cos, sin = setup
+    full = wan_dit.wan_dit_forward(params, CFG, x, t, ctx, cos, sin)
+    one = wan_dit.wan_dit_forward(params, CFG, x[1:], t[1:], ctx[1:], cos, sin)
+    np.testing.assert_allclose(np.asarray(full[1]), np.asarray(one[0]),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_scan_matches_python_loop(setup):
+    # the lax.scan over stacked blocks must equal an explicit per-block loop
+    params, x, t, ctx, cos, sin = setup
+    out_scan = wan_dit.wan_dit_forward(params, CFG, x, t, ctx, cos, sin)
+
+    # manual recompute with unstacked blocks
+    tokens, grid = wan_dit.patchify(x, CFG.patch_size)
+    h = wan_dit._linear(tokens, params["patch_embed"])
+    e = wan_dit.sinusoidal_embedding_1d(CFG.freq_dim, t)
+    e = wan_dit._linear(e, params["time_mlp"]["fc1"], jnp.float32)
+    e = jax.nn.silu(e)
+    e = wan_dit._linear(e, params["time_mlp"]["fc2"], jnp.float32)
+    e0 = wan_dit._linear(jax.nn.silu(e), params["time_proj"]["fc"],
+                         jnp.float32).reshape(2, 6, CFG.dim)
+    c = wan_dit._linear(ctx, params["text_mlp"]["fc1"])
+    c = wan_dit._gelu_tanh(c)
+    c = wan_dit._linear(c, params["text_mlp"]["fc2"])
+    stream = h.astype(jnp.float32)
+    for i in range(CFG.num_layers):
+        bp = jax.tree.map(lambda a: a[i], params["blocks"])
+        stream = wan_dit.wan_block_apply(bp, CFG, stream, e0, c, (cos, sin))
+    hm = params["head"]["modulation"][None] + e[:, None, :]
+    out = wan_dit._layer_norm(stream, CFG.eps) * (1 + hm[:, 1][:, None]) \
+        + hm[:, 0][:, None]
+    out = wan_dit._linear(out, params["head"]["fc"])
+    out_loop = wan_dit.unpatchify(out, grid, CFG.patch_size, CFG.out_dim)
+
+    np.testing.assert_allclose(np.asarray(out_scan), np.asarray(out_loop),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_patchify_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 6, 8, 10))
+    tokens, grid = wan_dit.patchify(x, (2, 2, 2))
+    assert tokens.shape == (1, 3 * 4 * 5, 4 * 8)
+    # invert: tokens features are (c, dt, dh, dw); unpatchify expects
+    # (dt, dh, dw, c) so permute before inverting
+    t2 = tokens.reshape(1, 60, 4, 2, 2, 2).transpose(0, 1, 3, 4, 5, 2)
+    back = wan_dit.unpatchify(t2.reshape(1, 60, 32), grid, (2, 2, 2), 4)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), rtol=1e-6)
+
+
+def test_remat_matches(setup):
+    params, x, t, ctx, cos, sin = setup
+    a = wan_dit.wan_dit_forward(params, CFG, x, t, ctx, cos, sin)
+    b = wan_dit.wan_dit_forward(params, CFG, x, t, ctx, cos, sin,
+                                remat_blocks=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_attention_backends_agree():
+    key = jax.random.PRNGKey(0)
+    q, k, v = (jax.random.normal(jax.random.PRNGKey(i), (2, 16, 4, 8))
+               for i in range(3))
+    mask = jnp.arange(16)[None, :] < jnp.array([16, 9])[:, None]
+    a = attention(q, k, v, mask=mask, backend="naive")
+    b = attention(q, k, v, mask=mask, backend="xla")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_sinusoidal_embedding_formula():
+    t = jnp.array([7.0])
+    dim = 8
+    got = np.asarray(wan_dit.sinusoidal_embedding_1d(dim, t))[0]
+    w = 10000.0 ** (-np.arange(4) / 4)
+    want = np.concatenate([np.cos(7 * w), np.sin(7 * w)])
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_timestep_sensitivity(setup):
+    # AdaLN must make the output depend on t
+    params, x, t, ctx, cos, sin = setup
+    o1 = wan_dit.wan_dit_forward(params, CFG, x, t, ctx, cos, sin)
+    o2 = wan_dit.wan_dit_forward(params, CFG, x, t * 0.5, ctx, cos, sin)
+    assert np.abs(np.asarray(o1) - np.asarray(o2)).max() > 1e-3
+
+
+def test_grad_flows(setup):
+    params, x, t, ctx, cos, sin = setup
+
+    def loss(p):
+        out = wan_dit.wan_dit_forward(p, CFG, x, t, ctx, cos, sin,
+                                      remat_blocks=True)
+        return jnp.mean(out ** 2)
+
+    g = jax.grad(loss)(params)
+    norms = jax.tree.map(lambda a: float(jnp.abs(a).max()), g)
+    flat = jax.tree.leaves(norms)
+    assert all(np.isfinite(v) for v in flat)
+    assert max(flat) > 0

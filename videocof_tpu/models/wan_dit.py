@@ -1,0 +1,305 @@
+"""Wan 3D diffusion transformer, TPU-native.
+
+Functional re-design of the reference denoiser
+(`videox_fun/models/wan_transformer3d.py:567-1105`): parameters are a pytree,
+the forward is a pure function, and the N transformer blocks run under a
+`jax.lax.scan` over stacked block parameters (one compiled block body instead
+of N inlined copies — critical for 30/40-layer models on a single-core build
+machine and for clean remat).
+
+Precision policy mirrors the reference's autocast islands: the residual stream
+and AdaLN modulation run in fp32 (`wan_transformer3d.py:913`, block arithmetic
+promotes to fp32), while matmul inputs are cast to the parameter dtype
+(bf16 on TPU) so the MXU does the heavy lifting.
+
+Key structural differences from the reference, by design:
+  * RoPE segment logic arrives as precomputed cos/sin tables
+    (`videocof_tpu.models.rope`) — data, not control flow, so the same forward
+    jits for plain, paired, and CoF geometries and shards under pjit.
+  * patch embedding is patchify+matmul rather than Conv3d: identical math for
+    stride == kernel, and it lowers straight onto the MXU.
+  * no list-of-tensors batch: one [B, C, F, H, W] array, one static seq_len.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import WanDiTConfig
+from ..ops import attention
+from . import rope as rope_lib
+
+Params = Dict[str, Any]
+
+
+# --------------------------------------------------------------------- helpers
+
+def sinusoidal_embedding_1d(dim: int, position: jax.Array) -> jax.Array:
+    """cat([cos(p*w), sin(p*w)]) with w_i = 10000^(-i/half)
+    (reference `wan_transformer3d.py:31-41`)."""
+    half = dim // 2
+    pos = position.astype(jnp.float32)
+    freqs = jnp.power(10000.0, -jnp.arange(half, dtype=jnp.float32) / half)
+    ang = pos[..., None] * freqs
+    return jnp.concatenate([jnp.cos(ang), jnp.sin(ang)], axis=-1)
+
+
+def _layer_norm(x, eps, scale=None, bias=None):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    if scale is not None:
+        out = out * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return out
+
+
+def _rms_norm(x, weight, eps):
+    xf = x.astype(jnp.float32)
+    out = xf * jax.lax.rsqrt(jnp.mean(jnp.square(xf), axis=-1,
+                                      keepdims=True) + eps)
+    return (out * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def _linear(x, p, dtype=None):
+    dtype = dtype or p["kernel"].dtype
+    y = jnp.dot(x.astype(dtype), p["kernel"].astype(dtype))
+    if "bias" in p:
+        y = y + p["bias"].astype(dtype)
+    return y
+
+
+def _gelu_tanh(x):
+    return jax.nn.gelu(x, approximate=True)
+
+
+# ------------------------------------------------------------------------ init
+
+def _init_linear(key, din, dout, dtype, bias=True, scale=None):
+    kk, _ = jax.random.split(key)
+    if scale is None:
+        scale = 1.0 / math.sqrt(din)
+    p = {"kernel": (jax.random.uniform(kk, (din, dout), jnp.float32,
+                                       -scale, scale)).astype(dtype)}
+    if bias:
+        p["bias"] = jnp.zeros((dout,), dtype)
+    return p
+
+
+def init_block_params(key, cfg: WanDiTConfig, dtype=jnp.float32) -> Params:
+    d, f = cfg.dim, cfg.ffn_dim
+    ks = jax.random.split(key, 12)
+    attn = lambda k0: {
+        "q": _init_linear(ks[k0], d, d, dtype),
+        "k": _init_linear(ks[k0 + 1], d, d, dtype),
+        "v": _init_linear(ks[k0 + 2], d, d, dtype),
+        "o": _init_linear(ks[k0 + 3], d, d, dtype),
+        "norm_q": {"weight": jnp.ones((d,), dtype)},
+        "norm_k": {"weight": jnp.ones((d,), dtype)},
+    }
+    p = {
+        "self_attn": attn(0),
+        "cross_attn": attn(4),
+        "ffn": {
+            "fc1": _init_linear(ks[8], d, f, dtype),
+            "fc2": _init_linear(ks[9], f, d, dtype),
+        },
+        "modulation": (jax.random.normal(ks[10], (6, d)) / d ** 0.5
+                       ).astype(jnp.float32),
+    }
+    if cfg.cross_attn_norm:
+        p["norm3"] = {"scale": jnp.ones((d,), dtype),
+                      "bias": jnp.zeros((d,), dtype)}
+    return p
+
+
+def init_wan_dit(key, cfg: WanDiTConfig, dtype=jnp.float32) -> Params:
+    d = cfg.dim
+    pt, ph, pw = cfg.patch_size
+    ks = jax.random.split(key, 8)
+    params: Params = {
+        "patch_embed": _init_linear(ks[0], cfg.in_dim * pt * ph * pw, d, dtype),
+        "text_mlp": {
+            "fc1": _init_linear(ks[1], cfg.text_dim, d, dtype),
+            "fc2": _init_linear(ks[2], d, d, dtype),
+        },
+        "time_mlp": {
+            "fc1": _init_linear(ks[3], cfg.freq_dim, d, jnp.float32),
+            "fc2": _init_linear(ks[4], d, d, jnp.float32),
+        },
+        "time_proj": {"fc": _init_linear(ks[5], d, 6 * d, jnp.float32)},
+        "head": {
+            "fc": _init_linear(ks[6], d, pt * ph * pw * cfg.out_dim, dtype),
+            "modulation": (jax.random.normal(ks[7], (2, d)) / d ** 0.5
+                           ).astype(jnp.float32),
+        },
+    }
+    bkeys = jax.random.split(key, cfg.num_layers)
+    blocks = [init_block_params(bk, cfg, dtype) for bk in bkeys]
+    params["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    return params
+
+
+# ----------------------------------------------------------------- block apply
+
+def _attn_qkv(x_in, p, num_heads, eps, kv_in=None, rope_cs=None,
+              kv_mask=None, backend=None):
+    """Shared self/cross attention body. x_in is the (modulated) fp32 stream;
+    matmuls run in param dtype."""
+    B, L, D = x_in.shape
+    N = num_heads
+    hd = D // N
+    kv_in = x_in if kv_in is None else kv_in
+    q = _rms_norm(_linear(x_in, p["q"]), p["norm_q"]["weight"], eps)
+    k = _rms_norm(_linear(kv_in, p["k"]), p["norm_k"]["weight"], eps)
+    v = _linear(kv_in, p["v"])
+    q = q.reshape(B, L, N, hd)
+    k = k.reshape(B, k.shape[1], N, hd)
+    v = v.reshape(B, v.shape[1], N, hd)
+    if rope_cs is not None:
+        cos, sin = rope_cs
+        q = rope_lib.apply_rope(q, cos, sin)
+        k = rope_lib.apply_rope(k, cos, sin)
+    out = attention(q, k, v, mask=kv_mask, backend=backend)
+    out = out.reshape(B, L, D)
+    return _linear(out, p["o"])
+
+
+def wan_block_apply(p: Params, cfg: WanDiTConfig, x, e0, context,
+                    rope_cs, seq_mask=None, context_mask=None,
+                    attn_backend=None):
+    """One WanAttentionBlock (`wan_transformer3d.py:464-515`).
+
+    x: [B, L, D] fp32 residual stream; e0: [B, 6, D] fp32 AdaLN params;
+    context: [B, Lt, D] text stream (param dtype).
+    """
+    eps = cfg.eps
+    e = (p["modulation"][None].astype(jnp.float32) + e0)  # [B, 6, D]
+    e_ = [e[:, i][:, None, :] for i in range(6)]  # each [B, 1, D]
+
+    # self-attention with AdaLN-zero gates
+    tx = _layer_norm(x, eps) * (1.0 + e_[1]) + e_[0]
+    y = _attn_qkv(tx.astype(context.dtype), p["self_attn"], cfg.num_heads, eps,
+                  rope_cs=rope_cs, kv_mask=seq_mask, backend=attn_backend)
+    x = x + y.astype(jnp.float32) * e_[2]
+
+    # cross-attention (t2v: plain text K/V — `wan_transformer3d.py:308-336`)
+    if cfg.cross_attn_norm:
+        nx = _layer_norm(x, eps, p["norm3"]["scale"], p["norm3"]["bias"])
+    else:
+        nx = x
+    y = _attn_qkv(nx.astype(context.dtype), p["cross_attn"], cfg.num_heads,
+                  eps, kv_in=context, kv_mask=context_mask,
+                  backend=attn_backend)
+    x = x + y.astype(jnp.float32)
+
+    # gated FFN
+    tx = _layer_norm(x, eps) * (1.0 + e_[4]) + e_[3]
+    h = _linear(tx.astype(context.dtype), p["ffn"]["fc1"])
+    h = _gelu_tanh(h)
+    h = _linear(h, p["ffn"]["fc2"])
+    x = x + h.astype(jnp.float32) * e_[5]
+    return x
+
+
+# -------------------------------------------------------------------- patchify
+
+def patchify(x: jax.Array, patch_size) -> Tuple[jax.Array, Tuple[int, int, int]]:
+    """[B, C, F, H, W] -> ([B, L, C*pt*ph*pw], grid). Feature order (c, dt,
+    dh, dw) matches the Conv3d weight layout so checkpoint kernels reshape in."""
+    B, C, F, H, W = x.shape
+    pt, ph, pw = patch_size
+    f, h, w = F // pt, H // ph, W // pw
+    x = x.reshape(B, C, f, pt, h, ph, w, pw)
+    x = x.transpose(0, 2, 4, 6, 1, 3, 5, 7)  # B f h w C pt ph pw
+    return x.reshape(B, f * h * w, C * pt * ph * pw), (f, h, w)
+
+
+def unpatchify(x: jax.Array, grid, patch_size, out_dim: int) -> jax.Array:
+    """[B, L, pt*ph*pw*c] -> [B, c, F, H, W]; feature order (dt, dh, dw, c)
+    matches the reference head/unpatchify einsum (`wan_transformer3d.py:1108-1131`)."""
+    B, L, _ = x.shape
+    f, h, w = grid
+    pt, ph, pw = patch_size
+    x = x.reshape(B, f, h, w, pt, ph, pw, out_dim)
+    x = x.transpose(0, 7, 1, 4, 2, 5, 3, 6)  # B c f pt h ph w pw
+    return x.reshape(B, out_dim, f * pt, h * ph, w * pw)
+
+
+# --------------------------------------------------------------------- forward
+
+def wan_dit_forward(
+    params: Params,
+    cfg: WanDiTConfig,
+    x: jax.Array,                     # [B, C, F, H, W] latents
+    t: jax.Array,                     # [B] timesteps (float or int)
+    context: jax.Array,               # [B, text_len, text_dim]
+    rope_cos: jax.Array,              # [L, head_dim//2]
+    rope_sin: jax.Array,
+    context_mask: Optional[jax.Array] = None,   # [B, text_len] bool
+    attn_backend: Optional[str] = None,
+    remat_blocks: bool = False,
+) -> jax.Array:
+    """Velocity prediction [B, out_dim, F, H, W].
+
+    Equivalent of `WanTransformer3DModel.forward` (`wan_transformer3d.py:818-1105`)
+    minus the i2v/VACE/camera branches (separate model files) and with TeaCache
+    handled a level up (`videocof_tpu.models.teacache`).
+    """
+    compute_dtype = params["patch_embed"]["kernel"].dtype
+
+    # patch embed -> [B, L, D]
+    tokens, grid = patchify(x.astype(compute_dtype), cfg.patch_size)
+    hseq = _linear(tokens, params["patch_embed"])
+
+    # time embedding in fp32 (reference autocast island `wan_transformer3d.py:912-929`)
+    e = sinusoidal_embedding_1d(cfg.freq_dim, t.astype(jnp.float32))
+    e = _linear(e, params["time_mlp"]["fc1"], jnp.float32)
+    e = jax.nn.silu(e)
+    e = _linear(e, params["time_mlp"]["fc2"], jnp.float32)       # [B, D]
+    e0 = _linear(jax.nn.silu(e), params["time_proj"]["fc"], jnp.float32)
+    e0 = e0.reshape(e0.shape[0], 6, cfg.dim)                     # [B, 6, D]
+
+    # text embedding MLP
+    ctx = _linear(context.astype(compute_dtype), params["text_mlp"]["fc1"])
+    ctx = _gelu_tanh(ctx)
+    ctx = _linear(ctx, params["text_mlp"]["fc2"])                # [B, Lt, D]
+
+    rope_cs = (rope_cos, rope_sin)
+    stream = hseq.astype(jnp.float32)
+
+    def block_fn(bp, carry):
+        return wan_block_apply(bp, cfg, carry, e0, ctx, rope_cs,
+                               context_mask=context_mask,
+                               attn_backend=attn_backend)
+
+    body_fn = jax.checkpoint(block_fn) if remat_blocks else block_fn
+
+    def body(carry, bp):
+        return body_fn(bp, carry), None
+
+    stream, _ = jax.lax.scan(body, stream, params["blocks"])
+
+    # head with 2-way modulation (`wan_transformer3d.py:518-548`)
+    hm = params["head"]["modulation"][None].astype(jnp.float32) + e[:, None, :]
+    he0, he1 = hm[:, 0][:, None, :], hm[:, 1][:, None, :]
+    out = _layer_norm(stream, cfg.eps) * (1.0 + he1) + he0
+    out = _linear(out.astype(compute_dtype), params["head"]["fc"])
+
+    return unpatchify(out.astype(jnp.float32), grid, cfg.patch_size,
+                      cfg.out_dim)
+
+
+def make_rope_for_geometry(cfg: WanDiTConfig, grid,
+                           f_src: Optional[int] = None, f_ground: int = 0,
+                           temporal_table: Optional[np.ndarray] = None):
+    """Host-side cos/sin tables for a latent grid (see rope.py docstring)."""
+    return rope_lib.build_rope_cos_sin(
+        grid, cfg.head_dim, f_src=f_src, f_ground=f_ground,
+        max_pos=cfg.rope_max_pos, theta=cfg.rope_theta,
+        temporal_table=temporal_table)
