@@ -1,0 +1,105 @@
+"""Headline benchmark: seconds per 4-step 480p chain-of-frames video edit.
+
+Mirrors the reference fast path (`fast_infer.py`: 4-step UniPC, shift 3, CFG
+off, 33 source + 4 reasoning frames at 480x832) on the Wan2.1-T2V-1.3B DiT
+geometry (BASELINE.json config[0]; the 14B does not fit one 16 GB v5e chip in
+bf16). Random bf16 weights — identical FLOP/byte profile to trained ones.
+
+Measures the full edit: VAE encode -> 4 jitted DiT denoise steps (+ sampler
+updates) -> VAE decode of ground+edit segments. Text encoding is excluded
+(precomputed embeds; per-batch amortized in the reference serving path too).
+
+Prints ONE json line:
+  {"metric": "sec_per_video_4step_480p_1.3b", "value": ..., "unit": "s",
+   "vs_baseline": value / 30.0}
+vs_baseline compares against the reference's published ~30 s/video on H100
+(14B; `README.md:46,124` — see BASELINE.md). < 1.0 means faster per chip.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from videocof_tpu.configs import (WAN21_T2V_1_3B, WanVAEConfig, T5Config)
+    from videocof_tpu.models import wan_dit, wan_vae
+    from videocof_tpu.pipeline import WanPipeline
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+
+    height, width = 480, 832
+    source_frames, reasoning_frames = 33, 4
+    steps = int(os.environ.get("BENCH_STEPS", "4"))
+
+    dit_cfg = WAN21_T2V_1_3B
+    vae_cfg = WanVAEConfig()
+    t5_cfg = T5Config()
+
+    small = os.environ.get("BENCH_SMALL") == "1"  # CPU smoke mode
+    if small:
+        height, width, source_frames = 96, 96, 9
+        dit_cfg = dit_cfg.replace(num_layers=2, dim=384, ffn_dim=1024,
+                                  num_heads=3)
+
+    t0 = time.time()
+    # one jitted dispatch per model: eager init is hundreds of tunnel
+    # round-trips on the axon transport
+    dit_params = jax.jit(
+        lambda k: wan_dit.init_wan_dit(k, dit_cfg, dtype=jnp.bfloat16)
+    )(jax.random.PRNGKey(0))
+    vae_params = jax.jit(
+        lambda k: wan_vae.init_wan_vae(k, vae_cfg, dtype=jnp.bfloat16)
+    )(jax.random.PRNGKey(1))
+    n_params = sum(x.size for x in jax.tree.leaves(dit_params))
+    log(f"init: {time.time()-t0:.1f}s; DiT params {n_params/1e9:.2f}B")
+
+    pipe = WanPipeline(dit_params, dit_cfg, vae_params, vae_cfg,
+                       t5_params=None, t5_cfg=t5_cfg, dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    video = rng.uniform(-1, 1, (1, 3, source_frames, height, width)
+                        ).astype(np.float32)
+    embeds = jnp.zeros((1, dit_cfg.text_len, dit_cfg.text_dim), jnp.bfloat16)
+
+    def run():
+        return pipe(video, prompt="bench", source_frames=source_frames,
+                    reasoning_frames=reasoning_frames,
+                    num_inference_steps=steps, guidance_scale=1.0,
+                    shift=3.0, sampler="unipc", repeat_rope=True, cot=True,
+                    prompt_embeds=embeds)
+
+    t0 = time.time()
+    out = run()  # compile + run
+    log(f"first call (compile+run): {time.time()-t0:.1f}s; "
+        f"out {out.videos.shape}")
+
+    times = []
+    for _ in range(int(os.environ.get("BENCH_REPS", "2"))):
+        t0 = time.time()
+        out = run()
+        times.append(time.time() - t0)
+    value = float(np.min(times))
+    log(f"times: {[f'{t:.2f}' for t in times]}")
+
+    print(json.dumps({
+        "metric": "sec_per_video_4step_480p_1.3b",
+        "value": round(value, 3),
+        "unit": "s",
+        "vs_baseline": round(value / 30.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

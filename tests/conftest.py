@@ -3,14 +3,20 @@ run without TPU hardware (SURVEY.md §4 strategy (d))."""
 
 import os
 
-# Must happen before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must happen before jax is imported anywhere. Force CPU: the global
+# environment pins JAX_PLATFORMS=axon (the real-TPU tunnel), which is both
+# slow for unit tests and single-device.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+# The axon sitecustomize force-selects the TPU tunnel regardless of the env
+# var; the config knob does win.
+jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_enable_x64", True)
 # This environment's CPU backend does fp32 matmuls at bf16-grade precision by

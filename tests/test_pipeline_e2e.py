@@ -1,0 +1,91 @@
+"""End-to-end CoF editing pipeline on tiny configs — the weight-free analogue
+of the reference's teaser smoke run (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videocof_tpu.configs import T5_TINY, VAE_TINY, WAN_TINY
+from videocof_tpu.models import t5_encoder, wan_dit, wan_vae
+from videocof_tpu.pipeline import WanPipeline
+
+VCFG = VAE_TINY
+DCFG = WAN_TINY.replace(in_dim=VCFG.z_dim, out_dim=VCFG.z_dim,
+                        text_dim=T5_TINY.dim)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return WanPipeline(
+        dit_params=wan_dit.init_wan_dit(jax.random.PRNGKey(0), DCFG),
+        dit_cfg=DCFG,
+        vae_params=wan_vae.init_wan_vae(jax.random.PRNGKey(1), VCFG),
+        vae_cfg=VCFG,
+        t5_params=t5_encoder.init_t5_encoder(jax.random.PRNGKey(2), T5_TINY),
+        t5_cfg=T5_TINY,
+        dtype=jnp.float32,
+    )
+
+
+@pytest.fixture(scope="module")
+def video():
+    rng = np.random.default_rng(0)
+    return rng.uniform(-1, 1, (1, 3, 9, 32, 32)).astype(np.float32)
+
+
+def test_cot_edit_shapes(pipe, video):
+    out = pipe(video, "remove the red ball from the table",
+               source_frames=9, reasoning_frames=4, num_inference_steps=2)
+    # condition 3 + ground 1 + target 3 latent frames; decode(1)=1 frame,
+    # decode(3)=9 frames
+    assert out.ground_videos.shape == (1, 3, 1, 32, 32)
+    assert out.edit_videos.shape == (1, 3, 9, 32, 32)
+    assert out.videos.shape == (1, 3, 10, 32, 32)
+    assert out.videos.min() >= 0.0 and out.videos.max() <= 1.0
+    assert np.isfinite(out.videos).all()
+
+
+def test_deterministic_given_seed(pipe, video):
+    a = pipe(video, "remove the dog", source_frames=9, reasoning_frames=4,
+             num_inference_steps=2, seed=7)
+    b = pipe(video, "remove the dog", source_frames=9, reasoning_frames=4,
+             num_inference_steps=2, seed=7)
+    np.testing.assert_array_equal(a.videos, b.videos)
+    c = pipe(video, "remove the dog", source_frames=9, reasoning_frames=4,
+             num_inference_steps=2, seed=8)
+    assert np.abs(a.videos - c.videos).max() > 1e-6
+
+
+def test_cfg_path(pipe, video):
+    out = pipe(video, "add a hat", source_frames=9, reasoning_frames=4,
+               num_inference_steps=2, guidance_scale=5.0,
+               negative_prompt="blurry, low quality")
+    assert out.videos.shape == (1, 3, 10, 32, 32)
+    assert np.isfinite(out.videos).all()
+
+
+def test_non_cot_paired_path(pipe, video):
+    out = pipe(video, "make the sky purple", source_frames=9,
+               num_inference_steps=2, cot=False)
+    # paired: [src 3 | noise 3] latents; edit decode -> 9 frames
+    assert out.videos.shape == (1, 3, 9, 32, 32)
+    assert out.ground_videos is None
+
+
+def test_prompt_sensitivity(pipe, video):
+    a = pipe(video, "remove the dog", source_frames=9, reasoning_frames=4,
+             num_inference_steps=2, seed=3)
+    b = pipe(video, "turn the car into a boat", source_frames=9,
+             reasoning_frames=4, num_inference_steps=2, seed=3)
+    assert np.abs(a.videos - b.videos).max() > 1e-6
+
+
+def test_jit_cache_reuse(pipe, video):
+    # same geometry twice -> the jitted step is reused, not recompiled
+    pipe(video, "remove the cat", source_frames=9, reasoning_frames=4,
+         num_inference_steps=2)
+    n = len(pipe._jit_cache)
+    pipe(video, "remove the hat", source_frames=9, reasoning_frames=4,
+         num_inference_steps=2)
+    assert len(pipe._jit_cache) == n

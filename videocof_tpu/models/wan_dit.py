@@ -188,14 +188,17 @@ def wan_block_apply(p: Params, cfg: WanDiTConfig, x, e0, context,
                   rope_cs=rope_cs, kv_mask=seq_mask, backend=attn_backend)
     x = x + y.astype(jnp.float32) * e_[2]
 
-    # cross-attention (t2v: plain text K/V — `wan_transformer3d.py:308-336`)
+    # cross-attention (t2v: plain text K/V — `wan_transformer3d.py:308-336`).
+    # A callable backend is the sequence-parallel *self*-attention; cross-attn
+    # KV is tiny (512 text tokens) and runs fully sharded with no collectives.
+    xattn_backend = None if callable(attn_backend) else attn_backend
     if cfg.cross_attn_norm:
         nx = _layer_norm(x, eps, p["norm3"]["scale"], p["norm3"]["bias"])
     else:
         nx = x
     y = _attn_qkv(nx.astype(context.dtype), p["cross_attn"], cfg.num_heads,
                   eps, kv_in=context, kv_mask=context_mask,
-                  backend=attn_backend)
+                  backend=xattn_backend)
     x = x + y.astype(jnp.float32)
 
     # gated FFN

@@ -77,6 +77,12 @@ def attention(
     key mask [B, Lk] (True = attend) mirroring the reference's ``k_lens``
     varlen handling (`attention_utils.py:152-211`).
     """
+    if callable(backend):
+        # custom impl (e.g. Ulysses sequence-parallel self-attention); masks
+        # are resolved by the caller in that case
+        assert mask is None and bias is None
+        return backend(q, k, v)
+
     if backend is None:
         backend = default_backend()
 

@@ -1,0 +1,6 @@
+from .mesh import make_mesh
+from .ulysses import make_ulysses_attention, pad_tokens_for_sp
+from .sharding import fsdp_param_sharding, replicate
+
+__all__ = ["make_mesh", "make_ulysses_attention", "pad_tokens_for_sp",
+           "fsdp_param_sharding", "replicate"]

@@ -1,0 +1,94 @@
+"""Flow-matching training step with mesh sharding.
+
+The reference ships only DeepSpeed ZeRO configs, FSDP wrappers, and activation
+checkpointing hooks — no trainer (`README.md:199`, SURVEY.md §2.4). Here the
+whole thing is one pjit'd function: ZeRO-3/FSDP == `fsdp_param_sharding` on the
+params + optimizer state, DP == batch sharding on the ``data`` axis, Ulysses
+SP == the shard_map attention inside the DiT, and gradient
+all-reduce/reduce-scatter is inserted by XLA from the shardings.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..configs import WanDiTConfig
+from ..models import wan_dit
+from .timestep_sampler import DiscreteSampling
+from ..parallel import fsdp_param_sharding, make_ulysses_attention, replicate
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def flow_matching_loss(params, cfg: WanDiTConfig, x0, context, rope_cos,
+                       rope_sin, timesteps, noise, attn_backend=None,
+                       remat: bool = True):
+    """Rectified-flow loss: x_t = (1-sigma) x0 + sigma n, target v = n - x0."""
+    sigma = (timesteps.astype(jnp.float32) / 1000.0)[:, None, None, None, None]
+    x_t = (1.0 - sigma) * x0 + sigma * noise
+    target = noise - x0
+    pred = wan_dit.wan_dit_forward(
+        params, cfg, x_t, timesteps.astype(jnp.float32), context,
+        rope_cos, rope_sin, attn_backend=attn_backend, remat_blocks=remat)
+    return jnp.mean(jnp.square(pred - target))
+
+
+def make_train_step(
+    mesh: Mesh,
+    cfg: WanDiTConfig,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    use_ulysses: bool = True,
+    remat: bool = True,
+    fsdp_min_size: int = 2 ** 16,
+) -> Tuple[Callable, Callable]:
+    """Returns (init_fn, step_fn).
+
+    init_fn(params) -> TrainState with FSDP-sharded params/optimizer state.
+    step_fn(state, batch, rng) -> (state, loss); batch is a dict with
+    ``x0`` [B, C, F, H, W], ``context`` [B, Lt, text_dim], ``rope_cos``,
+    ``rope_sin``, ``timesteps`` [B].
+    """
+    optimizer = optimizer or optax.adamw(1e-5, weight_decay=1e-3)
+    attn = make_ulysses_attention(mesh) if (use_ulysses and
+                                            mesh.shape["seq"] > 1) else None
+
+    def init_fn(params) -> TrainState:
+        pshard = fsdp_param_sharding(mesh, params, min_size=fsdp_min_size)
+        params = jax.device_put(params, pshard)
+        opt_state = jax.jit(
+            optimizer.init,
+            out_shardings=fsdp_param_sharding(
+                mesh, jax.eval_shape(optimizer.init, params),
+                min_size=fsdp_min_size))(params)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=jnp.zeros((), jnp.int32))
+
+    data_sharding = NamedSharding(mesh, P("data"))
+
+    @jax.jit
+    def step_fn(state: TrainState, batch, rng) -> Tuple[TrainState, jax.Array]:
+        x0 = jax.lax.with_sharding_constraint(batch["x0"], data_sharding)
+        noise = jax.random.normal(rng, x0.shape, x0.dtype)
+
+        def loss_fn(p):
+            return flow_matching_loss(
+                p, cfg, x0, batch["context"], batch["rope_cos"],
+                batch["rope_sin"], batch["timesteps"], noise,
+                attn_backend=attn, remat=remat)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return init_fn, step_fn
