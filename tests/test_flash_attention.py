@@ -1,0 +1,61 @@
+"""Pallas flash attention vs naive softmax attention (interpret mode on CPU —
+SURVEY.md §4 level (b))."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videocof_tpu.ops import attention
+from videocof_tpu.ops.flash_attention import flash_attention
+
+
+@pytest.mark.parametrize("L", [128, 256, 300])  # 300 exercises padding
+def test_matches_naive(L):
+    q, k, v = (jax.random.normal(jax.random.PRNGKey(i), (1, L, 2, 128),
+                                 jnp.float32) for i in range(3))
+    got = np.asarray(flash_attention(q, k, v, block_q=128, block_k=128,
+                                     interpret=True))
+    want = np.asarray(attention(q, k, v, backend="naive"))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_bf16_inputs():
+    q, k, v = (jax.random.normal(jax.random.PRNGKey(i), (2, 128, 2, 128),
+                                 jnp.bfloat16) for i in range(3))
+    got = np.asarray(flash_attention(q, k, v, block_q=128, block_k=128,
+                                     interpret=True).astype(jnp.float32))
+    want = np.asarray(attention(q, k, v, backend="naive")
+                      .astype(jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
+def test_cross_attention_shapes():
+    # Lq != Lk (e.g. decode-time cross attention)
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 256, 2, 128))
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 130, 2, 128))
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 130, 2, 128))
+    got = np.asarray(flash_attention(q, k, v, block_q=128, block_k=128,
+                                     interpret=True))
+    want = np.asarray(attention(q, k, v, backend="naive"))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_unsupported_shapes_raise():
+    q = jnp.zeros((1, 64, 2, 64))  # head_dim 64
+    with pytest.raises(NotImplementedError):
+        flash_attention(q, q, q, interpret=True)
+    with pytest.raises(NotImplementedError):
+        flash_attention(jnp.zeros((1, 64, 2, 128)),
+                        jnp.zeros((1, 64, 2, 128)),
+                        jnp.zeros((1, 64, 2, 128)),
+                        bias=jnp.zeros((1,)), interpret=True)
+
+
+def test_dispatcher_falls_back():
+    # pallas backend on unsupported head_dim silently falls back to xla
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 2, 24))
+    out = attention(q, q, q, backend="pallas")
+    want = attention(q, q, q, backend="naive")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)

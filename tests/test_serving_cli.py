@@ -1,0 +1,151 @@
+"""Serving API + CLI end-to-end tests (tiny configs, synthetic video)."""
+
+import base64
+import json
+import os
+import sys
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videocof_tpu.configs import T5_TINY, VAE_TINY, WAN_TINY
+from videocof_tpu.models import t5_encoder, wan_dit, wan_vae
+from videocof_tpu.pipeline import WanPipeline
+from videocof_tpu.serving import VideoCoFController
+from videocof_tpu.configs import GenerationConfig
+
+
+@pytest.fixture(scope="module")
+def tiny_pipe():
+    DCFG = WAN_TINY.replace(in_dim=VAE_TINY.z_dim, out_dim=VAE_TINY.z_dim,
+                            text_dim=T5_TINY.dim)
+    return WanPipeline(
+        wan_dit.init_wan_dit(jax.random.PRNGKey(0), DCFG), DCFG,
+        wan_vae.init_wan_vae(jax.random.PRNGKey(1), VAE_TINY), VAE_TINY,
+        t5_encoder.init_t5_encoder(jax.random.PRNGKey(2), T5_TINY), T5_TINY,
+        dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def test_video(tmp_path_factory):
+    cv2 = pytest.importorskip("cv2")
+    path = str(tmp_path_factory.mktemp("vid") / "in.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (32, 32))
+    rng = np.random.default_rng(0)
+    for _ in range(12):
+        w.write(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8))
+    w.release()
+    return path
+
+
+@pytest.fixture(scope="module")
+def controller(tiny_pipe):
+    return VideoCoFController(
+        tiny_pipe,
+        defaults=GenerationConfig(source_frames=9, reasoning_frames=4,
+                                  num_inference_steps=2,
+                                  guidance_scale=1.0))
+
+
+def test_controller_generate(controller, test_video):
+    out = controller.generate(video_path=test_video, prompt="remove the box",
+                              seed=1)
+    assert out["videos"].shape[1] == 3
+    assert "grounded the box" in out["prompt"]
+    b64 = controller.encode_video_base64(out["videos"])
+    assert len(base64.b64decode(b64)) > 100
+
+
+def test_http_api_roundtrip(controller, test_video):
+    from videocof_tpu.serving.api import make_handler, ENDPOINT
+    from http.server import ThreadingHTTPServer
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0),
+                                 make_handler(controller, threading.Lock()))
+    port = server.server_address[1]
+    th = threading.Thread(target=server.serve_forever, daemon=True)
+    th.start()
+    try:
+        # health
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz") as r:
+            assert json.load(r)["status"] == "ok"
+        # inference
+        with open(test_video, "rb") as f:
+            vid_b64 = base64.b64encode(f.read()).decode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{ENDPOINT}",
+            data=json.dumps({
+                "prompt_textbox": "remove the dog",
+                "source_video": vid_b64,
+                "seed_textbox": 3,
+                "sample_step_slider": 2,
+            }).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            resp = json.load(r)
+        assert resp["message"] == "Success"
+        assert len(base64.b64decode(resp["base64_encoding"])) > 100
+        # bad request probe
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{ENDPOINT}",
+            data=json.dumps({"prompt_textbox": "x"}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
+
+
+def test_cli_fast_infer_e2e(tiny_pipe, test_video, tmp_path, monkeypatch):
+    import videocof_tpu.cli._common as common
+    import videocof_tpu.cli.fast_infer as cli
+
+    monkeypatch.setattr(common, "build_pipeline_from_args",
+                        lambda args, dtype=None: tiny_pipe)
+    monkeypatch.setattr(cli, "build_pipeline_from_args",
+                        lambda args, dtype=None: tiny_pipe)
+    out_dir = str(tmp_path / "out")
+    monkeypatch.setattr(sys, "argv", [
+        "fast_infer", "--video_path", test_video, "--prompt",
+        "remove the red ball", "--output_dir", out_dir,
+        "--source_frames", "9", "--reasoning_frames", "4", "--repeat_rope",
+        "--random_init", "--num_inference_steps", "2"])
+    cli.main()
+    files = sorted(os.listdir(out_dir))
+    base = os.path.splitext(os.path.basename(test_video))[0]
+    assert f"gen_{base}.mp4" in files
+    assert f"gen_{base}_reason_edit.mp4" in files
+    assert f"gen_{base}_compare.mp4" in files
+    assert f"gen_{base}_info.txt" in files
+    # resume: second run skips everything
+    cli.main()
+
+
+def test_lora_merge_state_tracking(controller):
+    rng = np.random.default_rng(0)
+    import tempfile, safetensors.numpy
+    d = WAN_TINY.dim
+    sd = {"diffusion_model.blocks.0.self_attn.q.lora_A.weight":
+          rng.standard_normal((2, d)).astype(np.float32) * 0.01,
+          "diffusion_model.blocks.0.self_attn.q.lora_B.weight":
+          rng.standard_normal((d, 2)).astype(np.float32) * 0.01}
+    with tempfile.NamedTemporaryFile(suffix=".safetensors") as f:
+        safetensors.numpy.save_file(sd, f.name)
+        before = np.asarray(
+            controller.pipeline.dit_params["blocks"]["self_attn"]["q"]["kernel"])
+        controller.ensure_lora(f.name)
+        after = np.asarray(
+            controller.pipeline.dit_params["blocks"]["self_attn"]["q"]["kernel"])
+        assert np.abs(after - before).max() > 0
+        controller.ensure_lora(None)  # unmerge all
+        restored = np.asarray(
+            controller.pipeline.dit_params["blocks"]["self_attn"]["q"]["kernel"])
+        np.testing.assert_allclose(restored, before, atol=1e-6)

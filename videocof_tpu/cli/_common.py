@@ -1,0 +1,145 @@
+"""Shared CLI machinery for the inference entry points.
+
+Mirrors the reference CLI behaviour (`fast_infer.py:214-456`,
+`inference.py`): task-JSON or single-video mode, resume by skipping existing
+outputs, data-parallel item sharding across processes
+(`pending_items[rank::world_size]`), CoT prompt construction, and the
+reason+edit / edit-only / side-by-side output triple with an `_info.txt`
+prompt record.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from ..data.instructions import build_cot_prompt
+from ..utils.video_io import (load_video_frames, save_results,
+                              save_side_by_side)
+
+
+def add_common_args(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--test_json", type=str, default=None,
+                        help="Path to test JSON for batch inference")
+    parser.add_argument("--prompt", type=str, default=None)
+    parser.add_argument("--video_path", type=str, default=None)
+    parser.add_argument("--model_name", type=str, default=None,
+                        help="Checkpoint dir (omit with --random_init)")
+    parser.add_argument("--output_dir", type=str, required=True)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--videocof_path", type=str, default=None,
+                        help="VideoCoF LoRA checkpoint")
+    parser.add_argument("--lora_path", type=str, default=None)
+    parser.add_argument("--lora_weight", type=float, default=1.0)
+    parser.add_argument("--num_frames", type=int, default=65)
+    parser.add_argument("--source_frames", type=int, default=33)
+    parser.add_argument("--reasoning_frames", type=int, default=4)
+    parser.add_argument("--repeat_rope", action="store_true")
+    parser.add_argument("--sampler", type=str, default="unipc",
+                        choices=["unipc", "euler", "dpm++"])
+    parser.add_argument("--shift", type=float, default=3.0)
+    parser.add_argument("--fps", type=int, default=10)
+    parser.add_argument("--random_init", action="store_true",
+                        help="Random weights (weight-free smoke runs)")
+    parser.add_argument("--attention", type=str, default=None,
+                        choices=[None, "pallas", "xla", "naive"])
+
+
+def collect_items(args) -> List[Tuple[str, Dict]]:
+    if args.test_json:
+        with open(args.test_json, encoding="utf-8") as f:
+            entries = json.load(f)
+        items = []
+        for i, item in enumerate(entries):
+            if "task_type" in item and "sample_id" in item:
+                fname = f"{item['task_type']}_{item['sample_id']}.mp4"
+            else:
+                fname = f"sample_{i}.mp4"
+            items.append((fname, item))
+        return items
+    if args.video_path and args.prompt:
+        return [(os.path.basename(args.video_path),
+                 {"source_video_path": args.video_path,
+                  "edit_instruction": args.prompt})]
+    raise SystemExit("provide --test_json or both --video_path and --prompt")
+
+
+def shard_pending(items, output_dir: str):
+    """Resume + DP sharding: drop finished outputs, stride over processes."""
+    import jax
+    pending = []
+    for fname, item in items:
+        base = os.path.splitext(fname)[0]
+        if not os.path.exists(os.path.join(output_dir, f"gen_{base}.mp4")):
+            pending.append((fname, item))
+    rank, world = jax.process_index(), jax.process_count()
+    return pending[rank::world], rank, world
+
+
+def item_prompt(item: Dict) -> str:
+    edit_text = item.get("text", item.get("qwen_vl_72b_refined_instruction",
+                                          item.get("edit_instruction", "")))
+    return build_cot_prompt(edit_text), edit_text
+
+
+def run_items(pipe, args, subset, rank: int, *, num_inference_steps: int,
+              guidance_scale: float, negative_prompt: str,
+              gen_kwargs=None) -> None:
+    os.makedirs(args.output_dir, exist_ok=True)
+    rng = np.random.default_rng(args.seed + rank)
+    for fname, item in subset:
+        base = os.path.splitext(fname)[0]
+        out_path = os.path.join(args.output_dir, f"gen_{base}.mp4")
+        prompt, _ = item_prompt(item)
+        print(f"[proc {rank}] {fname}: {prompt}", file=sys.stderr)
+
+        video, h, w = load_video_frames(item["source_video_path"],
+                                        args.source_frames, rng=rng)
+        out = pipe(video, prompt,
+                   negative_prompt=negative_prompt,
+                   source_frames=args.source_frames,
+                   reasoning_frames=args.reasoning_frames,
+                   num_inference_steps=num_inference_steps,
+                   guidance_scale=guidance_scale,
+                   shift=args.shift, sampler=args.sampler,
+                   repeat_rope=args.repeat_rope, cot=True,
+                   seed=args.seed + rank, **(gen_kwargs or {}))
+
+        save_results(out.videos, os.path.join(
+            args.output_dir, f"gen_{base}_reason_edit.mp4"), args.fps)
+        edit = out.videos[:, :, -args.source_frames:]
+        save_results(edit, out_path, args.fps)
+        save_side_by_side(video, edit, os.path.join(
+            args.output_dir, f"gen_{base}_compare.mp4"), args.fps)
+        with open(os.path.join(args.output_dir, f"gen_{base}_info.txt"),
+                  "w", encoding="utf-8") as f:
+            f.write(prompt)
+        print(f"[proc {rank}] wrote {out_path}", file=sys.stderr)
+
+
+def build_pipeline_from_args(args, dtype=None):
+    import jax.numpy as jnp
+    from ..factory import load_pipeline
+    from ..models.lora import merge_lora
+
+    dtype = dtype or jnp.bfloat16
+    pipe = load_pipeline(args.model_name or "", dtype=dtype,
+                         random_init=args.random_init,
+                         attn_backend=args.attention,
+                         seed=args.seed)
+    for path, mult in ((getattr(args, "acceleration_lora", None), 1.0),
+                      (args.lora_path, args.lora_weight),
+                      (args.videocof_path, args.lora_weight)):
+        if path:
+            if os.path.exists(path):
+                pipe.dit_params = merge_lora(pipe.dit_params, pipe.dit_cfg,
+                                             path, multiplier=mult)
+                print(f"merged LoRA: {path}", file=sys.stderr)
+            else:
+                print(f"warning: LoRA not found: {path}", file=sys.stderr)
+    return pipe

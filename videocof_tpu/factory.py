@@ -1,0 +1,86 @@
+"""Pipeline factory: build a `WanPipeline` from a Wan2.1 checkpoint directory
+(the reference's config-driven model build — `fast_infer.py:277-345`,
+`config/wan2.1/wan_civitai.yaml`), or from random weights for weight-free
+environments.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .configs import (T5Config, WAN21_T2V_1_3B, WAN21_T2V_14B, WanDiTConfig,
+                      WanVAEConfig)
+from .data.tokenizer import WanTokenizer
+from .models import t5_encoder, wan_dit, wan_vae, weights
+from .pipeline import WanPipeline
+
+# default sub-paths inside a Wan2.1 checkpoint dir (wan_civitai.yaml)
+VAE_SUBPATH = "Wan2.1_VAE.pth"
+T5_SUBPATH = "models_t5_umt5-xxl-enc-bf16.pth"
+TOKENIZER_SUBPATH = "google/umt5-xxl"
+FUSIONX_LORA = "Wan2.1_Text_to_Video_14B_FusionX_LoRA.safetensors"
+
+
+def load_pipeline(
+    model_name: str,
+    dtype=jnp.bfloat16,
+    random_init: bool = False,
+    dit_cfg: Optional[WanDiTConfig] = None,
+    vae_cfg: Optional[WanVAEConfig] = None,
+    t5_cfg: Optional[T5Config] = None,
+    seed: int = 0,
+    attn_backend: Optional[str] = None,
+) -> WanPipeline:
+    vae_cfg = vae_cfg or WanVAEConfig()
+    t5_cfg = t5_cfg or T5Config()
+
+    if random_init:
+        dit_cfg = dit_cfg or WAN21_T2V_1_3B
+        keys = jax.random.split(jax.random.PRNGKey(seed), 3)
+        dit_params = jax.jit(
+            lambda k: wan_dit.init_wan_dit(k, dit_cfg, dtype=dtype))(keys[0])
+        vae_params = jax.jit(
+            lambda k: wan_vae.init_wan_vae(k, vae_cfg, dtype=dtype))(keys[1])
+        t5_params = jax.jit(
+            lambda k: t5_encoder.init_t5_encoder(k, t5_cfg, dtype=dtype)
+        )(keys[2])
+        tokenizer = WanTokenizer(vocab_size=t5_cfg.vocab)
+        return WanPipeline(dit_params, dit_cfg, vae_params, vae_cfg,
+                           t5_params, t5_cfg, tokenizer, dtype=dtype,
+                           attn_backend=attn_backend)
+
+    np_dtype = {jnp.bfloat16: "bfloat16", jnp.float32: "float32"}.get(
+        dtype, "float32")
+    import numpy as np
+    import ml_dtypes
+    npdt = np.dtype(np_dtype if np_dtype == "float32"
+                    else ml_dtypes.bfloat16)
+
+    if dit_cfg is None:
+        dit_cfg = weights.dit_config_from_checkpoint(model_name)
+    sd = weights.load_state_dict(model_name)
+    dit_params = weights.convert_dit_state_dict(sd, dit_cfg, dtype=npdt)
+    del sd
+
+    vae_sd = weights.load_state_dict(os.path.join(model_name, VAE_SUBPATH))
+    vae_params = weights.convert_vae_state_dict(vae_sd, vae_cfg, dtype=npdt)
+    del vae_sd
+
+    t5_sd = weights.load_state_dict(os.path.join(model_name, T5_SUBPATH))
+    t5_params = weights.convert_t5_state_dict(t5_sd, t5_cfg, dtype=npdt)
+    del t5_sd
+
+    tok_path = os.path.join(model_name, TOKENIZER_SUBPATH)
+    tokenizer = WanTokenizer(tok_path if os.path.isdir(tok_path)
+                             else TOKENIZER_SUBPATH, vocab_size=t5_cfg.vocab)
+
+    dit_params = jax.tree.map(jnp.asarray, dit_params)
+    vae_params = jax.tree.map(jnp.asarray, vae_params)
+    t5_params = jax.tree.map(jnp.asarray, t5_params)
+    return WanPipeline(dit_params, dit_cfg, vae_params, vae_cfg, t5_params,
+                       t5_cfg, tokenizer, dtype=dtype,
+                       attn_backend=attn_backend)

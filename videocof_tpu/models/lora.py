@@ -1,0 +1,147 @@
+"""LoRA weight fusion.
+
+As in the reference, LoRA is fused algebraically into the weights at load time
+(`lora_utils.py:371-500`: ``W += multiplier * (alpha/rank) * up @ down``) so
+the compiled graph never sees adapter structure. Unmerge subtracts the same
+delta (`lora_utils.py:503-620`).
+
+Key-format zoo handled (reference `lora_utils.py:379-393`):
+  * kohya:  ``lora_unet_blocks_0_self_attn_q.lora_up.weight`` /
+    ``.lora_down.weight`` / ``.alpha``
+  * PEFT / diffusion_model: ``diffusion_model.blocks.0.self_attn.q.lora_A
+    .weight`` (A=down, B=up)
+  * Comfy "lora_A/lora_B" under ``lora_unet_`` underscore names
+
+Because our DiT blocks are stacked on a leading layer axis for `lax.scan`,
+per-layer deltas are applied with ``.at[layer].add``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import WanDiTConfig
+
+# our pytree path for each torch module name pattern ({i} = layer index)
+_BLOCK_PATHS = {
+    "self_attn.q": ("self_attn", "q"),
+    "self_attn.k": ("self_attn", "k"),
+    "self_attn.v": ("self_attn", "v"),
+    "self_attn.o": ("self_attn", "o"),
+    "cross_attn.q": ("cross_attn", "q"),
+    "cross_attn.k": ("cross_attn", "k"),
+    "cross_attn.v": ("cross_attn", "v"),
+    "cross_attn.o": ("cross_attn", "o"),
+    "ffn.0": ("ffn", "fc1"),
+    "ffn.2": ("ffn", "fc2"),
+}
+_TOP_PATHS = {
+    "text_embedding.0": ("text_mlp", "fc1"),
+    "text_embedding.2": ("text_mlp", "fc2"),
+    "time_embedding.0": ("time_mlp", "fc1"),
+    "time_embedding.2": ("time_mlp", "fc2"),
+    "time_projection.1": ("time_proj", "fc"),
+    "head.head": ("head", "fc"),
+    "patch_embedding": ("patch_embed",),
+}
+
+
+def _known_module_names(num_layers: int):
+    names = dict(_TOP_PATHS)
+    out = {}
+    for dotted, path in names.items():
+        out[dotted] = (None, path)
+    for i in range(num_layers):
+        for dotted, path in _BLOCK_PATHS.items():
+            out[f"blocks.{i}.{dotted}"] = (i, ("blocks",) + path)
+    return out
+
+
+def parse_lora_state_dict(sd: Dict[str, np.ndarray], num_layers: int
+                          ) -> Dict[str, Dict[str, Any]]:
+    """-> {dotted_module_name: {down, up, alpha}}; unknown modules skipped."""
+    known = _known_module_names(num_layers)
+    underscore_to_dotted = {k.replace(".", "_"): k for k in known}
+
+    mods: Dict[str, Dict[str, Any]] = {}
+
+    def canon(raw: str) -> Optional[str]:
+        if raw in known:
+            return raw
+        return underscore_to_dotted.get(raw)
+
+    for key, val in sd.items():
+        m = re.match(
+            r"^(?:diffusion_model\.|transformer\.)(.+?)\."
+            r"(lora_A|lora_B|lora_down|lora_up)\.weight$", key)
+        if m:
+            name, which = m.group(1), m.group(2)
+        else:
+            m = re.match(
+                r"^lora_unet_(.+?)\.(lora_A|lora_B|lora_down|lora_up)"
+                r"\.weight$", key)
+            if m:
+                name, which = m.group(1), m.group(2)
+            else:
+                m = re.match(r"^(?:lora_unet_|diffusion_model\.|transformer\.)"
+                             r"(.+?)\.alpha$", key)
+                if m:
+                    name = canon(m.group(1))
+                    if name:
+                        mods.setdefault(name, {})["alpha"] = float(
+                            np.asarray(val).reshape(()))
+                continue
+        name = canon(name)
+        if name is None:
+            continue
+        slot = "down" if which in ("lora_A", "lora_down") else "up"
+        mods.setdefault(name, {})[slot] = np.asarray(val)
+    return {k: v for k, v in mods.items() if "down" in v and "up" in v}
+
+
+def merge_lora(params: Dict[str, Any], cfg: WanDiTConfig,
+               lora: Union[str, Dict[str, np.ndarray]],
+               multiplier: float = 1.0) -> Dict[str, Any]:
+    """Returns a new params pytree with the LoRA deltas fused in. ``lora`` is
+    a state dict or a safetensors/pth path."""
+    if isinstance(lora, str):
+        from .weights import load_state_dict
+        lora = load_state_dict(lora)
+    mods = parse_lora_state_dict(lora, cfg.num_layers)
+    known = _known_module_names(cfg.num_layers)
+
+    params = jax.tree.map(lambda x: x, params)  # shallow copy of containers
+
+    for name, entry in mods.items():
+        layer, path = known[name]
+        down, up = entry["down"], entry["up"]
+        rank = down.shape[0]
+        scale = entry.get("alpha", float(rank)) / rank
+        # conv LoRA (e.g. patch_embedding 1x2x2): flatten kernel dims the same
+        # way the base conversion does
+        if down.ndim > 2:
+            down = down.reshape(down.shape[0], -1)
+        if up.ndim > 2:
+            up = up.reshape(up.shape[0], -1)
+        delta_t = multiplier * scale * (up @ down)        # [out, in]
+        node = params
+        for p in path:
+            node = node[p]
+        kern = node["kernel"]
+        delta = jnp.asarray(delta_t.T, dtype=jnp.float32)
+        if layer is None:
+            node["kernel"] = (kern.astype(jnp.float32) + delta).astype(
+                kern.dtype)
+        else:
+            upd = kern[layer].astype(jnp.float32) + delta
+            node["kernel"] = kern.at[layer].set(upd.astype(kern.dtype))
+    return params
+
+
+def unmerge_lora(params, cfg: WanDiTConfig, lora, multiplier: float = 1.0):
+    return merge_lora(params, cfg, lora, multiplier=-multiplier)

@@ -254,6 +254,31 @@ def wan_dit_forward(
     minus the i2v/VACE/camera branches (separate model files) and with TeaCache
     handled a level up (`videocof_tpu.models.teacache`).
     """
+    out, _ = wan_dit_forward_with_residual(
+        params, cfg, x, t, context, rope_cos, rope_sin,
+        context_mask=context_mask, attn_backend=attn_backend,
+        remat_blocks=remat_blocks)
+    return out
+
+
+def wan_dit_forward_with_residual(
+    params: Params,
+    cfg: WanDiTConfig,
+    x: jax.Array,
+    t: jax.Array,
+    context: jax.Array,
+    rope_cos: jax.Array,
+    rope_sin: jax.Array,
+    context_mask: Optional[jax.Array] = None,
+    attn_backend: Optional[str] = None,
+    remat_blocks: bool = False,
+    residual: Optional[jax.Array] = None,
+    skip_blocks: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Forward that exposes the TeaCache token-stream residual: returns
+    (velocity, residual). With ``skip_blocks=True`` the block stack is
+    bypassed and ``residual`` (from a previous compute step) is re-added to
+    the embedded stream (`wan_transformer3d.py:981-1031`)."""
     compute_dtype = params["patch_embed"]["kernel"].dtype
 
     # patch embed -> [B, L, D]
@@ -274,19 +299,25 @@ def wan_dit_forward(
     ctx = _linear(ctx, params["text_mlp"]["fc2"])                # [B, Lt, D]
 
     rope_cs = (rope_cos, rope_sin)
-    stream = hseq.astype(jnp.float32)
+    stream0 = hseq.astype(jnp.float32)
 
-    def block_fn(bp, carry):
-        return wan_block_apply(bp, cfg, carry, e0, ctx, rope_cs,
-                               context_mask=context_mask,
-                               attn_backend=attn_backend)
+    if skip_blocks:
+        assert residual is not None, "skip_blocks needs a cached residual"
+        stream = stream0 + residual
+        residual_out = residual
+    else:
+        def block_fn(bp, carry):
+            return wan_block_apply(bp, cfg, carry, e0, ctx, rope_cs,
+                                   context_mask=context_mask,
+                                   attn_backend=attn_backend)
 
-    body_fn = jax.checkpoint(block_fn) if remat_blocks else block_fn
+        body_fn = jax.checkpoint(block_fn) if remat_blocks else block_fn
 
-    def body(carry, bp):
-        return body_fn(bp, carry), None
+        def body(carry, bp):
+            return body_fn(bp, carry), None
 
-    stream, _ = jax.lax.scan(body, stream, params["blocks"])
+        stream, _ = jax.lax.scan(body, stream0, params["blocks"])
+        residual_out = stream - stream0
 
     # head with 2-way modulation (`wan_transformer3d.py:518-548`)
     hm = params["head"]["modulation"][None].astype(jnp.float32) + e[:, None, :]
@@ -295,7 +326,7 @@ def wan_dit_forward(
     out = _linear(out.astype(compute_dtype), params["head"]["fc"])
 
     return unpatchify(out.astype(jnp.float32), grid, cfg.patch_size,
-                      cfg.out_dim)
+                      cfg.out_dim), residual_out
 
 
 def make_rope_for_geometry(cfg: WanDiTConfig, grid,

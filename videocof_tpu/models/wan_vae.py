@@ -232,12 +232,11 @@ def attn_block_apply(p, x):
 
 
 def _nearest_up2(x):
-    """2x nearest-exact spatial upsample of [B, C, T, H, W] (fp32 like the
-    reference's bf16-safe Upsample — `wan_vae.py:61-67`)."""
-    dt = x.dtype
-    y = x.astype(jnp.float32)
-    y = jnp.repeat(jnp.repeat(y, 2, axis=-2), 2, axis=-1)
-    return y.astype(dt)
+    """2x nearest-exact spatial upsample of [B, C, T, H, W]. (The reference
+    upcasts to fp32 only because torch's nearest interp lacks a bf16 kernel —
+    `wan_vae.py:61-67`; pure repetition has no arithmetic, so we keep dtype
+    and halve the largest decoder buffer.)"""
+    return jnp.repeat(jnp.repeat(x, 2, axis=-2), 2, axis=-1)
 
 
 def _spatial_down(x, p):

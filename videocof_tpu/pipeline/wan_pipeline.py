@@ -103,17 +103,21 @@ class WanPipeline:
 
     # ------------------------------------------------------------- jitted step
     def _step_fn(self, do_cfg: bool, guidance_scale: float,
-                 condition_count: int):
+                 condition_count: int, skip_blocks: bool = False):
+        """One denoise step: optional CFG batch-doubling, DiT forward (with
+        TeaCache residual in/out), guidance combine, source freeze. Compiled
+        once per (cfg, skip) variant."""
         key = ("step", do_cfg, float(guidance_scale), condition_count,
-               self.attn_backend)
+               skip_blocks, self.attn_backend)
         if key in self._jit_cache:
             return self._jit_cache[key]
 
         dit_cfg = self.dit_cfg
         backend = self.attn_backend
 
-        @functools.partial(jax.jit, static_argnames=())
-        def step(dit_params, latents, t_scalar, context, rope_cos, rope_sin):
+        @jax.jit
+        def step(dit_params, latents, t_scalar, context, rope_cos, rope_sin,
+                 residual):
             if do_cfg:
                 x = jnp.concatenate([latents, latents], axis=0)
                 ctx = context  # [2B, ...] (uncond first, then cond)
@@ -121,15 +125,16 @@ class WanPipeline:
                 x = latents
                 ctx = context
             t = jnp.full((x.shape[0],), t_scalar, jnp.float32)
-            v = wan_dit.wan_dit_forward(
+            v, res = wan_dit.wan_dit_forward_with_residual(
                 dit_params, dit_cfg, x.astype(self.dtype), t, ctx,
-                rope_cos, rope_sin, attn_backend=backend)
+                rope_cos, rope_sin, attn_backend=backend,
+                residual=residual, skip_blocks=skip_blocks)
             if do_cfg:
                 vu, vc = jnp.split(v, 2, axis=0)
                 v = vu + guidance_scale * (vc - vu)
             # freeze source latents (`pipeline_wan.py:735-737`)
             v = v.at[:, :, :condition_count].set(0.0)
-            return v
+            return v, res
 
         self._jit_cache[key] = step
         return step
@@ -152,6 +157,14 @@ class WanPipeline:
         max_sequence_length: int = 512,
         prompt_embeds: Optional[jax.Array] = None,
         negative_prompt_embeds: Optional[jax.Array] = None,
+        enable_teacache: bool = False,
+        teacache_threshold: float = 0.10,
+        teacache_skip_start_steps: int = 5,
+        teacache_coefficients: Optional[Sequence[float]] = None,
+        cfg_skip_ratio: float = 0.0,
+        riflex_k: Optional[int] = None,
+        riflex_L_test: Optional[int] = None,
+        riflex_L_test_scale: Optional[float] = None,
     ) -> WanPipelineOutput:
         """Edit ``video`` ([B, 3, T, H, W] in [-1, 1]) per ``prompt``.
 
@@ -190,24 +203,64 @@ class WanPipeline:
             latents = self.prepare_paired_latents(video, key)
         _, C, Tl, Hl, Wl = latents.shape
 
-        # ---- rope (CoF positions as data)
+        # ---- rope (CoF positions as data; optional RIFLEx temporal table —
+        # `wan_transformer3d.py:775-800`)
         ph, pw = self.dit_cfg.patch_size[1:]
         grid = (Tl, Hl // ph, Wl // pw)
         f_src = condition_count if (repeat_rope) else None
         f_ground = ground_latent_count if (repeat_rope and cot) else 0
+        temporal_table = None
+        if riflex_k is not None:
+            from ..models.rope import riflex_angle_table
+            temporal_table = riflex_angle_table(
+                self.dit_cfg.head_dim, riflex_k, riflex_L_test or 66,
+                riflex_L_test_scale, max_pos=self.dit_cfg.rope_max_pos,
+                theta=self.dit_cfg.rope_theta)
         cos, sin = wan_dit.make_rope_for_geometry(
-            self.dit_cfg, grid, f_src=f_src, f_ground=f_ground)
+            self.dit_cfg, grid, f_src=f_src, f_ground=f_ground,
+            temporal_table=temporal_table)
         cos, sin = jnp.asarray(cos), jnp.asarray(sin)
 
         # ---- sampler
         sched = get_scheduler(sampler)
         sched.set_timesteps(num_inference_steps, shift=shift)
         state = sched.init_state(latents)
-        step = self._step_fn(do_cfg, guidance_scale, condition_count)
 
+        # ---- TeaCache plan (fully precomputable: the skip signal depends
+        # only on the timestep schedule — see models/teacache.py)
+        skips = [False] * num_inference_steps
+        if enable_teacache:
+            from ..models import teacache as tc
+            coeffs = (teacache_coefficients or
+                      tc.TEACACHE_COEFFICIENTS["wan2.1-t2v-14b"])
+            skips = tc.plan_teacache_skips(
+                self.dit_params, self.dit_cfg, sched.timesteps, coeffs,
+                teacache_threshold, teacache_skip_start_steps)
+
+        # ---- cfg-skip: drop the uncond pass in the last fraction of steps
+        # (`utils/cfg_optimization.py:7-37`)
+        cfg_off_after = num_inference_steps - int(
+            round(num_inference_steps * cfg_skip_ratio))
+
+        residual = None
         for i in range(num_inference_steps):
             t_i = float(sched.timesteps[i])
-            v = step(self.dit_params, latents, t_i, context, cos, sin)
+            step_cfg = do_cfg and (i < cfg_off_after)
+            ctx_i = context
+            if do_cfg and not step_cfg:
+                ctx_i = context[context.shape[0] // 2:]  # cond half only
+            res_in = None
+            if skips[i]:
+                res_in = residual
+                need = latents.shape[0] * (2 if step_cfg else 1)
+                if res_in.shape[0] != need:  # cfg-skip shrank the batch
+                    res_in = res_in[-need:]  # keep cond rows (ref: [-B:])
+            step = self._step_fn(step_cfg, guidance_scale, condition_count,
+                                 skip_blocks=skips[i])
+            v, res = step(self.dit_params, latents, t_i, ctx_i, cos, sin,
+                          res_in)
+            if not skips[i]:
+                residual = res
             latents, state = sched.step(v, i, latents, state)
 
         # ---- decode segments (`pipeline_wan.py:757-786`)

@@ -1,0 +1,125 @@
+"""HTTP inference API — twin of the reference FastAPI endpoint
+(`videox_fun/api/api.py:90-226`: ``POST /videox_fun/infer_forward`` json ->
+controller.generate -> base64 mp4). Built on the stdlib http.server (this
+image ships no fastapi/uvicorn); the endpoint path and payload contract
+mirror the reference so clients port over unchanged.
+
+Request json:
+  {"prompt_textbox": str, "source_video": <base64 mp4> | "source_video_path":
+   str, "seed_textbox": int, "sample_step_slider": int,
+   "cfg_scale_slider": float, "source_frames": int, "reasoning_frames": int}
+Response json:
+  {"message": "Success", "prompt": str, "base64_encoding": <base64 mp4>}
+
+Run:  python -m videocof_tpu.serving.api --random_init --port 8188
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+import os
+import sys
+import tempfile
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from .controller import VideoCoFController
+
+ENDPOINT = "/videocof/infer_forward"
+LEGACY_ENDPOINT = "/videox_fun/infer_forward"
+
+
+def make_handler(controller: VideoCoFController, lock: threading.Lock):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            print("[api]", fmt % args, file=sys.stderr)
+
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"status": "ok"})
+            else:
+                self._reply(404, {"message": "not found"})
+
+        def do_POST(self):
+            if self.path not in (ENDPOINT, LEGACY_ENDPOINT):
+                self._reply(404, {"message": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(n) or b"{}")
+            except Exception as e:
+                self._reply(400, {"message": f"bad request: {e}"})
+                return
+            try:
+                kwargs = dict(
+                    prompt=req.get("prompt_textbox", ""),
+                    seed=int(req.get("seed_textbox", 0)),
+                    num_inference_steps=int(req["sample_step_slider"])
+                    if "sample_step_slider" in req else None,
+                    guidance_scale=float(req["cfg_scale_slider"])
+                    if "cfg_scale_slider" in req else None,
+                    source_frames=req.get("source_frames"),
+                    reasoning_frames=req.get("reasoning_frames"),
+                )
+                tmp = None
+                if req.get("source_video"):
+                    tmp = tempfile.NamedTemporaryFile(suffix=".mp4",
+                                                      delete=False)
+                    tmp.write(base64.b64decode(req["source_video"]))
+                    tmp.close()
+                    kwargs["video_path"] = tmp.name
+                elif req.get("source_video_path"):
+                    kwargs["video_path"] = req["source_video_path"]
+                else:
+                    self._reply(400, {"message":
+                                      "missing source_video[_path]"})
+                    return
+                with lock:  # one generation at a time per chip
+                    result = controller.generate(**kwargs)
+                if tmp:
+                    os.unlink(tmp.name)
+                enc = controller.encode_video_base64(result["videos"])
+                self._reply(200, {"message": "Success",
+                                  "prompt": result["prompt"],
+                                  "base64_encoding": enc})
+            except Exception as e:
+                import traceback
+                traceback.print_exc()
+                self._reply(500, {"message": f"error: {e}"})
+
+    return Handler
+
+
+def serve(controller: VideoCoFController, host: str = "0.0.0.0",
+          port: int = 8188):
+    server = ThreadingHTTPServer((host, port),
+                                 make_handler(controller, threading.Lock()))
+    print(f"[api] listening on {host}:{port}{ENDPOINT}", file=sys.stderr)
+    server.serve_forever()
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_name", type=str, default=None)
+    p.add_argument("--random_init", action="store_true")
+    p.add_argument("--port", type=int, default=8188)
+    p.add_argument("--host", type=str, default="0.0.0.0")
+    args = p.parse_args()
+
+    from ..factory import load_pipeline
+    pipe = load_pipeline(args.model_name or "", random_init=args.random_init)
+    serve(VideoCoFController(pipe), host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Serving controller — the framework-agnostic core of the reference's
+`Wan_Controller` / `VideoCoF_Controller` (`videox_fun/ui/wan_ui.py:43-147`,
+`examples/app.py:157-349`): owns the loaded pipeline, tracks LoRA merge state,
+builds CoT prompts, runs generation, and encodes results for transport."""
+
+from __future__ import annotations
+
+import base64
+import io
+import os
+import tempfile
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from ..data.instructions import build_cot_prompt
+from ..configs import GenerationConfig
+from ..utils.video_io import load_video_frames, save_video
+
+
+@dataclass
+class VideoCoFController:
+    pipeline: Any
+    defaults: GenerationConfig = field(default_factory=GenerationConfig)
+    # LoRA merge-state tracking (`examples/app.py:220-262`)
+    _merged_loras: Dict[str, float] = field(default_factory=dict)
+
+    # ---------------------------------------------------------------- LoRA
+    def ensure_lora(self, path: Optional[str], multiplier: float = 1.0):
+        """Merge/unmerge so that exactly the requested LoRA set is fused."""
+        from ..models.lora import merge_lora, unmerge_lora
+        if path and path not in self._merged_loras:
+            self.pipeline.dit_params = merge_lora(
+                self.pipeline.dit_params, self.pipeline.dit_cfg, path,
+                multiplier)
+            self._merged_loras[path] = multiplier
+        elif not path:
+            for p, m in list(self._merged_loras.items()):
+                self.pipeline.dit_params = unmerge_lora(
+                    self.pipeline.dit_params, self.pipeline.dit_cfg, p, m)
+                del self._merged_loras[p]
+
+    # ------------------------------------------------------------- generate
+    def generate(
+        self,
+        video_path: Optional[str] = None,
+        video_array: Optional[np.ndarray] = None,
+        prompt: str = "",
+        raw_prompt: bool = False,
+        source_frames: Optional[int] = None,
+        reasoning_frames: Optional[int] = None,
+        num_inference_steps: Optional[int] = None,
+        guidance_scale: Optional[float] = None,
+        seed: Optional[int] = None,
+        sampler: Optional[str] = None,
+        shift: Optional[float] = None,
+        **gen_kwargs,
+    ) -> Dict[str, Any]:
+        d = self.defaults
+        source_frames = source_frames or d.source_frames
+        if video_array is None:
+            if not video_path:
+                raise ValueError("provide video_path or video_array")
+            video_array, _, _ = load_video_frames(
+                video_path, source_frames,
+                rng=np.random.default_rng(seed or d.seed))
+        full_prompt = prompt if raw_prompt else build_cot_prompt(prompt)
+        out = self.pipeline(
+            video_array, full_prompt,
+            negative_prompt=d.negative_prompt,
+            source_frames=source_frames,
+            reasoning_frames=(reasoning_frames or d.reasoning_frames),
+            num_inference_steps=(num_inference_steps or
+                                 d.num_inference_steps),
+            guidance_scale=(guidance_scale if guidance_scale is not None
+                            else d.guidance_scale),
+            shift=(shift or d.shift),
+            sampler=(sampler or d.sampler),
+            repeat_rope=d.repeat_rope, cot=d.cot,
+            seed=(seed if seed is not None else d.seed),
+            **gen_kwargs,
+        )
+        return {"prompt": full_prompt, "videos": out.videos,
+                "ground_videos": out.ground_videos,
+                "edit_videos": out.edit_videos}
+
+    # --------------------------------------------------------------- encode
+    @staticmethod
+    def encode_video_base64(video: np.ndarray, fps: int = 16) -> str:
+        """mp4 bytes as base64 (the reference API returns base64 mp4 —
+        `videox_fun/api/api.py:90-226`)."""
+        with tempfile.TemporaryDirectory() as td:
+            path = os.path.join(td, "out.mp4")
+            save_video(video, path, fps=fps)
+            with open(path, "rb") as f:
+                return base64.b64encode(f.read()).decode()

@@ -1,0 +1,5 @@
+from .video_io import (load_video_frames, save_video, save_side_by_side,
+                       save_results)
+
+__all__ = ["load_video_frames", "save_video", "save_side_by_side",
+           "save_results"]
