@@ -1,0 +1,64 @@
+"""Native C++ decode runtime tests (builds the .so if the toolchain exists;
+the cv2 fallback path is exercised either way)."""
+
+import numpy as np
+import pytest
+
+from videocof_tpu import runtime
+
+
+@pytest.fixture(scope="module")
+def test_video(tmp_path_factory):
+    cv2 = pytest.importorskip("cv2")
+    path = str(tmp_path_factory.mktemp("rt") / "clip.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 12, (64, 48))
+    for i in range(30):
+        # deterministic gradient frames so indices are distinguishable
+        frame = np.full((48, 64, 3), i * 8 % 256, np.uint8)
+        w.write(frame)
+    w.release()
+    return path
+
+
+def test_video_info(test_video):
+    n, h, w, fps = runtime.video_info(test_video)
+    assert (h, w) == (48, 64)
+    assert n == 30
+    assert fps == pytest.approx(12, abs=0.5)
+
+
+def test_decode_selected_frames(test_video):
+    out = runtime.decode_frames(test_video, [0, 10, 29], 48, 64)
+    assert out.shape == (3, 3, 48, 64)
+    assert out.min() >= -1.0 and out.max() <= 1.0
+    # gradient content: later frames are brighter
+    means = out.mean(axis=(1, 2, 3))
+    assert means[0] < means[1] < means[2]
+
+
+def test_decode_with_resize(test_video):
+    out = runtime.decode_frames(test_video, [5], 24, 32)
+    assert out.shape == (1, 3, 24, 32)
+
+
+def test_native_matches_cv2_fallback(test_video):
+    if not runtime.native_available():
+        pytest.skip("native runtime not built")
+    idx = np.array([0, 7, 15])
+    a = runtime.decode_frames(test_video, idx, 48, 64)
+    b = runtime._decode_frames_cv2(test_video, idx, 48, 64)
+    assert np.abs(a - b).mean() < 0.02  # codec/scaler rounding differences
+
+
+def test_batch_decode(test_video):
+    out = runtime.decode_batch([test_video] * 4,
+                               np.tile(np.array([0, 5, 10]), (4, 1)), 48, 64)
+    assert out.shape == (4, 3, 3, 48, 64)
+    np.testing.assert_allclose(out[0], out[3], atol=1e-6)
+
+
+def test_missing_file_errors():
+    with pytest.raises(Exception):
+        runtime.video_info("/nonexistent/file.mp4")
+    with pytest.raises(Exception):
+        runtime.decode_frames("/nonexistent/file.mp4", [0], 32, 32)

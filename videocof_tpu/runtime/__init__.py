@@ -1,0 +1,149 @@
+"""ctypes binding for the native video-decode runtime
+(`video_decoder.cc`), with transparent build-on-first-use and a cv2 fallback
+so the framework stays functional without the toolchain."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+from typing import Optional, Sequence
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libvideocof_runtime.so")
+_lib = None
+_build_failed = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    if _lib is not None or _build_failed:
+        return _lib
+    if not os.path.exists(_SO):
+        try:
+            subprocess.run(["make", "-C", _DIR], check=True,
+                           capture_output=True, timeout=300)
+        except Exception as e:
+            print(f"[runtime] native build unavailable ({e}); "
+                  "falling back to cv2", file=sys.stderr)
+            _build_failed = True
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError as e:
+        print(f"[runtime] cannot load {_SO}: {e}", file=sys.stderr)
+        _build_failed = True
+        return None
+    lib.vcf_last_error.restype = ctypes.c_char_p
+    lib.vcf_video_info.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_double)]
+    lib.vcf_decode_frames.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_float)]
+    lib.vcf_decode_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def video_info(path: str):
+    """-> (n_frames, height, width, fps)."""
+    lib = _load()
+    if lib is None:
+        import cv2
+        cap = cv2.VideoCapture(path)
+        if not cap.isOpened():
+            raise FileNotFoundError(path)
+        info = (int(cap.get(cv2.CAP_PROP_FRAME_COUNT)),
+                int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+                int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+                float(cap.get(cv2.CAP_PROP_FPS)))
+        cap.release()
+        return info
+    n = ctypes.c_int64()
+    h, w = ctypes.c_int(), ctypes.c_int()
+    fps = ctypes.c_double()
+    if lib.vcf_video_info(path.encode(), ctypes.byref(n), ctypes.byref(h),
+                          ctypes.byref(w), ctypes.byref(fps)) != 0:
+        raise IOError(lib.vcf_last_error().decode())
+    return int(n.value), int(h.value), int(w.value), float(fps.value)
+
+
+def decode_frames(path: str, indices: Sequence[int], out_h: int, out_w: int
+                  ) -> np.ndarray:
+    """-> float32 [T, 3, out_h, out_w] in [-1, 1]; single sequential decode
+    pass regardless of how many frames are requested."""
+    idx = np.asarray(sorted(indices), np.int64)
+    nf = len(idx)
+    lib = _load()
+    if lib is None:
+        return _decode_frames_cv2(path, idx, out_h, out_w)
+    out = np.empty((nf, 3, out_h, out_w), np.float32)
+    r = lib.vcf_decode_frames(
+        path.encode(), idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        nf, out_h, out_w, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if r < 0:
+        raise IOError(lib.vcf_last_error().decode())
+    if r == 0:
+        raise ValueError(f"no frames decoded from {path}")
+    return out
+
+
+def decode_batch(paths: Sequence[str], indices: np.ndarray, out_h: int,
+                 out_w: int, num_threads: int = 0) -> np.ndarray:
+    """indices [n_videos, frames_per_video] -> [n_videos, T, 3, H, W];
+    one decoder thread per video."""
+    lib = _load()
+    nv, fpv = indices.shape
+    if lib is None:
+        return np.stack([_decode_frames_cv2(p, np.sort(indices[i]), out_h,
+                                            out_w)
+                         for i, p in enumerate(paths)])
+    idx = np.ascontiguousarray(np.sort(indices, axis=1), np.int64)
+    out = np.empty((nv, fpv, 3, out_h, out_w), np.float32)
+    arr = (ctypes.c_char_p * nv)(*[p.encode() for p in paths])
+    r = lib.vcf_decode_batch(
+        arr, nv, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), fpv,
+        out_h, out_w, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        num_threads)
+    if r != 0:
+        raise IOError(lib.vcf_last_error().decode())
+    return out
+
+
+def _decode_frames_cv2(path, idx, out_h, out_w):
+    import cv2
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise FileNotFoundError(path)
+    frames = []
+    want = list(idx)
+    pos = 0
+    wi = 0
+    while wi < len(want):
+        ok, frame = cap.read()
+        if not ok:
+            break
+        while wi < len(want) and want[wi] == pos:
+            f = cv2.resize(frame, (out_w, out_h))
+            frames.append(cv2.cvtColor(f, cv2.COLOR_BGR2RGB))
+            wi += 1
+        pos += 1
+    cap.release()
+    if not frames:
+        raise ValueError(f"no frames decoded from {path}")
+    while len(frames) < len(want):
+        frames.append(frames[-1].copy())
+    arr = np.stack(frames).astype(np.float32) * (2.0 / 255.0) - 1.0
+    return arr.transpose(0, 3, 1, 2)

@@ -1,0 +1,221 @@
+// Native video decode + preprocess runtime.
+//
+// TPU-native replacement for the reference's C++ data-path dependencies
+// (decord / imageio-ffmpeg — SURVEY.md §2.9): demux+decode via libavformat/
+// libavcodec, resize via libswscale, normalization to [-1, 1] CHW float —
+// the entire host-side hot loop between the container file and the device
+// array, in one native pass with no Python in between.
+//
+// Unlike seek-per-frame decoding (cv2.CAP_PROP_POS_FRAMES), requested frame
+// indices are gathered in ONE sequential walk of the stream, which is the
+// efficient access pattern for inter-coded video.
+//
+// C ABI only (ctypes-friendly). Thread-safe: each call owns its contexts.
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libswscale/swscale.h>
+}
+
+namespace {
+
+thread_local std::string g_last_error;
+
+void set_error(const std::string& msg) { g_last_error = msg; }
+
+struct Decoder {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* codec = nullptr;
+  int stream_index = -1;
+
+  ~Decoder() {
+    if (codec) avcodec_free_context(&codec);
+    if (fmt) avformat_close_input(&fmt);
+  }
+
+  bool open(const char* path) {
+    if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) {
+      set_error(std::string("cannot open ") + path);
+      return false;
+    }
+    if (avformat_find_stream_info(fmt, nullptr) < 0) {
+      set_error("no stream info");
+      return false;
+    }
+    const AVCodec* dec = nullptr;
+    stream_index =
+        av_find_best_stream(fmt, AVMEDIA_TYPE_VIDEO, -1, -1, &dec, 0);
+    if (stream_index < 0 || !dec) {
+      set_error("no video stream");
+      return false;
+    }
+    codec = avcodec_alloc_context3(dec);
+    avcodec_parameters_to_context(codec, fmt->streams[stream_index]->codecpar);
+    codec->thread_count = 0;  // auto
+    if (avcodec_open2(codec, dec, nullptr) < 0) {
+      set_error("cannot open codec");
+      return false;
+    }
+    return true;
+  }
+};
+
+// walk the stream once, invoking cb(frame, decode_index) for every frame
+template <typename F>
+bool walk_frames(Decoder& d, F&& cb) {
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  int64_t idx = 0;
+  bool stop = false;
+  auto drain = [&](bool flush) {
+    if (flush) avcodec_send_packet(d.codec, nullptr);
+    while (!stop) {
+      int r = avcodec_receive_frame(d.codec, frame);
+      if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) break;
+      if (r < 0) break;
+      stop = !cb(frame, idx++);
+      av_frame_unref(frame);
+    }
+  };
+  while (!stop && av_read_frame(d.fmt, pkt) >= 0) {
+    if (pkt->stream_index == d.stream_index) {
+      if (avcodec_send_packet(d.codec, pkt) == 0) drain(false);
+    }
+    av_packet_unref(pkt);
+  }
+  if (!stop) drain(true);
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+const char* vcf_last_error() { return g_last_error.c_str(); }
+
+// Probe a container: frame count (exact when cheap, else a full-scan count),
+// dimensions, fps.
+int vcf_video_info(const char* path, int64_t* n_frames, int* height,
+                   int* width, double* fps) {
+  Decoder d;
+  if (!d.open(path)) return -1;
+  AVStream* st = d.fmt->streams[d.stream_index];
+  *height = d.codec->height;
+  *width = d.codec->width;
+  AVRational fr = st->avg_frame_rate;
+  *fps = fr.den ? (double)fr.num / fr.den : 0.0;
+  int64_t n = st->nb_frames;
+  if (n <= 0 && *fps > 0 && st->duration > 0) {
+    n = (int64_t)(st->duration * av_q2d(st->time_base) * *fps + 0.5);
+  }
+  if (n <= 0) {  // full scan
+    int64_t count = 0;
+    walk_frames(d, [&](AVFrame*, int64_t) {
+      ++count;
+      return true;
+    });
+    n = count;
+  }
+  *n_frames = n;
+  return 0;
+}
+
+// Decode the given sorted frame indices, resize to (out_h, out_w), write
+// float32 CHW normalized to [-1, 1] at out[i * 3 * out_h * out_w].
+// Duplicate indices are allowed. Returns number of frames written, or -1.
+int vcf_decode_frames(const char* path, const int64_t* indices, int n,
+                      int out_h, int out_w, float* out) {
+  if (n <= 0) return 0;
+  Decoder d;
+  if (!d.open(path)) return -1;
+
+  std::vector<uint8_t> rgb((size_t)out_h * out_w * 3);
+  SwsContext* sws = nullptr;
+  int written = 0;
+  int64_t max_wanted = *std::max_element(indices, indices + n);
+
+  walk_frames(d, [&](AVFrame* frame, int64_t idx) {
+    // emit this decoded frame for every request slot matching idx
+    bool wanted = false;
+    for (int i = 0; i < n; ++i)
+      if (indices[i] == idx) wanted = true;
+    if (wanted) {
+      if (!sws) {
+        sws = sws_getContext(frame->width, frame->height,
+                             (AVPixelFormat)frame->format, out_w, out_h,
+                             AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr,
+                             nullptr);
+      }
+      uint8_t* dst[1] = {rgb.data()};
+      int dst_stride[1] = {out_w * 3};
+      sws_scale(sws, frame->data, frame->linesize, 0, frame->height, dst,
+                dst_stride);
+      const float scale = 2.0f / 255.0f;
+      for (int i = 0; i < n; ++i) {
+        if (indices[i] != idx) continue;
+        float* o = out + (size_t)i * 3 * out_h * out_w;
+        const size_t plane = (size_t)out_h * out_w;
+        for (size_t p = 0; p < plane; ++p) {
+          const uint8_t* px = &rgb[p * 3];
+          o[p] = px[0] * scale - 1.0f;
+          o[plane + p] = px[1] * scale - 1.0f;
+          o[2 * plane + p] = px[2] * scale - 1.0f;
+        }
+        ++written;
+      }
+    }
+    return idx < max_wanted;  // stop after the last wanted frame
+  });
+
+  if (sws) sws_freeContext(sws);
+  // pad short reads by repeating the last decoded frame (reference
+  // behaviour: `fast_infer.py:78-84`)
+  if (written > 0 && written < n) {
+    const size_t fsz = (size_t)3 * out_h * out_w;
+    for (int i = written; i < n; ++i)
+      memcpy(out + i * fsz, out + (written - 1) * fsz, fsz * sizeof(float));
+    written = n;
+  }
+  return written;
+}
+
+// Batch API: decode several videos on a small thread pool (one video per
+// thread); all outputs share the target geometry. Returns 0 on success.
+int vcf_decode_batch(const char** paths, int n_videos, const int64_t* indices,
+                     int frames_per_video, int out_h, int out_w, float* out,
+                     int num_threads) {
+  if (num_threads <= 0) num_threads = std::thread::hardware_concurrency();
+  num_threads = std::max(1, std::min(num_threads, n_videos));
+  std::vector<int> results(n_videos, 0);
+  std::vector<std::thread> pool;
+  std::atomic_int next{0};
+  const size_t vid_stride = (size_t)frames_per_video * 3 * out_h * out_w;
+  for (int t = 0; t < num_threads; ++t) {
+    pool.emplace_back([&]() {
+      for (int i = next.fetch_add(1); i < n_videos; i = next.fetch_add(1)) {
+        results[i] = vcf_decode_frames(
+            paths[i], indices + (size_t)i * frames_per_video,
+            frames_per_video, out_h, out_w, out + (size_t)i * vid_stride);
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+  for (int r : results)
+    if (r < 0) return -1;
+  return 0;
+}
+
+}  // extern "C"

@@ -22,40 +22,20 @@ def load_video_frames(video_path: str, source_frames: int,
 
     Stride-samples ``source_frames`` frames like the reference
     (`fast_infer.py:43-92`): stride = total // source_frames, random start,
-    repeat the last frame if the clip runs short.
+    repeat the last frame if the clip runs short. Decode runs through the
+    native C++ runtime (single sequential stream walk) when built, else cv2.
     """
-    import cv2
-    cap = cv2.VideoCapture(video_path)
-    if not cap.isOpened():
-        raise FileNotFoundError(f"cannot open video: {video_path}")
-    total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    from ..runtime import decode_frames, video_info
+    total, h, w, _fps = video_info(video_path)
+    if total < 1:
+        raise ValueError(f"no frames in {video_path}")
     stride = max(1, total // source_frames)
     hi = max(1, total - stride * source_frames)
     rng = rng or np.random.default_rng(0)
     start = int(rng.integers(0, hi))
-
-    frames = []
-    for i in range(source_frames):
-        idx = start + i * stride
-        if idx >= total:
-            break
-        cap.set(cv2.CAP_PROP_POS_FRAMES, idx)
-        ok, frame = cap.read()
-        if not ok:
-            break
-        frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
-    cap.release()
-
-    if not frames:
-        raise ValueError(f"no frames decoded from {video_path}")
-    while len(frames) < source_frames:
-        frames.append(frames[-1].copy())
-
-    arr = np.stack(frames)                        # [T, H, W, 3] uint8
-    h, w = arr.shape[1:3]
-    video = arr.transpose(3, 0, 1, 2)[None].astype(np.float32)
-    video = video * (2.0 / 255.0) - 1.0
-    return video, h, w
+    idx = [min(start + i * stride, total - 1) for i in range(source_frames)]
+    arr = decode_frames(video_path, idx, h, w)    # [T, 3, H, W] in [-1, 1]
+    return arr.transpose(1, 0, 2, 3)[None], h, w
 
 
 def save_video(video: np.ndarray, path: str, fps: int = 16) -> None:
