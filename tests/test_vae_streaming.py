@@ -1,0 +1,53 @@
+"""Streaming VAE must match the whole-sequence VAE exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videocof_tpu.configs import VAE_TINY
+from videocof_tpu.models import wan_vae, wan_vae_streaming
+
+CFG = VAE_TINY
+
+
+@pytest.fixture(scope="module")
+def vae():
+    return wan_vae.init_wan_vae(jax.random.PRNGKey(0), CFG)
+
+
+def test_encode_streaming_matches_full(vae):
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 13, 16, 16))
+    mu_f, lv_f = wan_vae.encode(vae, CFG, x)
+    mu_s, lv_s = wan_vae_streaming.encode_streaming(vae, CFG, x)
+    np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu_f),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(lv_s), np.asarray(lv_f),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_decode_streaming_matches_full(vae):
+    z = jax.random.normal(jax.random.PRNGKey(2), (1, CFG.z_dim, 4, 2, 2))
+    full = wan_vae.decode(vae, CFG, z)
+    stream = wan_vae_streaming.decode_streaming(vae, CFG, z)
+    assert stream.shape == full.shape
+    np.testing.assert_allclose(np.asarray(stream), np.asarray(full),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_streaming_jit_cache_reused(vae):
+    cache = {}
+    z = jax.random.normal(jax.random.PRNGKey(3), (1, CFG.z_dim, 3, 2, 2))
+    a = wan_vae_streaming.decode_streaming(vae, CFG, z, jit_cache=cache)
+    n = len(cache)
+    b = wan_vae_streaming.decode_streaming(vae, CFG, z, jit_cache=cache)
+    assert len(cache) == n  # same functions reused
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_roundtrip_through_streaming(vae):
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 3, 9, 16, 16))
+    mu, _ = wan_vae_streaming.encode_streaming(vae, CFG, x)
+    y = wan_vae_streaming.decode_streaming(vae, CFG, mu)
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y)).all()

@@ -1,0 +1,127 @@
+"""Wan2.2 MoE pipeline, i2v DiT branch, CLIP vision tower tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videocof_tpu.configs import T5_TINY, VAE_TINY, WAN_TINY
+from videocof_tpu.models import clip_vision, t5_encoder, wan_dit, wan_vae
+from videocof_tpu.pipeline import Wan22Pipeline
+
+VCFG = VAE_TINY
+DCFG = WAN_TINY.replace(in_dim=VCFG.z_dim, out_dim=VCFG.z_dim,
+                        text_dim=T5_TINY.dim)
+
+
+def test_wan22_expert_routing():
+    p1 = wan_dit.init_wan_dit(jax.random.PRNGKey(0), DCFG)
+    p2 = wan_dit.init_wan_dit(jax.random.PRNGKey(1), DCFG)
+    pipe = Wan22Pipeline(
+        p1, DCFG,
+        wan_vae.init_wan_vae(jax.random.PRNGKey(2), VCFG), VCFG,
+        t5_encoder.init_t5_encoder(jax.random.PRNGKey(3), T5_TINY), T5_TINY,
+        dtype=jnp.float32, dit_params_2=p2, boundary=0.875)
+    # routing: high-noise expert above 875, base below
+    assert pipe.expert_for_timestep(999.0) is p2
+    assert pipe.expert_for_timestep(500.0) is p1
+    # no expert 2 -> always base
+    pipe2 = Wan22Pipeline(
+        p1, DCFG, pipe.vae_params, VCFG, pipe.t5_params, T5_TINY,
+        dtype=jnp.float32)
+    assert pipe2.expert_for_timestep(999.0) is p1
+
+
+def test_wan22_pipeline_runs():
+    p1 = wan_dit.init_wan_dit(jax.random.PRNGKey(0), DCFG)
+    p2 = wan_dit.init_wan_dit(jax.random.PRNGKey(1), DCFG)
+    pipe = Wan22Pipeline(
+        p1, DCFG,
+        wan_vae.init_wan_vae(jax.random.PRNGKey(2), VCFG), VCFG,
+        t5_encoder.init_t5_encoder(jax.random.PRNGKey(3), T5_TINY), T5_TINY,
+        dtype=jnp.float32, dit_params_2=p2)
+    video = np.random.default_rng(0).uniform(-1, 1, (1, 3, 9, 32, 32)
+                                             ).astype(np.float32)
+    out = pipe(video, "make it snow", source_frames=9,
+               num_inference_steps=4, guidance_scale=1.0, cot=False)
+    assert out.videos.shape == (1, 3, 9, 32, 32)
+    assert np.isfinite(out.videos).all()
+
+
+def test_i2v_dit_branch():
+    cfg = WAN_TINY.replace(model_type="i2v", in_dim=WAN_TINY.in_dim * 2)
+    params = wan_dit.init_wan_dit(jax.random.PRNGKey(0), cfg)
+    assert "img_emb" in params
+    assert "k_img" in params["blocks"]["cross_attn"]
+
+    B, C0 = 1, WAN_TINY.in_dim
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, C0, 3, 4, 4))
+    y = jax.random.normal(jax.random.PRNGKey(2), (B, C0, 3, 4, 4))
+    t = jnp.array([500.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(3),
+                            (B, cfg.text_len, cfg.text_dim))
+    clip_fea = jax.random.normal(jax.random.PRNGKey(4), (B, 257, 1280))
+    cos, sin = wan_dit.make_rope_for_geometry(cfg, (3, 2, 2))
+    out, _ = wan_dit.wan_dit_forward_with_residual(
+        params, cfg, x, t, ctx, jnp.asarray(cos), jnp.asarray(sin),
+        clip_fea=clip_fea, y=y)
+    assert out.shape == (B, cfg.out_dim, 3, 4, 4)
+    # image features must influence the output
+    out2, _ = wan_dit.wan_dit_forward_with_residual(
+        params, cfg, x, t, ctx, jnp.asarray(cos), jnp.asarray(sin),
+        clip_fea=clip_fea * 0.5, y=y)
+    assert np.abs(np.asarray(out - out2)).max() > 1e-6
+
+
+def test_clip_vision_tower():
+    cfg = clip_vision.CLIP_TINY
+    params = clip_vision.init_clip_vision(jax.random.PRNGKey(0), cfg)
+    imgs = jax.random.normal(jax.random.PRNGKey(1),
+                             (2, 3, cfg.image_size, cfg.image_size))
+    out = clip_vision.clip_vision_forward(params, cfg, imgs)
+    assert out.shape == (2, 1 + cfg.num_patches, cfg.dim)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_clip_preprocess():
+    cfg = clip_vision.CLIP_TINY
+    frames = jnp.zeros((1, 3, 17, 23))  # [-1,1] zero = mid gray
+    out = clip_vision.preprocess_frames(frames, cfg)
+    assert out.shape == (1, 3, cfg.image_size, cfg.image_size)
+    want = (0.5 - np.array(clip_vision.CLIP_MEAN)) / np.array(
+        clip_vision.CLIP_STD)
+    np.testing.assert_allclose(np.asarray(out[0, :, 0, 0]), want, rtol=1e-5)
+
+
+def test_clip_converter_roundtrip():
+    cfg = clip_vision.CLIP_TINY
+    params = clip_vision.init_clip_vision(jax.random.PRNGKey(0), cfg)
+    # build a torch-layout state dict from our params, convert back
+    sd = {
+        "visual.patch_embedding.weight":
+            np.asarray(params["patch_embed"]["kernel"]),
+        "visual.cls_embedding": np.asarray(params["cls"]),
+        "visual.pos_embedding": np.asarray(params["pos"]),
+        "visual.pre_norm.weight": np.asarray(params["pre_norm"]["scale"]),
+        "visual.pre_norm.bias": np.asarray(params["pre_norm"]["bias"]),
+    }
+    for i, b in enumerate(params["blocks"]):
+        pre = f"visual.transformer.{i}."
+        sd[pre + "norm1.weight"] = np.asarray(b["norm1"]["scale"])
+        sd[pre + "norm1.bias"] = np.asarray(b["norm1"]["bias"])
+        sd[pre + "attn.to_qkv.weight"] = np.asarray(b["qkv"]["kernel"]).T
+        sd[pre + "attn.to_qkv.bias"] = np.asarray(b["qkv"]["bias"])
+        sd[pre + "attn.proj.weight"] = np.asarray(b["proj"]["kernel"]).T
+        sd[pre + "attn.proj.bias"] = np.asarray(b["proj"]["bias"])
+        sd[pre + "norm2.weight"] = np.asarray(b["norm2"]["scale"])
+        sd[pre + "norm2.bias"] = np.asarray(b["norm2"]["bias"])
+        sd[pre + "mlp.0.weight"] = np.asarray(b["fc1"]["kernel"]).T
+        sd[pre + "mlp.0.bias"] = np.asarray(b["fc1"]["bias"])
+        sd[pre + "mlp.2.weight"] = np.asarray(b["fc2"]["kernel"]).T
+        sd[pre + "mlp.2.bias"] = np.asarray(b["fc2"]["bias"])
+    back = clip_vision.convert_clip_state_dict(sd, cfg)
+    imgs = jax.random.normal(jax.random.PRNGKey(1),
+                             (1, 3, cfg.image_size, cfg.image_size))
+    a = clip_vision.clip_vision_forward(params, cfg, imgs)
+    b = clip_vision.clip_vision_forward(back, cfg, imgs)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

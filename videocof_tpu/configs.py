@@ -48,10 +48,18 @@ class WanDiTConfig:
         return dataclasses.replace(self, **kw)
 
 
-# Published Wan2.1 checkpoint geometries (shapes from the public checkpoints'
+# Published Wan checkpoint geometries (shapes from the public checkpoints'
 # config.json files; reference loads them via from_pretrained dict_mapping).
 WAN21_T2V_1_3B = WanDiTConfig(dim=1536, ffn_dim=8960, num_heads=12, num_layers=30)
 WAN21_T2V_14B = WanDiTConfig(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40)
+WAN21_I2V_14B = WanDiTConfig(model_type="i2v", in_dim=36, dim=5120,
+                             ffn_dim=13824, num_heads=40, num_layers=40)
+# Wan2.2 transformers are architecturally the t2v DiT with plain cross-attn
+# (reference `wan_transformer3d.py:1302-1399`); the A14B MoE uses two of them.
+WAN22_T2V_A14B = WanDiTConfig(dim=5120, ffn_dim=13824, num_heads=40,
+                              num_layers=40)
+WAN22_TI2V_5B = WanDiTConfig(dim=3072, ffn_dim=14336, num_heads=24,
+                             num_layers=30, in_dim=48, out_dim=48)
 # Tiny config for tests.
 WAN_TINY = WanDiTConfig(dim=96, ffn_dim=256, num_heads=4, num_layers=2,
                         text_dim=64, text_len=16, freq_dim=32)

@@ -115,6 +115,13 @@ def init_block_params(key, cfg: WanDiTConfig, dtype=jnp.float32) -> Params:
     if cfg.cross_attn_norm:
         p["norm3"] = {"scale": jnp.ones((d,), dtype),
                       "bias": jnp.zeros((d,), dtype)}
+    if cfg.model_type == "i2v":
+        # image K/V branch of the i2v cross attention
+        # (`wan_transformer3d.py:339-393`)
+        ks2 = jax.random.split(key, 2)
+        p["cross_attn"]["k_img"] = _init_linear(ks2[0], d, d, dtype)
+        p["cross_attn"]["v_img"] = _init_linear(ks2[1], d, d, dtype)
+        p["cross_attn"]["norm_k_img"] = {"weight": jnp.ones((d,), dtype)}
     return p
 
 
@@ -139,6 +146,18 @@ def init_wan_dit(key, cfg: WanDiTConfig, dtype=jnp.float32) -> Params:
                            ).astype(jnp.float32),
         },
     }
+    if cfg.model_type == "i2v":
+        # MLPProj for CLIP features (`wan_transformer3d.py:551-563`):
+        # LN(1280) -> Linear(1280,1280) -> GELU -> Linear(1280,dim) -> LN(dim)
+        kk = jax.random.split(key, 2)
+        params["img_emb"] = {
+            "ln1": {"scale": jnp.ones((1280,), dtype),
+                    "bias": jnp.zeros((1280,), dtype)},
+            "fc1": _init_linear(kk[0], 1280, 1280, dtype),
+            "fc2": _init_linear(kk[1], 1280, d, dtype),
+            "ln2": {"scale": jnp.ones((d,), dtype),
+                    "bias": jnp.zeros((d,), dtype)},
+        }
     bkeys = jax.random.split(key, cfg.num_layers)
     blocks = [init_block_params(bk, cfg, dtype) for bk in bkeys]
     params["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
@@ -170,6 +189,30 @@ def _attn_qkv(x_in, p, num_heads, eps, kv_in=None, rope_cs=None,
     return _linear(out, p["o"])
 
 
+def _i2v_cross_attn(x_in, p, num_heads, eps, ctx_img, ctx_txt, txt_mask,
+                    backend):
+    """Dual-stream i2v cross attention: shared q, separate image/text K/V,
+    summed before the output projection (`wan_transformer3d.py:354-393`)."""
+    B, L, D = x_in.shape
+    N, hd = num_heads, D // num_heads
+    q = _rms_norm(_linear(x_in, p["q"]), p["norm_q"]["weight"], eps)
+    q = q.reshape(B, L, N, hd)
+
+    def kv(ctx, kname, vname, knorm):
+        k = _linear(ctx, p[kname])
+        if knorm is not None:
+            k = _rms_norm(k, p[knorm]["weight"], eps)
+        v = _linear(ctx, p[vname])
+        return (k.reshape(B, -1, N, hd), v.reshape(B, -1, N, hd))
+
+    k_t, v_t = kv(ctx_txt, "k", "v", "norm_k")
+    k_i, v_i = kv(ctx_img, "k_img", "v_img", "norm_k_img")
+    out_t = attention(q, k_t, v_t, mask=txt_mask, backend=backend)
+    out_i = attention(q, k_i, v_i, backend=backend)
+    out = (out_t + out_i).reshape(B, L, D)
+    return _linear(out, p["o"])
+
+
 def wan_block_apply(p: Params, cfg: WanDiTConfig, x, e0, context,
                     rope_cs, seq_mask=None, context_mask=None,
                     attn_backend=None):
@@ -188,7 +231,9 @@ def wan_block_apply(p: Params, cfg: WanDiTConfig, x, e0, context,
                   rope_cs=rope_cs, kv_mask=seq_mask, backend=attn_backend)
     x = x + y.astype(jnp.float32) * e_[2]
 
-    # cross-attention (t2v: plain text K/V — `wan_transformer3d.py:308-336`).
+    # cross-attention (t2v: plain text K/V — `wan_transformer3d.py:308-336`;
+    # i2v additionally attends q against the first 257 image tokens through a
+    # separate K/V branch and sums before the output proj — `:339-393`).
     # A callable backend is the sequence-parallel *self*-attention; cross-attn
     # KV is tiny (512 text tokens) and runs fully sharded with no collectives.
     xattn_backend = None if callable(attn_backend) else attn_backend
@@ -196,9 +241,15 @@ def wan_block_apply(p: Params, cfg: WanDiTConfig, x, e0, context,
         nx = _layer_norm(x, eps, p["norm3"]["scale"], p["norm3"]["bias"])
     else:
         nx = x
-    y = _attn_qkv(nx.astype(context.dtype), p["cross_attn"], cfg.num_heads,
-                  eps, kv_in=context, kv_mask=context_mask,
-                  backend=xattn_backend)
+    nxc = nx.astype(context.dtype)
+    if "k_img" in p["cross_attn"]:
+        ctx_img, ctx_txt = context[:, :257], context[:, 257:]
+        y = _i2v_cross_attn(nxc, p["cross_attn"], cfg.num_heads, eps,
+                            ctx_img, ctx_txt, context_mask, xattn_backend)
+    else:
+        y = _attn_qkv(nxc, p["cross_attn"], cfg.num_heads,
+                      eps, kv_in=context, kv_mask=context_mask,
+                      backend=xattn_backend)
     x = x + y.astype(jnp.float32)
 
     # gated FFN
@@ -274,12 +325,17 @@ def wan_dit_forward_with_residual(
     remat_blocks: bool = False,
     residual: Optional[jax.Array] = None,
     skip_blocks: bool = False,
+    clip_fea: Optional[jax.Array] = None,   # [B, 257, 1280] i2v CLIP feats
+    y: Optional[jax.Array] = None,          # i2v conditioning, channel-concat
 ) -> Tuple[jax.Array, jax.Array]:
     """Forward that exposes the TeaCache token-stream residual: returns
     (velocity, residual). With ``skip_blocks=True`` the block stack is
     bypassed and ``residual`` (from a previous compute step) is re-added to
     the embedded stream (`wan_transformer3d.py:981-1031`)."""
     compute_dtype = params["patch_embed"]["kernel"].dtype
+
+    if y is not None:  # i2v conditioning video (`wan_transformer3d.py:866-867`)
+        x = jnp.concatenate([x, y.astype(x.dtype)], axis=1)
 
     # patch embed -> [B, L, D]
     tokens, grid = patchify(x.astype(compute_dtype), cfg.patch_size)
@@ -297,6 +353,17 @@ def wan_dit_forward_with_residual(
     ctx = _linear(context.astype(compute_dtype), params["text_mlp"]["fc1"])
     ctx = _gelu_tanh(ctx)
     ctx = _linear(ctx, params["text_mlp"]["fc2"])                # [B, Lt, D]
+
+    if clip_fea is not None and "img_emb" in params:
+        # CLIP image tokens prepended to the text context
+        # (`wan_transformer3d.py:944-946`)
+        ie = params["img_emb"]
+        h = _layer_norm(clip_fea, 1e-5, ie["ln1"]["scale"], ie["ln1"]["bias"])
+        h = _linear(h.astype(compute_dtype), ie["fc1"])
+        h = jax.nn.gelu(h, approximate=False)
+        h = _linear(h, ie["fc2"])
+        h = _layer_norm(h, 1e-5, ie["ln2"]["scale"], ie["ln2"]["bias"])
+        ctx = jnp.concatenate([h.astype(ctx.dtype), ctx], axis=1)
 
     rope_cs = (rope_cos, rope_sin)
     stream0 = hseq.astype(jnp.float32)

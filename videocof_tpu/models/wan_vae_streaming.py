@@ -1,0 +1,235 @@
+"""Streaming (cache-carrying) causal VAE encode/decode.
+
+The whole-sequence VAE (`wan_vae.py`) is the fastest path when activations
+fit; at 480p x 33 frames the decoder's full-resolution stages alone need >16GB,
+which is why the reference streams chunks through per-conv feature caches
+(`wan_vae.py:520-575`). This module is the functional equivalent: the conv
+caches are an explicit pytree threaded through jitted init/step functions —
+``init`` handles the first chunk (where the temporal resamples have their
+special frame-0 behaviour, see `wan_vae.py` module docstring), ``step``
+handles every later chunk with identical shapes, so exactly TWO executables
+cover any video length. Memory per step is one chunk's activations
+(~300 MB at 480p) instead of the whole clip's.
+
+Cache rule (simpler than the reference's per-case logic, same math): for a
+causal time-k conv, keep the last (k-1) frames of the *concatenated input
+stream*; chunk input = concat(cache, chunk); valid conv; new cache = last
+(k-1) frames of that concatenation. Zero-initialised caches reproduce the
+left zero-padding of the first chunk.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import WanVAEConfig
+from . import wan_vae as W
+
+Params = Dict[str, Any]
+
+
+class _Tape:
+    """Walks the static conv order, pulling previous caches and collecting
+    new ones (the functional analogue of the reference's feat_cache/feat_idx)."""
+
+    def __init__(self, caches: Optional[List[jax.Array]] = None):
+        self.caches = caches
+        self.idx = 0
+        self.out: List[jax.Array] = []
+
+    def pull(self) -> Optional[jax.Array]:
+        if self.caches is None:
+            return None
+        c = self.caches[self.idx]
+        self.idx += 1
+        return c
+
+    def push(self, c: jax.Array) -> None:
+        self.out.append(c)
+
+
+def _causal_conv_stream(x, p, tape: _Tape, stride_t: int = 1):
+    """Causal conv over a chunk with cache threading. kernel time size k:
+    cache (k-1) frames; first chunk uses zeros (== left zero pad)."""
+    kt, kh, kw = p["kernel"].shape[2:]
+    hist = kt - 1
+    if hist == 0 and stride_t == 1:
+        return W.causal_conv3d(x, p)
+    cache = tape.pull()
+    if cache is None:
+        B, C = x.shape[:2]
+        cache = jnp.zeros((B, C, hist) + x.shape[3:], x.dtype)
+    inp = jnp.concatenate([cache, x], axis=2)
+    ph, pw = (kh - 1) // 2, (kw - 1) // 2
+    out = W.conv3d(inp, p, stride=(stride_t, 1, 1),
+                   padding=((0, 0), (ph, ph), (pw, pw)))
+    tape.push(inp[:, :, -hist:])
+    return out
+
+
+def _res_block_stream(p, x, tape: _Tape):
+    h = W.causal_conv3d(x, p["shortcut"]) if "shortcut" in p else x
+    y = W.channel_rms_norm(x, p["norm1"]["gamma"])
+    y = _causal_conv_stream(jax.nn.silu(y), p["conv1"], tape)
+    y = W.channel_rms_norm(y, p["norm2"]["gamma"])
+    y = _causal_conv_stream(jax.nn.silu(y), p["conv2"], tape)
+    return y + h
+
+
+# ---------------------------------------------------------------- decoder
+
+def _decoder_stream(p: Params, cfg: WanVAEConfig, x, tape: _Tape,
+                    first: bool):
+    h = _causal_conv_stream(x, p["conv1"], tape)
+    h = _res_block_stream(p["mid_rb1"], h, tape)
+    h = W.attn_block_apply(p["mid_attn"], h)
+    h = _res_block_stream(p["mid_rb2"], h, tape)
+    for stage in p["up"]:
+        for rb in stage["res"]:
+            h = _res_block_stream(rb, h, tape)
+        if "resample" in stage:
+            if "time_conv" in stage["resample"]:
+                h = _upsample3d_stream(h, stage["resample"], tape, first)
+            else:
+                h = W._spatial_up(h, stage["resample"]["conv"])
+    h = W.channel_rms_norm(h, p["head_norm"]["gamma"])
+    h = _causal_conv_stream(jax.nn.silu(h), p["head_conv"], tape)
+    return h
+
+
+def _upsample3d_stream(x, p, tape: _Tape, first: bool):
+    """Temporal upsample stream. Frame 0 (first chunk) bypasses the time conv
+    entirely and primes a ZERO cache (the reference's 'Rep' sentinel —
+    `wan_vae.py:107-141`); later chunks run the causal 2c conv and interleave
+    channels into doubled frames."""
+    B, C, T, H, W_ = x.shape
+    if first:
+        tape.pull()
+        tape.push(jnp.zeros((B, C, 2, H, W_), x.dtype))
+        return W._spatial_up(x, p["conv"])
+    y = _causal_conv_stream(x, p["time_conv"], tape)   # [B, 2C, T, H, W]
+    y = y.reshape(B, 2, C, T, H, W_)
+    y = y.transpose(0, 2, 3, 1, 4, 5).reshape(B, C, 2 * T, H, W_)
+    return W._spatial_up(y, p["conv"])
+
+
+def decode_streaming(params: Params, cfg: WanVAEConfig, z: jax.Array,
+                     jit_cache: Optional[dict] = None) -> jax.Array:
+    """Latent [B, z, T', H', W'] -> video, one latent frame per step.
+
+    Pass a dict as ``jit_cache`` to reuse the two compiled step functions
+    across calls of the same geometry."""
+    mean, inv_std = W._scale_arrays(cfg, z.dtype)
+    z = z / inv_std + mean
+
+    dec, pq = params["decoder"], params["post_quant_conv"]
+
+    def init_fn(z0):
+        x = W.causal_conv3d(z0, pq)
+        tape = _Tape(None)
+        out = _decoder_stream(dec, cfg, x, tape, first=True)
+        return out, tape.out
+
+    def step_fn(zi, caches):
+        x = W.causal_conv3d(zi, pq)
+        tape = _Tape(caches)
+        out = _decoder_stream(dec, cfg, x, tape, first=False)
+        return out, tape.out
+
+    if jit_cache is not None:
+        if "dec_init" not in jit_cache:
+            jit_cache["dec_init"] = jax.jit(init_fn)
+            jit_cache["dec_step"] = jax.jit(step_fn, donate_argnums=(1,))
+        init_fn = jit_cache["dec_init"]
+        step_fn = jit_cache["dec_step"]
+
+    T = z.shape[2]
+    out0, caches = init_fn(z[:, :, :1])
+    outs = [out0]
+    for t in range(1, T):
+        o, caches = step_fn(z[:, :, t:t + 1], caches)
+        outs.append(o)
+    return jnp.clip(jnp.concatenate(outs, axis=2), -1.0, 1.0)
+
+
+# ---------------------------------------------------------------- encoder
+
+def _downsample3d_stream(x, p, tape: _Tape, first: bool):
+    """Temporal downsample stream: first chunk passes through (priming a
+    1-frame cache); later chunks conv over [cache, chunk] stride 2
+    (`wan_vae.py:147-163`)."""
+    x = W._spatial_down(x, p["conv"])
+    if first:
+        tape.pull()
+        tape.push(x[:, :, -1:])
+        return x
+    cache = tape.pull()
+    inp = jnp.concatenate([cache, x], axis=2)
+    out = W.conv3d(inp, p["time_conv"], stride=(2, 1, 1),
+                   padding=((0, 0), (0, 0), (0, 0)))
+    tape.push(inp[:, :, -1:])
+    return out
+
+
+def _encoder_stream(p: Params, cfg: WanVAEConfig, x, tape: _Tape,
+                    first: bool):
+    h = _causal_conv_stream(x, p["conv1"], tape)
+    for stage in p["down"]:
+        for rb in stage["res"]:
+            h = _res_block_stream(rb, h, tape)
+        if "resample" in stage:
+            if "time_conv" in stage["resample"]:
+                h = _downsample3d_stream(h, stage["resample"], tape, first)
+            else:
+                h = W._spatial_down(h, stage["resample"]["conv"])
+    h = _res_block_stream(p["mid_rb1"], h, tape)
+    h = W.attn_block_apply(p["mid_attn"], h)
+    h = _res_block_stream(p["mid_rb2"], h, tape)
+    h = W.channel_rms_norm(h, p["head_norm"]["gamma"])
+    h = _causal_conv_stream(jax.nn.silu(h), p["head_conv"], tape)
+    return h
+
+
+def encode_streaming(params: Params, cfg: WanVAEConfig, video: jax.Array,
+                     jit_cache: Optional[dict] = None
+                     ) -> Tuple[jax.Array, jax.Array]:
+    """video [B, 3, T, H, W] (T = 1 + 4k) -> (mu, log_var), processing
+    1 + tc + tc + ... pixel frames per step like the reference
+    (`wan_vae.py:524-539`)."""
+    tc = cfg.temporal_compression_ratio
+    T = video.shape[2]
+    assert (T - 1) % tc == 0, f"T={T} must be 1 mod {tc}"
+
+    enc, qc = params["encoder"], params["quant_conv"]
+
+    def finish(feats):
+        feats = W.causal_conv3d(feats, qc)
+        return jnp.split(feats, 2, axis=1)
+
+    def init_fn(x0):
+        tape = _Tape(None)
+        return _encoder_stream(enc, cfg, x0, tape, first=True), tape.out
+
+    def step_fn(xi, caches):
+        tape = _Tape(caches)
+        return _encoder_stream(enc, cfg, xi, tape, first=False), tape.out
+
+    if jit_cache is not None:
+        if "enc_init" not in jit_cache:
+            jit_cache["enc_init"] = jax.jit(init_fn)
+            jit_cache["enc_step"] = jax.jit(step_fn, donate_argnums=(1,))
+        init_fn = jit_cache["enc_init"]
+        step_fn = jit_cache["enc_step"]
+
+    out0, caches = init_fn(video[:, :, :1])
+    outs = [out0]
+    for s in range(1, T, tc):
+        o, caches = step_fn(video[:, :, s:s + tc], caches)
+        outs.append(o)
+    feats = jnp.concatenate(outs, axis=2)
+    mu, log_var = finish(feats)
+    mean, inv_std = W._scale_arrays(cfg, mu.dtype)
+    return (mu - mean) * inv_std, log_var

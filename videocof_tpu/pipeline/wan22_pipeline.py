@@ -1,0 +1,116 @@
+"""Wan2.2 dual-expert (MoE) pipeline.
+
+Parity target: reference `videox_fun/pipeline/pipeline_wan2_2.py` — two DiT
+experts split by noise level: ``transformer_2`` (high-noise expert) handles
+steps with t >= boundary * num_train_timesteps (boundary 0.875,
+`pipeline_wan2_2.py:115-137,533-535`), the base transformer the rest, with
+per-expert guidance scales (`:552-553`).
+
+The Wan2.2 *transformer* itself is architecturally the t2v Wan DiT with plain
+cross-attention and no image branch (`wan_transformer3d.py:1302-1399`), so
+both experts reuse `wan_dit`; the expert choice is a per-step host decision —
+static, so each expert's step function compiles once.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .wan_pipeline import WanPipeline, WanPipelineOutput, latent_frame_count
+from ..models import wan_dit
+from ..schedulers import get_scheduler
+
+
+class Wan22Pipeline(WanPipeline):
+    def __init__(self, *args, dit_params_2=None, boundary: float = 0.875,
+                 num_train_timesteps: int = 1000, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.dit_params_2 = dit_params_2      # high-noise expert (optional)
+        self.boundary = boundary
+        self.num_train_timesteps = num_train_timesteps
+
+    def expert_for_timestep(self, t: float):
+        """High-noise expert above the boundary, base expert below
+        (`pipeline_wan2_2.py:533-535`)."""
+        if (self.dit_params_2 is not None and
+                t >= self.boundary * self.num_train_timesteps):
+            return self.dit_params_2
+        return self.dit_params
+
+    def __call__(self, video, prompt, negative_prompt: str = "",
+                 source_frames: int = 33, reasoning_frames: int = 4,
+                 num_inference_steps: int = 50, guidance_scale: float = 5.0,
+                 guidance_scale_2: Optional[float] = None,
+                 shift: float = 5.0, sampler: str = "unipc",
+                 repeat_rope: bool = True, cot: bool = False, seed: int = 0,
+                 max_sequence_length: int = 512,
+                 prompt_embeds=None, negative_prompt_embeds=None,
+                 **_ignored) -> WanPipelineOutput:
+        video = jnp.asarray(video)
+        B = video.shape[0]
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+
+        do_cfg = guidance_scale > 1.0
+        g2 = guidance_scale if guidance_scale_2 is None else guidance_scale_2
+        tc = self.vae_cfg.temporal_compression_ratio
+        condition_count = latent_frame_count(source_frames, tc)
+        ground_latent_count = latent_frame_count(reasoning_frames, tc) if cot else 0
+
+        embeds = (jnp.asarray(prompt_embeds) if prompt_embeds is not None
+                  else self.encode_prompt(prompts, max_sequence_length))
+        if do_cfg:
+            neg = (jnp.asarray(negative_prompt_embeds)
+                   if negative_prompt_embeds is not None
+                   else self.encode_prompt([negative_prompt] * B,
+                                           max_sequence_length))
+            context = jnp.concatenate([neg, embeds], axis=0)
+        else:
+            context = embeds
+        context = context.astype(self.dtype)
+
+        key = jax.random.PRNGKey(seed)
+        if cot:
+            latents = self.prepare_cot_latents(video, ground_latent_count, key)
+        else:
+            latents = self.prepare_paired_latents(video, key)
+        _, C, Tl, Hl, Wl = latents.shape
+
+        ph, pw = self.dit_cfg.patch_size[1:]
+        grid = (Tl, Hl // ph, Wl // pw)
+        f_src = condition_count if repeat_rope else None
+        f_ground = ground_latent_count if (repeat_rope and cot) else 0
+        cos, sin = wan_dit.make_rope_for_geometry(
+            self.dit_cfg, grid, f_src=f_src, f_ground=f_ground)
+        cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+
+        sched = get_scheduler(sampler)
+        sched.set_timesteps(num_inference_steps, shift=shift)
+        state = sched.init_state(latents)
+
+        for i in range(num_inference_steps):
+            t_i = float(sched.timesteps[i])
+            expert = self.expert_for_timestep(t_i)
+            high = expert is self.dit_params_2
+            g = g2 if high else guidance_scale
+            step = self._step_fn(do_cfg, g, condition_count)
+            v, _ = step(expert, latents, t_i, context, cos, sin, None)
+            latents, state = sched.step(v, i, latents, state)
+
+        def dec(z):
+            out = self.vae_decode(z)
+            return np.asarray((out.astype(jnp.float32) / 2 + 0.5).clip(0, 1))
+
+        if cot:
+            g0, g1 = condition_count, condition_count + ground_latent_count
+            ground_video = dec(latents[:, :, g0:g1]) if g1 > g0 else None
+            edit_video = dec(latents[:, :, g1:])
+            parts = [p for p in (ground_video, edit_video) if p is not None]
+            return WanPipelineOutput(videos=np.concatenate(parts, axis=2),
+                                     ground_videos=ground_video,
+                                     edit_videos=edit_video)
+        edit_video = dec(latents[:, :, condition_count:])
+        return WanPipelineOutput(videos=edit_video, edit_videos=edit_video)

@@ -27,6 +27,7 @@ import numpy as np
 
 from ..configs import GenerationConfig, T5Config, WanDiTConfig, WanVAEConfig
 from ..models import t5_encoder, wan_dit, wan_vae
+from ..models import wan_vae_streaming
 from ..schedulers import get_scheduler
 from ..data.tokenizer import WanTokenizer
 
@@ -67,6 +68,10 @@ class WanPipeline:
         self.dtype = dtype
         self.attn_backend = attn_backend
         self._jit_cache: Dict[Any, Any] = {}
+        self._vae_jit: Dict[Any, Any] = {}
+        # streaming VAE: bounded memory per step (two compiled graphs per
+        # geometry); the whole-sequence path is used for short clips
+        self.vae_streaming_threshold_frames = 2
 
     # ------------------------------------------------------------------ text
     def encode_prompt(self, prompts: Sequence[str], max_length: int = 512
@@ -82,12 +87,29 @@ class WanPipeline:
         return emb
 
     # ---------------------------------------------------------------- latents
+    def vae_encode(self, video: jax.Array) -> jax.Array:
+        if video.shape[2] > self.vae_streaming_threshold_frames:
+            mu, _ = wan_vae_streaming.encode_streaming(
+                self.vae_params, self.vae_cfg, video.astype(self.dtype),
+                jit_cache=self._vae_jit)
+        else:
+            mu, _ = wan_vae.encode(self.vae_params, self.vae_cfg,
+                                   video.astype(self.dtype))
+        return mu
+
+    def vae_decode(self, z: jax.Array) -> jax.Array:
+        if z.shape[2] > self.vae_streaming_threshold_frames:
+            return wan_vae_streaming.decode_streaming(
+                self.vae_params, self.vae_cfg, z.astype(self.dtype),
+                jit_cache=self._vae_jit)
+        return wan_vae.decode(self.vae_params, self.vae_cfg,
+                              z.astype(self.dtype))
+
     def prepare_cot_latents(self, video: jax.Array, ground_latent_count: int,
                             key: jax.Array) -> jax.Array:
         """[src | noise(ground+tgt)] — `prepare_cot_video_latents:381-419`.
         Source latents use the distribution mode (mu)."""
-        mu, _ = wan_vae.encode(self.vae_params, self.vae_cfg,
-                               video.astype(self.dtype))
+        mu = self.vae_encode(video)
         B, C, Tl, H, W = mu.shape
         noise = jax.random.normal(
             key, (B, C, Tl + ground_latent_count, H, W), jnp.float32)
@@ -96,8 +118,7 @@ class WanPipeline:
     def prepare_paired_latents(self, video: jax.Array, key: jax.Array
                                ) -> jax.Array:
         """[src | noise(tgt)] — `prepare_video_latents_new:343-378`."""
-        mu, _ = wan_vae.encode(self.vae_params, self.vae_cfg,
-                               video.astype(self.dtype))
+        mu = self.vae_encode(video)
         noise = jax.random.normal(key, mu.shape, jnp.float32)
         return jnp.concatenate([mu.astype(jnp.float32), noise], axis=2)
 
@@ -265,8 +286,7 @@ class WanPipeline:
 
         # ---- decode segments (`pipeline_wan.py:757-786`)
         def dec(z):
-            out = wan_vae.decode(self.vae_params, self.vae_cfg,
-                                 z.astype(self.dtype))
+            out = self.vae_decode(z)
             return np.asarray((out.astype(jnp.float32) / 2 + 0.5).clip(0, 1))
 
         if cot:
