@@ -85,6 +85,34 @@ def main():
     log(f"first call (compile+run): {time.time()-t0:.1f}s; "
         f"out {out.videos.shape}")
 
+    if os.environ.get("BENCH_PROFILE") == "1":
+        import jax as _jax
+        jvideo = jnp.asarray(video)
+        t0 = time.time()
+        lat = pipe.vae_encode(jvideo)
+        lat.block_until_ready()
+        log(f"profile: vae encode {time.time()-t0:.2f}s -> {lat.shape}")
+        import videocof_tpu.models.wan_dit as _wd
+        cc = (lat.shape[2] + 1, lat.shape[3] // 2, lat.shape[4] // 2)
+        cos, sin = _wd.make_rope_for_geometry(dit_cfg, cc, f_src=9, f_ground=1)
+        step = pipe._step_fn(False, 1.0, 9)
+        full_lat = jnp.concatenate(
+            [lat.astype(jnp.float32),
+             jnp.zeros_like(lat[:, :, :1], jnp.float32)], axis=2)
+        v, _ = step(pipe.dit_params, full_lat, 999.0, embeds,
+                    jnp.asarray(cos), jnp.asarray(sin), None)
+        v.block_until_ready()
+        t0 = time.time()
+        for _ in range(3):
+            v, _ = step(pipe.dit_params, full_lat, 999.0, embeds,
+                        jnp.asarray(cos), jnp.asarray(sin), None)
+        v.block_until_ready()
+        log(f"profile: dit step {(time.time()-t0)/3:.2f}s")
+        t0 = time.time()
+        dec = pipe.vae_decode(lat)
+        dec.block_until_ready()
+        log(f"profile: vae decode {time.time()-t0:.2f}s -> {dec.shape}")
+
     times = []
     for _ in range(int(os.environ.get("BENCH_REPS", "2"))):
         t0 = time.time()

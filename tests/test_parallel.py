@@ -43,6 +43,34 @@ def test_ulysses_matches_single_device():
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+def test_ring_matches_single_device():
+    from videocof_tpu.parallel import make_ring_attention
+    mesh = make_mesh(data=1, seq=4)
+    ra = make_ring_attention(mesh)
+    q, k, v = (jax.random.normal(jax.random.PRNGKey(10 + i), (2, 32, 4, 16),
+                                 jnp.float32) for i in range(3))
+    got = np.asarray(ra(q, k, v))
+    want = np.asarray(attention(q, k, v, backend="naive"))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_ring_in_dit_forward():
+    from videocof_tpu.parallel import make_ring_attention
+    mesh = make_mesh(data=1, seq=4)
+    params = wan_dit.init_wan_dit(jax.random.PRNGKey(0), CFG)
+    x = jax.random.normal(jax.random.PRNGKey(1), SHAPE, jnp.float32)
+    t = jnp.array([999.0, 499.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(2),
+                            (2, CFG.text_len, CFG.text_dim), jnp.float32)
+    cos, sin = wan_dit.make_rope_for_geometry(CFG, GRID, f_src=2, f_ground=1)
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+    base = wan_dit.wan_dit_forward(params, CFG, x, t, ctx, cos, sin)
+    ring = wan_dit.wan_dit_forward(params, CFG, x, t, ctx, cos, sin,
+                                   attn_backend=make_ring_attention(mesh))
+    np.testing.assert_allclose(np.asarray(base), np.asarray(ring),
+                               rtol=5e-4, atol=5e-4)
+
+
 def test_sharded_dit_forward_matches():
     mesh = make_mesh(data=1, seq=4)
     params = wan_dit.init_wan_dit(jax.random.PRNGKey(0), CFG)

@@ -16,20 +16,24 @@ def vae():
     return wan_vae.init_wan_vae(jax.random.PRNGKey(0), CFG)
 
 
-def test_encode_streaming_matches_full(vae):
+@pytest.mark.parametrize("chunk", [1, 2, 4])
+def test_encode_streaming_matches_full(vae, chunk):
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 13, 16, 16))
     mu_f, lv_f = wan_vae.encode(vae, CFG, x)
-    mu_s, lv_s = wan_vae_streaming.encode_streaming(vae, CFG, x)
+    mu_s, lv_s = wan_vae_streaming.encode_streaming(vae, CFG, x,
+                                                    chunk_latent=chunk)
     np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu_f),
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(lv_s), np.asarray(lv_f),
                                rtol=1e-4, atol=1e-4)
 
 
-def test_decode_streaming_matches_full(vae):
-    z = jax.random.normal(jax.random.PRNGKey(2), (1, CFG.z_dim, 4, 2, 2))
+@pytest.mark.parametrize("chunk", [1, 3, 4])  # 3 exercises the remainder path
+def test_decode_streaming_matches_full(vae, chunk):
+    z = jax.random.normal(jax.random.PRNGKey(2), (1, CFG.z_dim, 5, 2, 2))
     full = wan_vae.decode(vae, CFG, z)
-    stream = wan_vae_streaming.decode_streaming(vae, CFG, z)
+    stream = wan_vae_streaming.decode_streaming(vae, CFG, z,
+                                                chunk_latent=chunk)
     assert stream.shape == full.shape
     np.testing.assert_allclose(np.asarray(stream), np.asarray(full),
                                rtol=1e-4, atol=1e-4)

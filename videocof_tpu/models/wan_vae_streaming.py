@@ -117,11 +117,14 @@ def _upsample3d_stream(x, p, tape: _Tape, first: bool):
 
 
 def decode_streaming(params: Params, cfg: WanVAEConfig, z: jax.Array,
-                     jit_cache: Optional[dict] = None) -> jax.Array:
-    """Latent [B, z, T', H', W'] -> video, one latent frame per step.
+                     jit_cache: Optional[dict] = None,
+                     chunk_latent: int = 4) -> jax.Array:
+    """Latent [B, z, T', H', W'] -> video, ``chunk_latent`` latent frames per
+    step (bigger chunks amortize dispatch and keep the MXU fed; memory per
+    step grows linearly). Remainder frames run through a smaller final chunk.
 
-    Pass a dict as ``jit_cache`` to reuse the two compiled step functions
-    across calls of the same geometry."""
+    Pass a dict as ``jit_cache`` to reuse the compiled step functions across
+    calls of the same geometry."""
     mean, inv_std = W._scale_arrays(cfg, z.dtype)
     z = z / inv_std + mean
 
@@ -149,9 +152,12 @@ def decode_streaming(params: Params, cfg: WanVAEConfig, z: jax.Array,
     T = z.shape[2]
     out0, caches = init_fn(z[:, :, :1])
     outs = [out0]
-    for t in range(1, T):
-        o, caches = step_fn(z[:, :, t:t + 1], caches)
+    t = 1
+    while t < T:
+        k = min(chunk_latent, T - t)
+        o, caches = step_fn(z[:, :, t:t + k], caches)
         outs.append(o)
+        t += k
     return jnp.clip(jnp.concatenate(outs, axis=2), -1.0, 1.0)
 
 
@@ -194,11 +200,11 @@ def _encoder_stream(p: Params, cfg: WanVAEConfig, x, tape: _Tape,
 
 
 def encode_streaming(params: Params, cfg: WanVAEConfig, video: jax.Array,
-                     jit_cache: Optional[dict] = None
-                     ) -> Tuple[jax.Array, jax.Array]:
-    """video [B, 3, T, H, W] (T = 1 + 4k) -> (mu, log_var), processing
-    1 + tc + tc + ... pixel frames per step like the reference
-    (`wan_vae.py:524-539`)."""
+                     jit_cache: Optional[dict] = None,
+                     chunk_latent: int = 4) -> Tuple[jax.Array, jax.Array]:
+    """video [B, 3, T, H, W] (T = 1 + tc*k) -> (mu, log_var), processing
+    ``chunk_latent`` latent frames' worth of pixels per step (the reference
+    streams 1+tc+tc+... — `wan_vae.py:524-539`; larger chunks amortize)."""
     tc = cfg.temporal_compression_ratio
     T = video.shape[2]
     assert (T - 1) % tc == 0, f"T={T} must be 1 mod {tc}"
@@ -226,9 +232,14 @@ def encode_streaming(params: Params, cfg: WanVAEConfig, video: jax.Array,
 
     out0, caches = init_fn(video[:, :, :1])
     outs = [out0]
-    for s in range(1, T, tc):
-        o, caches = step_fn(video[:, :, s:s + tc], caches)
+    s = 1
+    step_px = tc * chunk_latent
+    while s < T:
+        k = min(step_px, T - s)
+        k -= k % tc  # stay latent-frame aligned
+        o, caches = step_fn(video[:, :, s:s + k], caches)
         outs.append(o)
+        s += k
     feats = jnp.concatenate(outs, axis=2)
     mu, log_var = finish(feats)
     mean, inv_std = W._scale_arrays(cfg, mu.dtype)

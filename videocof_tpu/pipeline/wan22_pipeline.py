@@ -100,9 +100,7 @@ class Wan22Pipeline(WanPipeline):
             v, _ = step(expert, latents, t_i, context, cos, sin, None)
             latents, state = sched.step(v, i, latents, state)
 
-        def dec(z):
-            out = self.vae_decode(z)
-            return np.asarray((out.astype(jnp.float32) / 2 + 0.5).clip(0, 1))
+        dec = self.decode_to_numpy01
 
         if cot:
             g0, g1 = condition_count, condition_count + ground_latent_count

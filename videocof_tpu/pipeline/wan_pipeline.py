@@ -72,6 +72,8 @@ class WanPipeline:
         # streaming VAE: bounded memory per step (two compiled graphs per
         # geometry); the whole-sequence path is used for short clips
         self.vae_streaming_threshold_frames = 2
+        self.vae_decode_chunk = 2   # latent frames per streaming decode step
+        self.vae_encode_chunk = 4
 
     # ------------------------------------------------------------------ text
     def encode_prompt(self, prompts: Sequence[str], max_length: int = 512
@@ -91,7 +93,8 @@ class WanPipeline:
         if video.shape[2] > self.vae_streaming_threshold_frames:
             mu, _ = wan_vae_streaming.encode_streaming(
                 self.vae_params, self.vae_cfg, video.astype(self.dtype),
-                jit_cache=self._vae_jit)
+                jit_cache=self._vae_jit,
+                chunk_latent=self.vae_encode_chunk)
         else:
             mu, _ = wan_vae.encode(self.vae_params, self.vae_cfg,
                                    video.astype(self.dtype))
@@ -101,9 +104,21 @@ class WanPipeline:
         if z.shape[2] > self.vae_streaming_threshold_frames:
             return wan_vae_streaming.decode_streaming(
                 self.vae_params, self.vae_cfg, z.astype(self.dtype),
-                jit_cache=self._vae_jit)
+                jit_cache=self._vae_jit,
+                chunk_latent=self.vae_decode_chunk)
         return wan_vae.decode(self.vae_params, self.vae_cfg,
                               z.astype(self.dtype))
+
+    def decode_to_numpy01(self, z: jax.Array) -> np.ndarray:
+        """Decode + map [-1,1] -> [0,1]; the range map runs jitted in compute
+        dtype and the fp32 upcast happens on the HOST (a device-side fp32 copy
+        of a 480p clip is >1GB of HBM for nothing)."""
+        out = self.vae_decode(z)
+        if "postprocess" not in self._jit_cache:
+            self._jit_cache["postprocess"] = jax.jit(
+                lambda x: jnp.clip(x * 0.5 + 0.5, 0.0, 1.0))
+        host = np.asarray(self._jit_cache["postprocess"](out))
+        return host.astype(np.float32)
 
     def prepare_cot_latents(self, video: jax.Array, ground_latent_count: int,
                             key: jax.Array) -> jax.Array:
@@ -263,6 +278,15 @@ class WanPipeline:
         cfg_off_after = num_inference_steps - int(
             round(num_inference_steps * cfg_skip_ratio))
 
+        # jit the sampler update per step index (the per-step coefficients
+        # are host floats baked in as constants; eager elementwise updates
+        # would each round-trip the device transport)
+        sched_key = ("sched", sampler, num_inference_steps, float(shift))
+        if sched_key not in self._jit_cache:
+            self._jit_cache[sched_key] = jax.jit(
+                sched.step, static_argnums=(1,))
+        sched_step = self._jit_cache[sched_key]
+
         residual = None
         for i in range(num_inference_steps):
             t_i = float(sched.timesteps[i])
@@ -282,12 +306,10 @@ class WanPipeline:
                           res_in)
             if not skips[i]:
                 residual = res
-            latents, state = sched.step(v, i, latents, state)
+            latents, state = sched_step(v, i, latents, state)
 
         # ---- decode segments (`pipeline_wan.py:757-786`)
-        def dec(z):
-            out = self.vae_decode(z)
-            return np.asarray((out.astype(jnp.float32) / 2 + 0.5).clip(0, 1))
+        dec = self.decode_to_numpy01
 
         if cot:
             g0, g1 = condition_count, condition_count + ground_latent_count
