@@ -52,6 +52,26 @@ def test_unsupported_shapes_raise():
                         bias=jnp.zeros((1,)), interpret=True)
 
 
+@pytest.mark.parametrize("L", [128, 200])  # 200 exercises padded backward
+def test_gradients_match_naive(L):
+    q, k, v = (jax.random.normal(jax.random.PRNGKey(i), (1, L, 2, 128),
+                                 jnp.float32) for i in range(3))
+    g = jax.random.normal(jax.random.PRNGKey(9), (1, L, 2, 128), jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, block_q=128, block_k=128,
+                                       interpret=True) * g)
+
+    def loss_naive(q, k, v):
+        return jnp.sum(attention(q, k, v, backend="naive") * g)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gn = jax.grad(loss_naive, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gn, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3, err_msg=f"d{name}")
+
+
 def test_dispatcher_falls_back():
     # pallas backend on unsupported head_dim silently falls back to xla
     q = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 2, 24))

@@ -218,12 +218,17 @@ def wan_block_apply(p: Params, cfg: WanDiTConfig, x, e0, context,
                     attn_backend=None):
     """One WanAttentionBlock (`wan_transformer3d.py:464-515`).
 
-    x: [B, L, D] fp32 residual stream; e0: [B, 6, D] fp32 AdaLN params;
-    context: [B, Lt, D] text stream (param dtype).
+    x: [B, L, D] fp32 residual stream; e0: [B, 6, D] (or [B, L, 6, D] for
+    per-token timesteps) fp32 AdaLN params; context: [B, Lt, D] text stream
+    (param dtype).
     """
     eps = cfg.eps
-    e = (p["modulation"][None].astype(jnp.float32) + e0)  # [B, 6, D]
-    e_ = [e[:, i][:, None, :] for i in range(6)]  # each [B, 1, D]
+    if e0.ndim == 4:  # per-token modulation (`wan_transformer3d.py:488-490`)
+        e = p["modulation"][None, None].astype(jnp.float32) + e0
+        e_ = [e[:, :, i] for i in range(6)]           # each [B, L, D]
+    else:
+        e = (p["modulation"][None].astype(jnp.float32) + e0)  # [B, 6, D]
+        e_ = [e[:, i][:, None, :] for i in range(6)]  # each [B, 1, D]
 
     # self-attention with AdaLN-zero gates
     tx = _layer_norm(x, eps) * (1.0 + e_[1]) + e_[0]
@@ -341,13 +346,19 @@ def wan_dit_forward_with_residual(
     tokens, grid = patchify(x.astype(compute_dtype), cfg.patch_size)
     hseq = _linear(tokens, params["patch_embed"])
 
-    # time embedding in fp32 (reference autocast island `wan_transformer3d.py:912-929`)
+    # time embedding in fp32 (reference autocast island
+    # `wan_transformer3d.py:912-929`). t may be [B] (one timestep per sample)
+    # or [B, L] (per-token timesteps, used by the S2V/TI2V variants).
+    per_token_t = t.ndim == 2
     e = sinusoidal_embedding_1d(cfg.freq_dim, t.astype(jnp.float32))
     e = _linear(e, params["time_mlp"]["fc1"], jnp.float32)
     e = jax.nn.silu(e)
-    e = _linear(e, params["time_mlp"]["fc2"], jnp.float32)       # [B, D]
+    e = _linear(e, params["time_mlp"]["fc2"], jnp.float32)   # [B,(L,)D]
     e0 = _linear(jax.nn.silu(e), params["time_proj"]["fc"], jnp.float32)
-    e0 = e0.reshape(e0.shape[0], 6, cfg.dim)                     # [B, 6, D]
+    if per_token_t:
+        e0 = e0.reshape(e0.shape[0], e0.shape[1], 6, cfg.dim)  # [B, L, 6, D]
+    else:
+        e0 = e0.reshape(e0.shape[0], 6, cfg.dim)               # [B, 6, D]
 
     # text embedding MLP
     ctx = _linear(context.astype(compute_dtype), params["text_mlp"]["fc1"])
@@ -386,9 +397,16 @@ def wan_dit_forward_with_residual(
         stream, _ = jax.lax.scan(body, stream0, params["blocks"])
         residual_out = stream - stream0
 
-    # head with 2-way modulation (`wan_transformer3d.py:518-548`)
-    hm = params["head"]["modulation"][None].astype(jnp.float32) + e[:, None, :]
-    he0, he1 = hm[:, 0][:, None, :], hm[:, 1][:, None, :]
+    # head with 2-way modulation (`wan_transformer3d.py:518-548`; per-token
+    # branch at `:541-543`)
+    if per_token_t:
+        hm = params["head"]["modulation"][None, None].astype(jnp.float32) \
+            + e[:, :, None, :]
+        he0, he1 = hm[:, :, 0], hm[:, :, 1]
+    else:
+        hm = params["head"]["modulation"][None].astype(jnp.float32) \
+            + e[:, None, :]
+        he0, he1 = hm[:, 0][:, None, :], hm[:, 1][:, None, :]
     out = _layer_norm(stream, cfg.eps) * (1.0 + he1) + he0
     out = _linear(out.astype(compute_dtype), params["head"]["fc"])
 

@@ -29,8 +29,8 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
-                  scale: float, kv_len: int, block_k: int):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+                  *, scale: float, kv_len: int, block_k: int):
     kv_i = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -69,10 +69,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
     @pl.when(kv_i == nk - 1)
     def _finish():
         o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+        lse_ref[0] = m_scr[:] + jnp.log(l_scr[:])
 
 
 def _flash_bnld(q, k, v, scale, block_q, block_k, interpret=False):
-    """q [BN, Lq, D], k/v [BN, Lk, D] -> [BN, Lq, D]."""
+    """q [BN, Lq, D], k/v [BN, Lk, D] -> (out [BN, Lq, D], lse [BN, Lqp, 1])."""
     BN, Lq, D = q.shape
     Lk = k.shape[1]
     q_pad = (-Lq) % block_q
@@ -85,7 +86,7 @@ def _flash_bnld(q, k, v, scale, block_q, block_k, interpret=False):
     Lqp, Lkp = Lq + q_pad, Lk + k_pad
 
     grid = (BN, Lqp // block_q, Lkp // block_k)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, kv_len=Lk,
                           block_k=block_k),
         grid=grid,
@@ -94,8 +95,14 @@ def _flash_bnld(q, k, v, scale, block_q, block_k, interpret=False):
             pl.BlockSpec((1, block_k, D), lambda b, qi, ki: (b, ki, 0)),
             pl.BlockSpec((1, block_k, D), lambda b, qi, ki: (b, ki, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, D), lambda b, qi, ki: (b, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((BN, Lqp, D), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, qi, ki: (b, qi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BN, Lqp, D), q.dtype),
+            jax.ShapeDtypeStruct((BN, Lqp, 1), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -103,7 +110,160 @@ def _flash_bnld(q, k, v, scale, block_q, block_k, interpret=False):
         ],
         interpret=interpret,
     )(q, k, v)
-    return out[:, :Lq]
+    return out[:, :Lq], lse
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                   dq_scr, *, scale, kv_len, block_k):
+    kv_i = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kv_i == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    do = do_ref[0].astype(jnp.float32)                    # [BQ, D]
+    lse = lse_ref[0]                                      # [BQ, 1]
+    delta = delta_ref[0]                                  # [BQ, 1]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    k_idx = kv_i * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(k_idx < kv_len, s, NEG_INF)
+    p = jnp.exp(s - lse)                                  # [BQ, BK]
+    dp = jax.lax.dot_general(do, v.astype(jnp.float32),
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta) * scale
+    dq_scr[:] += jax.lax.dot_general(ds, k.astype(jnp.float32),
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+    @pl.when(kv_i == nk - 1)
+    def _done():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, dk_scr, dv_scr, *, scale, kv_len,
+                    block_k, q_len, block_q):
+    q_i = pl.program_id(2)
+    nq = pl.num_programs(2)
+    kv_i = pl.program_id(1)
+
+    @pl.when(q_i == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]
+    delta = delta_ref[0]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    k_idx = kv_i * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(k_idx < kv_len, s, NEG_INF)
+    # padded q rows must not contribute to dk/dv
+    q_idx = q_i * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    s = jnp.where(q_idx < q_len, s, NEG_INF)
+    p = jnp.exp(s - lse)                                  # [BQ, BK]
+    # dv += p^T @ do
+    dv_scr[:] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v.astype(jnp.float32),
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta) * scale
+    # dk += ds^T @ q
+    dk_scr[:] += jax.lax.dot_general(ds, q.astype(jnp.float32),
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+    @pl.when(q_i == nq - 1)
+    def _done():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_bnld(q, k, v, do, o, lse, scale, block_q, block_k,
+                    interpret=False):
+    BN, Lq, D = q.shape
+    Lk = k.shape[1]
+    q_pad = (-Lq) % block_q
+    k_pad = (-Lk) % block_k
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1, keepdims=True)               # [BN, Lq, 1]
+    if q_pad:
+        pads = ((0, 0), (0, q_pad), (0, 0))
+        q, do, delta = (jnp.pad(a, pads) for a in (q, do, delta))
+        lse = jnp.pad(lse[:, :Lq], pads)  # lse may already be padded length
+    else:
+        lse = lse[:, :Lq]
+    if k_pad:
+        pads = ((0, 0), (0, k_pad), (0, 0))
+        k, v = jnp.pad(k, pads), jnp.pad(v, pads)
+    Lqp, Lkp = Lq + q_pad, Lk + k_pad
+    nq, nk = Lqp // block_q, Lkp // block_k
+
+    qspec = pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0))
+    sspec = pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0))
+    kspec = pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0))
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, kv_len=Lk,
+                          block_k=block_k),
+        grid=(BN, nq, nk),
+        in_specs=[qspec, kspec, kspec, qspec, sspec, sspec],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((BN, Lqp, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+
+    # grid transposed: kv outer, q inner
+    qspec2 = pl.BlockSpec((1, block_q, D), lambda b, j, i: (b, i, 0))
+    sspec2 = pl.BlockSpec((1, block_q, 1), lambda b, j, i: (b, i, 0))
+    kspec2 = pl.BlockSpec((1, block_k, D), lambda b, j, i: (b, j, 0))
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, kv_len=Lk,
+                          block_k=block_k, q_len=Lq, block_q=block_q),
+        grid=(BN, nk, nq),
+        in_specs=[qspec2, kspec2, kspec2, qspec2, sspec2, sspec2],
+        out_specs=[kspec2, kspec2],
+        out_shape=[jax.ShapeDtypeStruct((BN, Lkp, D), k.dtype),
+                   jax.ShapeDtypeStruct((BN, Lkp, D), v.dtype)],
+        scratch_shapes=[pltpu.VMEM((block_k, D), jnp.float32),
+                        pltpu.VMEM((block_k, D), jnp.float32)],
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+
+    return dq[:, :Lq], dk[:, :Lk], dv[:, :Lk]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_core(q, k, v, scale, block_q, block_k, interpret):
+    out, _ = _flash_bnld(q, k, v, scale, block_q, block_k,
+                         interpret=interpret)
+    return out
+
+
+def _flash_core_fwd(q, k, v, scale, block_q, block_k, interpret):
+    out, lse = _flash_bnld(q, k, v, scale, block_q, block_k,
+                           interpret=interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_core_bwd(scale, block_q, block_k, interpret, res, do):
+    q, k, v, out, lse = res
+    dq, dk, dv = _flash_bwd_bnld(q, k, v, do, out, lse, scale, block_q,
+                                 block_k, interpret=interpret)
+    return dq, dk, dv
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
@@ -111,7 +271,8 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                     scale: Optional[float] = None,
                     block_q: int = 256, block_k: int = 512,
                     interpret: Optional[bool] = None) -> jax.Array:
-    """[B, L, N, D] attention (heads on axis -2), bidirectional.
+    """[B, L, N, D] attention (heads on axis -2), bidirectional,
+    differentiable (custom VJP backed by two Pallas backward kernels).
 
     Raises NotImplementedError for shapes/features the kernel doesn't cover
     (the dispatcher falls back to XLA).
@@ -129,8 +290,8 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     qt = q.transpose(0, 2, 1, 3).reshape(B * N, Lq, D)
     kt = k.transpose(0, 2, 1, 3).reshape(B * N, Lk, D)
     vt = v.transpose(0, 2, 1, 3).reshape(B * N, Lk, D)
-    out = _flash_bnld(qt, kt, vt, scale, min(block_q, _rup(Lq, 128)),
-                      min(block_k, _rup(Lk, 128)), interpret=interpret)
+    out = _flash_core(qt, kt, vt, scale, min(block_q, _rup(Lq, 128)),
+                      min(block_k, _rup(Lk, 128)), interpret)
     return out.reshape(B, N, Lq, D).transpose(0, 2, 1, 3)
 
 
