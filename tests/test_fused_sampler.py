@@ -1,0 +1,57 @@
+"""The fused (single-scan) sampling path must match the stepwise path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videocof_tpu.configs import T5_TINY, VAE_TINY, WAN_TINY
+from videocof_tpu.models import t5_encoder, wan_dit, wan_vae
+from videocof_tpu.pipeline import WanPipeline
+
+VCFG = VAE_TINY
+DCFG = WAN_TINY.replace(in_dim=VCFG.z_dim, out_dim=VCFG.z_dim,
+                        text_dim=T5_TINY.dim)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return WanPipeline(
+        wan_dit.init_wan_dit(jax.random.PRNGKey(0), DCFG), DCFG,
+        wan_vae.init_wan_vae(jax.random.PRNGKey(1), VCFG), VCFG,
+        t5_encoder.init_t5_encoder(jax.random.PRNGKey(2), T5_TINY), T5_TINY,
+        dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def video():
+    return np.random.default_rng(0).uniform(
+        -1, 1, (1, 3, 9, 32, 32)).astype(np.float32)
+
+
+@pytest.mark.parametrize("sampler", ["unipc", "euler", "dpm++"])
+def test_fused_matches_stepwise(pipe, video, sampler):
+    kw = dict(source_frames=9, reasoning_frames=4, num_inference_steps=4,
+              sampler=sampler, seed=5)
+    a = pipe(video, "remove the box", fused_sampling=False, **kw)
+    b = pipe(video, "remove the box", fused_sampling=True, **kw)
+    np.testing.assert_allclose(b.videos, a.videos, rtol=2e-3, atol=5e-3)
+
+
+def test_fused_with_cfg(pipe, video):
+    kw = dict(source_frames=9, reasoning_frames=4, num_inference_steps=3,
+              guidance_scale=4.0, negative_prompt="blurry", seed=2)
+    a = pipe(video, "add a hat", fused_sampling=False, **kw)
+    b = pipe(video, "add a hat", fused_sampling=True, **kw)
+    np.testing.assert_allclose(b.videos, a.videos, rtol=2e-3, atol=5e-3)
+
+
+def test_uint8_input_matches_float(pipe):
+    rng = np.random.default_rng(1)
+    u8 = rng.integers(0, 256, (1, 3, 9, 32, 32), dtype=np.uint8)
+    f32 = u8.astype(np.float32) * (2.0 / 255.0) - 1.0
+    kw = dict(source_frames=9, reasoning_frames=4, num_inference_steps=2,
+              seed=3)
+    a = pipe(f32, "remove the box", **kw)
+    b = pipe(u8, "remove the box", **kw)
+    np.testing.assert_allclose(a.videos, b.videos, atol=2e-2)

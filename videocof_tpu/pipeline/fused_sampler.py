@@ -1,0 +1,114 @@
+"""Fully-fused denoise loop: all sampler steps in ONE compiled XLA program.
+
+The per-step python loop costs one device dispatch per step plus sampler
+round-trips — negligible on a local host, real money over remote transports
+and at 50 steps. Here the whole trajectory is a `lax.scan` whose xs are the
+sampler's precomputed per-step coefficient arrays (`plan_arrays()`): the UniPC
+corrector becomes a `where`-blend (its coefficients are zero-passing when
+unused), so one scan body serves every step with no retraces and XLA overlaps
+everything.
+
+Covers the UniPC/Euler/DPM++ paths with or without CFG; TeaCache and cfg-skip
+change shapes mid-trajectory and stay on the stepwise path (note the
+reference's 4-step fast config never actually skips: num_skip_start_steps=5
+>= 4 steps — `fast_infer.py:158-160`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import WanDiTConfig
+from ..models import wan_dit
+
+
+def make_fused_sample_fn(dit_cfg: WanDiTConfig, sampler_name: str,
+                         plan: dict, do_cfg: bool, guidance_scale: float,
+                         condition_count: int, dtype,
+                         attn_backend=None):
+    """Returns jitted fn(dit_params, latents, context, rope_cos, rope_sin)
+    -> final latents. ``plan`` is scheduler.plan_arrays()."""
+    xs = {k: jnp.asarray(v) for k, v in plan.items()}
+
+    def dit_v(dit_params, latents, t_scalar, context, cos, sin):
+        if do_cfg:
+            x = jnp.concatenate([latents, latents], axis=0)
+        else:
+            x = latents
+        t = jnp.full((x.shape[0],), t_scalar, jnp.float32)
+        v = wan_dit.wan_dit_forward(
+            dit_params, dit_cfg, x.astype(dtype), t, context, cos, sin,
+            attn_backend=attn_backend)
+        if do_cfg:
+            vu, vc = jnp.split(v, 2, axis=0)
+            v = vu + guidance_scale * (vc - vu)
+        return v.at[:, :, :condition_count].set(0.0)
+
+    if sampler_name == "euler":
+        def body(carry, x_t, *, dit_params, context, cos, sin):
+            latents = carry
+            v = dit_v(dit_params, latents, x_t["timestep"], context, cos, sin)
+            return latents + x_t["dt"] * v, None
+
+        def init_carry(latents):
+            return latents
+
+        def final(carry):
+            return carry
+
+    elif sampler_name == "unipc":
+        def body(carry, x_t, *, dit_params, context, cos, sin):
+            latents, m0, m1, last = carry
+            v = dit_v(dit_params, latents, x_t["timestep"], context, cos, sin)
+            model_t = latents - x_t["sigma"] * v
+            corrected = (x_t["c_ratio"] * last + x_t["c_m0"] * m0
+                         + x_t["c_d1t"] * (model_t - m0)
+                         + x_t["c_d1s"] * ((m1 - m0) * x_t["c_r0inv"]))
+            sample = jnp.where(x_t["use_corrector"], corrected, latents)
+            m1n, m0n = m0, model_t
+            nxt = (x_t["p_ratio"] * sample + x_t["p_m0"] * m0n
+                   + jnp.where(x_t["p_order2"],
+                               x_t["p_d1"] * ((m1n - m0n) * x_t["p_r0inv"]),
+                               0.0))
+            return (nxt, m0n, m1n, sample), None
+
+        def init_carry(latents):
+            z = jnp.zeros_like(latents)
+            return (latents, z, z, z)
+
+        def final(carry):
+            return carry[0]
+
+    elif sampler_name == "dpm++":
+        def body(carry, x_t, *, dit_params, context, cos, sin):
+            latents, m_prev = carry
+            v = dit_v(dit_params, latents, x_t["timestep"], context, cos, sin)
+            m0 = latents - x_t["sigma"] * v
+            nxt = (x_t["ratio"] * latents + x_t["c_m0"] * m0
+                   + jnp.where(x_t["order2"],
+                               x_t["c_d1"] * ((m0 - m_prev) * x_t["r0inv"]),
+                               0.0))
+            return (nxt, m0), None
+
+        def init_carry(latents):
+            return (latents, jnp.zeros_like(latents))
+
+        def final(carry):
+            return carry[0]
+    else:
+        raise ValueError(f"fused sampler: unsupported {sampler_name!r}")
+
+    @jax.jit
+    def run(dit_params, latents, context, rope_cos, rope_sin):
+        def sbody(carry, x_t):
+            return body(carry, x_t, dit_params=dit_params, context=context,
+                        cos=rope_cos, sin=rope_sin)
+
+        carry, _ = jax.lax.scan(sbody, init_carry(latents), xs)
+        return final(carry)
+
+    return run

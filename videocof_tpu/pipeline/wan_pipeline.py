@@ -110,15 +110,17 @@ class WanPipeline:
                               z.astype(self.dtype))
 
     def decode_to_numpy01(self, z: jax.Array) -> np.ndarray:
-        """Decode + map [-1,1] -> [0,1]; the range map runs jitted in compute
-        dtype and the fp32 upcast happens on the HOST (a device-side fp32 copy
-        of a 480p clip is >1GB of HBM for nothing)."""
+        """Decode + map [-1,1] -> [0,1]. The video crosses host<->device as
+        uint8 (the tunnel/PCIe traffic is 4x smaller than fp32 and the final
+        consumer is an 8-bit codec anyway); fp32 [0,1] is materialized on the
+        HOST."""
         out = self.vae_decode(z)
-        if "postprocess" not in self._jit_cache:
-            self._jit_cache["postprocess"] = jax.jit(
-                lambda x: jnp.clip(x * 0.5 + 0.5, 0.0, 1.0))
-        host = np.asarray(self._jit_cache["postprocess"](out))
-        return host.astype(np.float32)
+        if "post_u8" not in self._jit_cache:
+            self._jit_cache["post_u8"] = jax.jit(lambda x: jnp.clip(
+                jnp.round(x.astype(jnp.float32) * 127.5 + 127.5), 0, 255
+            ).astype(jnp.uint8))
+        host = np.asarray(self._jit_cache["post_u8"](out))
+        return host.astype(np.float32) / 255.0
 
     def prepare_cot_latents(self, video: jax.Array, ground_latent_count: int,
                             key: jax.Array) -> jax.Array:
@@ -201,13 +203,22 @@ class WanPipeline:
         riflex_k: Optional[int] = None,
         riflex_L_test: Optional[int] = None,
         riflex_L_test_scale: Optional[float] = None,
+        fused_sampling: Optional[bool] = None,
     ) -> WanPipelineOutput:
         """Edit ``video`` ([B, 3, T, H, W] in [-1, 1]) per ``prompt``.
 
         Mirrors `WanPipeline.__call__` defaults/semantics; `num_frames` of the
         reference is ignored on the CoT path there too (`pipeline_wan.py:630-651`).
+
+        ``video`` may be float in [-1, 1] or uint8 in [0, 255]; uint8 crosses
+        the host->device link 4x cheaper and is normalized on device.
         """
         video = jnp.asarray(video)
+        if video.dtype == jnp.uint8:
+            if "u8_in" not in self._jit_cache:
+                self._jit_cache["u8_in"] = jax.jit(
+                    lambda x: x.astype(self.dtype) * (2.0 / 255.0) - 1.0)
+            video = self._jit_cache["u8_in"](video)
         B = video.shape[0]
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
         assert len(prompts) == B
@@ -262,6 +273,25 @@ class WanPipeline:
         sched.set_timesteps(num_inference_steps, shift=shift)
         state = sched.init_state(latents)
 
+        # ---- fused path: the whole trajectory as one compiled scan (default
+        # whenever nothing changes shapes mid-run)
+        if fused_sampling is None:
+            fused_sampling = (not enable_teacache and cfg_skip_ratio == 0.0)
+        if fused_sampling and not enable_teacache and cfg_skip_ratio == 0.0:
+            fkey = ("fused", sampler, num_inference_steps, float(shift),
+                    do_cfg, float(guidance_scale), condition_count,
+                    self.attn_backend)
+            if fkey not in self._jit_cache:
+                from .fused_sampler import make_fused_sample_fn
+                self._jit_cache[fkey] = make_fused_sample_fn(
+                    self.dit_cfg, sampler, sched.plan_arrays(), do_cfg,
+                    guidance_scale, condition_count, self.dtype,
+                    attn_backend=self.attn_backend)
+            latents = self._jit_cache[fkey](self.dit_params, latents,
+                                            context, cos, sin)
+            return self._decode_outputs(latents, cot, condition_count,
+                                        ground_latent_count)
+
         # ---- TeaCache plan (fully precomputable: the skip signal depends
         # only on the timestep schedule — see models/teacache.py)
         skips = [False] * num_inference_steps
@@ -308,9 +338,13 @@ class WanPipeline:
                 residual = res
             latents, state = sched_step(v, i, latents, state)
 
-        # ---- decode segments (`pipeline_wan.py:757-786`)
-        dec = self.decode_to_numpy01
+        return self._decode_outputs(latents, cot, condition_count,
+                                    ground_latent_count)
 
+    def _decode_outputs(self, latents, cot: bool, condition_count: int,
+                        ground_latent_count: int) -> WanPipelineOutput:
+        """Segment-wise decode (`pipeline_wan.py:757-786`)."""
+        dec = self.decode_to_numpy01
         if cot:
             g0, g1 = condition_count, condition_count + ground_latent_count
             ground_video = dec(latents[:, :, g0:g1]) if g1 > g0 else None
