@@ -1,0 +1,73 @@
+"""Wan2.2 (3.8-style) VAE tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videocof_tpu.models import wan_vae22
+from videocof_tpu.models.wan_vae22 import (WAN22_VAE_TINY, avg_down3d,
+                                           dup_up3d, patchify2, unpatchify2)
+
+CFG = WAN22_VAE_TINY
+
+
+@pytest.fixture(scope="module")
+def vae():
+    return wan_vae22.init_wan22_vae(jax.random.PRNGKey(0), CFG)
+
+
+def test_patchify_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 5, 8, 10))
+    y = patchify2(x, 2)
+    assert y.shape == (1, 12, 5, 4, 5)
+    back = unpatchify2(y, 2)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-6)
+
+
+def test_avg_down_dup_up_shapes():
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 5, 8, 8))
+    d = avg_down3d(x, 16, factor_t=2, factor_s=2)
+    assert d.shape == (1, 16, 3, 4, 4)   # time ceil(5/2)=3 with front pad
+    u = dup_up3d(d, 8, factor_t=2, factor_s=2)
+    assert u.shape == (1, 8, 5, 8, 8)    # 6 frames trimmed to 5
+
+
+def test_avg_down_is_mean():
+    x = jnp.ones((1, 4, 4, 4, 4))
+    d = avg_down3d(x, 4, factor_t=2, factor_s=2)
+    # averaging ones (with zero front-pad absent: T=4 divisible) -> ones
+    np.testing.assert_allclose(np.asarray(d), 1.0, atol=1e-6)
+
+
+def test_encode_decode_shapes(vae):
+    # 16x spatial (2 patchify * 8 conv), 4x temporal
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 3, 9, 32, 32))
+    mu, lv = wan_vae22.encode(vae, CFG, x)
+    assert mu.shape == (1, CFG.z_dim, 3, 2, 2)
+    y = wan_vae22.decode(vae, CFG, mu)
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y)).all()
+    assert float(jnp.abs(y).max()) <= 1.0
+
+
+def test_single_frame(vae):
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 3, 1, 32, 32))
+    mu, _ = wan_vae22.encode(vae, CFG, x)
+    assert mu.shape == (1, CFG.z_dim, 1, 2, 2)
+    y = wan_vae22.decode(vae, CFG, mu)
+    assert y.shape == x.shape
+
+
+def test_encoder_causality(vae):
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 3, 9, 32, 32))
+    x2 = x.at[:, :, -1].add(1.0)
+    a, _ = wan_vae22.encode(vae, CFG, x)
+    b, _ = wan_vae22.encode(vae, CFG, x2)
+    np.testing.assert_allclose(np.asarray(a[:, :, :-1]),
+                               np.asarray(b[:, :, :-1]), atol=1e-5)
+
+
+def test_latent_stats_table_sizes():
+    assert len(wan_vae22.WAN22_LATENT_MEAN) == 48
+    assert len(wan_vae22.WAN22_LATENT_STD) == 48

@@ -332,6 +332,7 @@ def wan_dit_forward_with_residual(
     skip_blocks: bool = False,
     clip_fea: Optional[jax.Array] = None,   # [B, 257, 1280] i2v CLIP feats
     y: Optional[jax.Array] = None,          # i2v conditioning, channel-concat
+    y_camera: Optional[jax.Array] = None,   # [B, D, F, H', W'] camera feats
 ) -> Tuple[jax.Array, jax.Array]:
     """Forward that exposes the TeaCache token-stream residual: returns
     (velocity, residual). With ``skip_blocks=True`` the block stack is
@@ -345,6 +346,13 @@ def wan_dit_forward_with_residual(
     # patch embed -> [B, L, D]
     tokens, grid = patchify(x.astype(compute_dtype), cfg.patch_size)
     hseq = _linear(tokens, params["patch_embed"])
+
+    if y_camera is not None:
+        # camera-control features added onto the patch embeddings
+        # (`wan_transformer3d.py:871-874`)
+        B = hseq.shape[0]
+        cam = y_camera.reshape(B, y_camera.shape[1], -1).transpose(0, 2, 1)
+        hseq = hseq + cam.astype(hseq.dtype)
 
     # time embedding in fp32 (reference autocast island
     # `wan_transformer3d.py:912-929`). t may be [B] (one timestep per sample)
