@@ -74,6 +74,10 @@ def test_http_api_roundtrip(controller, test_video):
         with urllib.request.urlopen(
                 f"http://127.0.0.1:{port}/healthz") as r:
             assert json.load(r)["status"] == "ok"
+        # web UI page
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+            page = r.read().decode()
+            assert "VideoCoF-TPU" in page and "infer_forward" in page
         # inference
         with open(test_video, "rb") as f:
             vid_b64 = base64.b64encode(f.read()).decode()

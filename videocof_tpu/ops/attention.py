@@ -28,7 +28,7 @@ _ENV_VAR = "VIDEOCOF_ATTENTION_TYPE"
 
 
 def available_backends() -> tuple:
-    return ("pallas", "xla", "naive")
+    return ("pallas", "int8", "xla", "naive")
 
 
 @functools.lru_cache(maxsize=1)
@@ -102,6 +102,14 @@ def attention(
             return _pallas_flash(q, k, v, bias=bias, scale=scale)
         except NotImplementedError:
             backend = "xla"  # shape not supported by the kernel yet
+
+    if backend == "int8":
+        from .int8_attention import int8_flash_attention
+        try:
+            assert bias is None
+            return int8_flash_attention(q, k, v, scale=scale)
+        except (NotImplementedError, AssertionError):
+            backend = "xla"
 
     # xla fused path
     return jax.nn.dot_product_attention(

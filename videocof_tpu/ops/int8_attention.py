@@ -1,0 +1,138 @@
+"""Int8-quantized flash attention (SageAttention-style).
+
+TPU counterpart of the reference's optional SageAttention backend
+(`attention_utils.py:18-41,173-180`): Q and K are quantized to int8 with
+per-row scales so the QK^T matmul runs on the MXU's int8 path (2x bf16
+throughput); the softmax runs in fp32 off the rescaled s32 logits; PV stays
+bf16. K is mean-centered before quantization (Sage's smoothing) — the dropped
+``q . k_mean`` term is constant per query row and softmax-invariant, so no
+compensation is needed.
+
+Shares the online-softmax/grid structure of `flash_attention.py`. Inference
+only (no VJP): quantized attention is an acceleration knob, not a training
+path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _quant_rows(x):
+    """fp -> (int8, per-row scale). x [..., L, D]."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-6) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127
+                 ).astype(jnp.int8)
+    return q, scale
+
+
+def _int8_kernel(q_ref, k_ref, v_ref, sq_ref, sk_ref, o_ref, m_scr, l_scr,
+                 acc_scr, *, scale, kv_len, block_k):
+    kv_i = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kv_i == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]            # [BQ, D] int8
+    k = k_ref[0]            # [BK, D] int8
+    v = v_ref[0]            # [BK, D] bf16/f32
+    sq = sq_ref[0]          # [BQ, 1] f32
+    sk = sk_ref[0]          # [BK, 1] f32
+
+    s32 = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    s = s32.astype(jnp.float32) * (sq * sk[:, 0][None, :]) * scale
+
+    k_idx = kv_i * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(k_idx < kv_len, s, NEG_INF)
+
+    m_prev = m_scr[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_scr[:] = m_new
+
+    @pl.when(kv_i == nk - 1)
+    def _finish():
+        o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+
+
+def int8_flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                         scale: Optional[float] = None,
+                         block_q: int = 256, block_k: int = 512,
+                         interpret: Optional[bool] = None) -> jax.Array:
+    """[B, L, N, D] attention with int8 QK^T. head_dim multiple of 128."""
+    B, Lq, N, D = q.shape
+    Lk = k.shape[1]
+    if D % 128 != 0:
+        raise NotImplementedError(f"head_dim {D} not a multiple of 128")
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    scale = (D ** -0.5) if scale is None else scale
+    block_q = min(block_q, _rup(Lq, 128))
+    block_k = min(block_k, _rup(Lk, 128))
+
+    qt = q.transpose(0, 2, 1, 3).reshape(B * N, Lq, D)
+    kt = k.transpose(0, 2, 1, 3).reshape(B * N, Lk, D)
+    vt = v.transpose(0, 2, 1, 3).reshape(B * N, Lk, D)
+
+    # Sage smoothing: center K across tokens (softmax-invariant, see module
+    # docstring), then per-row int8 quantization
+    kt = kt - jnp.mean(kt.astype(jnp.float32), axis=1, keepdims=True
+                       ).astype(kt.dtype)
+    qi, sq = _quant_rows(qt)
+    ki, sk = _quant_rows(kt)
+
+    q_pad = (-Lq) % block_q
+    k_pad = (-Lk) % block_k
+    if q_pad:
+        qi = jnp.pad(qi, ((0, 0), (0, q_pad), (0, 0)))
+        sq = jnp.pad(sq, ((0, 0), (0, q_pad), (0, 0)))
+    if k_pad:
+        ki = jnp.pad(ki, ((0, 0), (0, k_pad), (0, 0)))
+        sk = jnp.pad(sk, ((0, 0), (0, k_pad), (0, 0)))
+        vt = jnp.pad(vt, ((0, 0), (0, k_pad), (0, 0)))
+    Lqp, Lkp = Lq + q_pad, Lk + k_pad
+
+    out = pl.pallas_call(
+        functools.partial(_int8_kernel, scale=scale, kv_len=Lk,
+                          block_k=block_k),
+        grid=(B * N, Lqp // block_q, Lkp // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, 1), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * N, Lqp, D), v.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qi, ki, vt, sq, sk)
+    return out[:, :Lq].reshape(B, N, Lq, D).transpose(0, 2, 1, 3)
+
+
+def _rup(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m

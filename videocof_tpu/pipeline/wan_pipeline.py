@@ -74,6 +74,9 @@ class WanPipeline:
         self.vae_streaming_threshold_frames = 2
         self.vae_decode_chunk = 2   # latent frames per streaming decode step
         self.vae_encode_chunk = 4
+        # VIDEOCOF_TIMING=1: per-stage wall times to stderr
+        import os as _os
+        self.verbose_timing = _os.environ.get("VIDEOCOF_TIMING") == "1"
 
     # ------------------------------------------------------------------ text
     def encode_prompt(self, prompts: Sequence[str], max_length: int = 512
@@ -213,6 +216,20 @@ class WanPipeline:
         ``video`` may be float in [-1, 1] or uint8 in [0, 255]; uint8 crosses
         the host->device link 4x cheaper and is normalized on device.
         """
+        import time as _time
+        _t0 = _time.perf_counter()
+
+        def _tick(label, block_on=None):
+            nonlocal _t0
+            if self.verbose_timing:
+                import sys as _sys
+                if block_on is not None:
+                    jax.block_until_ready(block_on)
+                now = _time.perf_counter()
+                print(f"[pipeline] {label}: {now - _t0:.2f}s",
+                      file=_sys.stderr, flush=True)
+                _t0 = now
+
         video = jnp.asarray(video)
         if video.dtype == jnp.uint8:
             if "u8_in" not in self._jit_cache:
@@ -241,6 +258,7 @@ class WanPipeline:
         else:
             context = embeds
         context = context.astype(self.dtype)
+        _tick("text", context)
 
         # ---- latents
         key = jax.random.PRNGKey(seed)
@@ -249,6 +267,7 @@ class WanPipeline:
         else:
             latents = self.prepare_paired_latents(video, key)
         _, C, Tl, Hl, Wl = latents.shape
+        _tick("encode+latents", latents)
 
         # ---- rope (CoF positions as data; optional RIFLEx temporal table —
         # `wan_transformer3d.py:775-800`)
@@ -267,6 +286,7 @@ class WanPipeline:
             self.dit_cfg, grid, f_src=f_src, f_ground=f_ground,
             temporal_table=temporal_table)
         cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+        _tick("rope", (cos, sin))
 
         # ---- sampler
         sched = get_scheduler(sampler)
@@ -289,8 +309,11 @@ class WanPipeline:
                     attn_backend=self.attn_backend)
             latents = self._jit_cache[fkey](self.dit_params, latents,
                                             context, cos, sin)
-            return self._decode_outputs(latents, cot, condition_count,
-                                        ground_latent_count)
+            _tick("denoise(fused)", latents)
+            out = self._decode_outputs(latents, cot, condition_count,
+                                       ground_latent_count)
+            _tick("decode")
+            return out
 
         # ---- TeaCache plan (fully precomputable: the skip signal depends
         # only on the timestep schedule — see models/teacache.py)
@@ -337,9 +360,12 @@ class WanPipeline:
             if not skips[i]:
                 residual = res
             latents, state = sched_step(v, i, latents, state)
+        _tick("denoise(stepwise)", latents)
 
-        return self._decode_outputs(latents, cot, condition_count,
-                                    ground_latent_count)
+        out = self._decode_outputs(latents, cot, condition_count,
+                                   ground_latent_count)
+        _tick("decode")
+        return out
 
     def _decode_outputs(self, latents, cot: bool, condition_count: int,
                         ground_latent_count: int) -> WanPipelineOutput:

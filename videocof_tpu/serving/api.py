@@ -47,6 +47,14 @@ def make_handler(controller: VideoCoFController, lock: threading.Lock):
         def do_GET(self):
             if self.path == "/healthz":
                 self._reply(200, {"status": "ok"})
+            elif self.path in ("/", "/index.html"):
+                from .webui import INDEX_HTML
+                body = INDEX_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._reply(404, {"message": "not found"})
 
