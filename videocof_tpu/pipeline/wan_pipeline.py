@@ -78,6 +78,33 @@ class WanPipeline:
         import os as _os
         self.verbose_timing = _os.environ.get("VIDEOCOF_TIMING") == "1"
 
+    # ----------------------------------------------------------- parallelism
+    def enable_sequence_parallel(self, mesh=None, data: int = 1,
+                                 seq: Optional[int] = None,
+                                 mode: str = "ulysses") -> None:
+        """Run every DiT self-attention sequence-parallel over the mesh's
+        ``seq`` axis (the reference's `enable_multi_gpus_inference` —
+        `wan_transformer3d.py:802-816` — but CoF-compatible, since RoPE enters
+        as per-token data). Token count must divide the seq axis; typical CoF
+        geometries (e.g. 29640 tokens at 480x832) divide 2/4/8.
+        """
+        from ..parallel import (make_mesh, make_ring_attention,
+                                make_ulysses_attention)
+        if mesh is None:
+            import jax as _jax
+            seq = seq or len(_jax.devices()) // data
+            mesh = make_mesh(data=data, seq=seq)
+        maker = {"ulysses": make_ulysses_attention,
+                 "ring": make_ring_attention}[mode]
+        self.attn_backend = maker(mesh)
+        self.sp_mesh = mesh
+        self._jit_cache.clear()
+
+    def disable_sequence_parallel(self) -> None:
+        self.attn_backend = None
+        self.sp_mesh = None
+        self._jit_cache.clear()
+
     # ------------------------------------------------------------------ text
     def encode_prompt(self, prompts: Sequence[str], max_length: int = 512
                       ) -> jax.Array:
