@@ -72,8 +72,9 @@ class WanPipeline:
         # streaming VAE: bounded memory per step (two compiled graphs per
         # geometry); the whole-sequence path is used for short clips
         self.vae_streaming_threshold_frames = 2
-        self.vae_decode_chunk = 2   # latent frames per streaming decode step
+        self.vae_decode_chunk = 4   # latent frames per streaming decode step
         self.vae_encode_chunk = 4
+        self._rope_cache: Dict[Any, Any] = {}
         # VIDEOCOF_TIMING=1: per-stage wall times to stderr
         import os as _os
         self.verbose_timing = _os.environ.get("VIDEOCOF_TIMING") == "1"
@@ -302,17 +303,23 @@ class WanPipeline:
         grid = (Tl, Hl // ph, Wl // pw)
         f_src = condition_count if (repeat_rope) else None
         f_ground = ground_latent_count if (repeat_rope and cot) else 0
-        temporal_table = None
-        if riflex_k is not None:
-            from ..models.rope import riflex_angle_table
-            temporal_table = riflex_angle_table(
-                self.dit_cfg.head_dim, riflex_k, riflex_L_test or 66,
-                riflex_L_test_scale, max_pos=self.dit_cfg.rope_max_pos,
-                theta=self.dit_cfg.rope_theta)
-        cos, sin = wan_dit.make_rope_for_geometry(
-            self.dit_cfg, grid, f_src=f_src, f_ground=f_ground,
-            temporal_table=temporal_table)
-        cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+        rope_key = (grid, f_src, f_ground, riflex_k, riflex_L_test,
+                    riflex_L_test_scale)
+        if rope_key in self._rope_cache:
+            cos, sin = self._rope_cache[rope_key]
+        else:
+            temporal_table = None
+            if riflex_k is not None:
+                from ..models.rope import riflex_angle_table
+                temporal_table = riflex_angle_table(
+                    self.dit_cfg.head_dim, riflex_k, riflex_L_test or 66,
+                    riflex_L_test_scale, max_pos=self.dit_cfg.rope_max_pos,
+                    theta=self.dit_cfg.rope_theta)
+            cos, sin = wan_dit.make_rope_for_geometry(
+                self.dit_cfg, grid, f_src=f_src, f_ground=f_ground,
+                temporal_table=temporal_table)
+            cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+            self._rope_cache[rope_key] = (cos, sin)
         _tick("rope", (cos, sin))
 
         # ---- sampler

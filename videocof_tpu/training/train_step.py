@@ -31,14 +31,29 @@ class TrainState(NamedTuple):
 
 def flow_matching_loss(params, cfg: WanDiTConfig, x0, context, rope_cos,
                        rope_sin, timesteps, noise, attn_backend=None,
-                       remat: bool = True):
-    """Rectified-flow loss: x_t = (1-sigma) x0 + sigma n, target v = n - x0."""
+                       remat: bool = True, frame_mask=None):
+    """Rectified-flow loss: x_t = (1-sigma) x0 + sigma n, target v = n - x0.
+
+    ``frame_mask`` [F] (1 = denoised frame, 0 = clean conditioning frame)
+    implements the chain-of-frames objective: source latent frames stay clean
+    at every t and are excluded from the loss — the training-side mirror of
+    the pipeline's source freeze (`pipeline_wan.py:735-737`).
+    """
     sigma = (timesteps.astype(jnp.float32) / 1000.0)[:, None, None, None, None]
     x_t = (1.0 - sigma) * x0 + sigma * noise
     target = noise - x0
+    if frame_mask is not None:
+        m = frame_mask.astype(jnp.float32)[None, None, :, None, None]
+        x_t = m * x_t + (1.0 - m) * x0
+        target = target * m
     pred = wan_dit.wan_dit_forward(
         params, cfg, x_t, timesteps.astype(jnp.float32), context,
         rope_cos, rope_sin, attn_backend=attn_backend, remat_blocks=remat)
+    if frame_mask is not None:
+        m = frame_mask.astype(jnp.float32)[None, None, :, None, None]
+        err = jnp.square(pred - target) * m
+        denom = jnp.maximum(jnp.mean(m), 1e-8)
+        return jnp.mean(err) / denom
     return jnp.mean(jnp.square(pred - target))
 
 
@@ -83,7 +98,8 @@ def make_train_step(
             return flow_matching_loss(
                 p, cfg, x0, batch["context"], batch["rope_cos"],
                 batch["rope_sin"], batch["timesteps"], noise,
-                attn_backend=attn, remat=remat)
+                attn_backend=attn, remat=remat,
+                frame_mask=batch.get("frame_mask"))
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state,
