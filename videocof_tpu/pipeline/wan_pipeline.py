@@ -72,7 +72,9 @@ class WanPipeline:
         # streaming VAE: bounded memory per step (two compiled graphs per
         # geometry); the whole-sequence path is used for short clips
         self.vae_streaming_threshold_frames = 2
-        self.vae_decode_chunk = 4   # latent frames per streaming decode step
+        # 2 latent frames per streaming decode step: chunk 4 is ~1s faster at
+        # 480p but sits on the HBM cliff of a 16GB chip next to 1.3B weights
+        self.vae_decode_chunk = 2
         self.vae_encode_chunk = 4
         self._rope_cache: Dict[Any, Any] = {}
         # VIDEOCOF_TIMING=1: per-stage wall times to stderr
