@@ -1,0 +1,306 @@
+"""Flux 2D transformer (VideoX-Fun image-gen sibling).
+
+Rebuild of `videox_fun/models/flux_transformer2d.py`: 19 double-stream MMDiT
+blocks (separate img/text projections, joint attention, per-stream
+AdaLayerNormZero) followed by 38 single-stream blocks (parallel attention+MLP
+over the concatenated sequence, AdaLayerNormZeroSingle), 3-axis rope from
+img/txt position ids, combined timestep+pooled-text (+guidance) conditioning,
+AdaLayerNormContinuous output head.
+
+Layout notes (match diffusers semantics exactly):
+  * AdaLayerNormZero chunk order: shift_msa, scale_msa, gate_msa, shift_mlp,
+    scale_mlp, gate_mlp; Single: shift, scale, gate.
+  * AdaLayerNormContinuous chunk order: scale, shift.
+  * text tokens go FIRST in the joint sequence.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import attention
+from . import wan_dit as W
+from . import rope as rope_lib
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class FluxConfig:
+    patch_size: int = 1
+    in_channels: int = 64
+    out_channels: int = 64
+    num_layers: int = 19            # double-stream blocks
+    num_single_layers: int = 38
+    attention_head_dim: int = 128
+    num_attention_heads: int = 24
+    joint_attention_dim: int = 4096
+    pooled_projection_dim: int = 768
+    guidance_embeds: bool = False
+    axes_dims_rope: Tuple[int, int, int] = (16, 56, 56)
+    rope_theta: float = 10000.0
+    eps: float = 1e-6
+
+    @property
+    def inner_dim(self) -> int:
+        return self.num_attention_heads * self.attention_head_dim
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+FLUX_DEV = FluxConfig(guidance_embeds=True)
+FLUX_TINY = FluxConfig(in_channels=8, out_channels=8, num_layers=2,
+                       num_single_layers=2, attention_head_dim=16,
+                       num_attention_heads=4, joint_attention_dim=32,
+                       pooled_projection_dim=16, axes_dims_rope=(4, 6, 6))
+
+
+def rope_from_ids(cfg: FluxConfig, ids: jax.Array
+                  ) -> Tuple[jax.Array, jax.Array]:
+    """ids [L, n_axes] -> pairwise cos/sin [L, head_dim//2] (FluxPosEmbed)."""
+    parts_c, parts_s = [], []
+    for i, d in enumerate(cfg.axes_dims_rope):
+        inv = 1.0 / cfg.rope_theta ** (
+            jnp.arange(0, d, 2, dtype=jnp.float32) / d)
+        ang = ids[:, i].astype(jnp.float32)[:, None] * inv[None, :]
+        parts_c.append(jnp.cos(ang))
+        parts_s.append(jnp.sin(ang))
+    return jnp.concatenate(parts_c, axis=-1), jnp.concatenate(parts_s, axis=-1)
+
+
+# ---------------------------------------------------------------------- init
+
+def init_flux(key, cfg: FluxConfig, dtype=jnp.float32) -> Params:
+    d = cfg.inner_dim
+    hd = cfg.attention_head_dim
+    it = iter(jax.random.split(key, 64 + 16 * (cfg.num_layers +
+                                               cfg.num_single_layers)))
+
+    def rms(shape=(hd,)):
+        return {"weight": jnp.ones(shape, dtype)}
+
+    def dual_block():
+        ks = [next(it) for _ in range(12)]
+        return {
+            "norm1": {"lin": W._init_linear(ks[0], d, 6 * d, jnp.float32)},
+            "norm1_context": {"lin": W._init_linear(ks[1], d, 6 * d,
+                                                    jnp.float32)},
+            "attn": {
+                "q": W._init_linear(ks[2], d, d, dtype),
+                "k": W._init_linear(ks[3], d, d, dtype),
+                "v": W._init_linear(ks[4], d, d, dtype),
+                "o": W._init_linear(ks[5], d, d, dtype),
+                "add_q": W._init_linear(ks[6], d, d, dtype),
+                "add_k": W._init_linear(ks[7], d, d, dtype),
+                "add_v": W._init_linear(ks[8], d, d, dtype),
+                "add_o": W._init_linear(ks[9], d, d, dtype),
+                "norm_q": rms(), "norm_k": rms(),
+                "norm_added_q": rms(), "norm_added_k": rms(),
+            },
+            "ff": {"fc1": W._init_linear(ks[10], d, 4 * d, dtype),
+                   "fc2": W._init_linear(next(it), 4 * d, d, dtype)},
+            "ff_context": {"fc1": W._init_linear(next(it), d, 4 * d, dtype),
+                           "fc2": W._init_linear(ks[11], 4 * d, d, dtype)},
+        }
+
+    def single_block():
+        ks = [next(it) for _ in range(6)]
+        return {
+            "norm": {"lin": W._init_linear(ks[0], d, 3 * d, jnp.float32)},
+            "attn": {
+                "q": W._init_linear(ks[1], d, d, dtype),
+                "k": W._init_linear(ks[2], d, d, dtype),
+                "v": W._init_linear(ks[3], d, d, dtype),
+                "norm_q": rms(), "norm_k": rms(),
+            },
+            "proj_mlp": W._init_linear(ks[4], d, 4 * d, dtype),
+            "proj_out": W._init_linear(ks[5], 5 * d, d, dtype),
+        }
+
+    dual = [dual_block() for _ in range(cfg.num_layers)]
+    single = [single_block() for _ in range(cfg.num_single_layers)]
+
+    params: Params = {
+        "x_embedder": W._init_linear(next(it), cfg.in_channels, d, dtype),
+        "context_embedder": W._init_linear(next(it), cfg.joint_attention_dim,
+                                           d, dtype),
+        "time_embed": {"fc1": W._init_linear(next(it), 256, d, jnp.float32),
+                       "fc2": W._init_linear(next(it), d, d, jnp.float32)},
+        "text_embed": {"fc1": W._init_linear(
+            next(it), cfg.pooled_projection_dim, d, jnp.float32),
+            "fc2": W._init_linear(next(it), d, d, jnp.float32)},
+        "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *dual),
+        "single_blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *single),
+        "norm_out": {"lin": W._init_linear(next(it), d, 2 * d, jnp.float32)},
+        "proj_out": W._init_linear(
+            next(it), d, cfg.patch_size ** 2 * cfg.out_channels, dtype),
+    }
+    if cfg.guidance_embeds:
+        params["guidance_embed"] = {
+            "fc1": W._init_linear(next(it), 256, d, jnp.float32),
+            "fc2": W._init_linear(next(it), d, d, jnp.float32)}
+    return params
+
+
+# -------------------------------------------------------------------- blocks
+
+def _ada_zero(p, temb, n_chunks):
+    m = W._linear(jax.nn.silu(temb), p["lin"], jnp.float32)
+    return jnp.split(m, n_chunks, axis=1)
+
+
+def _proj_heads(x, p, name, norm_name, N, hd, eps):
+    h = W._linear(x, p[name]).reshape(x.shape[0], x.shape[1], N, hd)
+    if norm_name:
+        h = W._rms_norm(h, p[norm_name]["weight"], eps)
+    return h
+
+
+def flux_dual_block(p, cfg: FluxConfig, img, txt, temb, rope_cs,
+                    attn_backend=None):
+    eps = cfg.eps
+    N, hd = cfg.num_attention_heads, cfg.attention_head_dim
+    B, Li, D = img.shape
+    Lt = txt.shape[1]
+    cdtype = p["attn"]["q"]["kernel"].dtype
+
+    sh, sc, g_msa, sh_m, sc_m, g_mlp = _ada_zero(p["norm1"], temb, 6)
+    csh, csc, cg_msa, csh_m, csc_m, cg_mlp = _ada_zero(p["norm1_context"],
+                                                       temb, 6)
+    ni = (W._layer_norm(img, 1e-6) * (1 + sc[:, None]) + sh[:, None]
+          ).astype(cdtype)
+    nt = (W._layer_norm(txt, 1e-6) * (1 + csc[:, None]) + csh[:, None]
+          ).astype(cdtype)
+
+    q = jnp.concatenate([
+        _proj_heads(nt, p["attn"], "add_q", "norm_added_q", N, hd, eps),
+        _proj_heads(ni, p["attn"], "q", "norm_q", N, hd, eps)], axis=1)
+    k = jnp.concatenate([
+        _proj_heads(nt, p["attn"], "add_k", "norm_added_k", N, hd, eps),
+        _proj_heads(ni, p["attn"], "k", "norm_k", N, hd, eps)], axis=1)
+    v = jnp.concatenate([
+        _proj_heads(nt, p["attn"], "add_v", None, N, hd, eps),
+        _proj_heads(ni, p["attn"], "v", None, N, hd, eps)], axis=1)
+    if rope_cs is not None:
+        q = rope_lib.apply_rope(q, *rope_cs)
+        k = rope_lib.apply_rope(k, *rope_cs)
+    o = attention(q, k, v, backend=attn_backend).reshape(B, Lt + Li, D)
+    o_txt = W._linear(o[:, :Lt], p["attn"]["add_o"]).astype(jnp.float32)
+    o_img = W._linear(o[:, Lt:], p["attn"]["o"]).astype(jnp.float32)
+
+    img = img + g_msa[:, None] * o_img
+    ni = W._layer_norm(img, 1e-6) * (1 + sc_m[:, None]) + sh_m[:, None]
+    h = W._linear(ni.astype(cdtype), p["ff"]["fc1"])
+    h = jax.nn.gelu(h, approximate=True)
+    img = img + g_mlp[:, None] * W._linear(h, p["ff"]["fc2"]).astype(
+        jnp.float32)
+
+    txt = txt + cg_msa[:, None] * o_txt
+    nt = W._layer_norm(txt, 1e-6) * (1 + csc_m[:, None]) + csh_m[:, None]
+    h = W._linear(nt.astype(cdtype), p["ff_context"]["fc1"])
+    h = jax.nn.gelu(h, approximate=True)
+    txt = txt + cg_mlp[:, None] * W._linear(h, p["ff_context"]["fc2"]
+                                            ).astype(jnp.float32)
+    return img, txt
+
+
+def flux_single_block(p, cfg: FluxConfig, x, temb, rope_cs,
+                      attn_backend=None):
+    eps = cfg.eps
+    N, hd = cfg.num_attention_heads, cfg.attention_head_dim
+    B, L, D = x.shape
+    cdtype = p["attn"]["q"]["kernel"].dtype
+
+    sh, sc, gate = _ada_zero(p["norm"], temb, 3)
+    nx = (W._layer_norm(x, 1e-6) * (1 + sc[:, None]) + sh[:, None]
+          ).astype(cdtype)
+    q = _proj_heads(nx, p["attn"], "q", "norm_q", N, hd, eps)
+    k = _proj_heads(nx, p["attn"], "k", "norm_k", N, hd, eps)
+    v = _proj_heads(nx, p["attn"], "v", None, N, hd, eps)
+    if rope_cs is not None:
+        q = rope_lib.apply_rope(q, *rope_cs)
+        k = rope_lib.apply_rope(k, *rope_cs)
+    att = attention(q, k, v, backend=attn_backend).reshape(B, L, D)
+    mlp = jax.nn.gelu(W._linear(nx, p["proj_mlp"]), approximate=True)
+    h = jnp.concatenate([att, mlp], axis=-1)
+    out = W._linear(h, p["proj_out"]).astype(jnp.float32)
+    return x + gate[:, None] * out
+
+
+# ------------------------------------------------------------------- forward
+
+def _sincos_256(t: jax.Array) -> jax.Array:
+    """diffusers Timesteps(256, flip_sin_to_cos=True, shift=0)."""
+    half = 128
+    expo = -math.log(10000.0) * jnp.arange(half, dtype=jnp.float32) / half
+    ang = t.astype(jnp.float32)[:, None] * jnp.exp(expo)[None, :]
+    return jnp.concatenate([jnp.cos(ang), jnp.sin(ang)], axis=-1)
+
+
+def flux_forward(
+    params: Params,
+    cfg: FluxConfig,
+    hidden_states: jax.Array,        # [B, L_img, in_channels] packed latents
+    encoder_hidden_states: jax.Array,  # [B, L_txt, joint_attention_dim]
+    pooled_projections: jax.Array,   # [B, pooled_projection_dim]
+    timestep: jax.Array,             # [B] in [0, 1]
+    img_ids: jax.Array,              # [L_img, 3]
+    txt_ids: jax.Array,              # [L_txt, 3]
+    guidance: Optional[jax.Array] = None,
+    attn_backend=None,
+) -> jax.Array:
+    cdtype = params["x_embedder"]["kernel"].dtype
+    img = W._linear(hidden_states.astype(cdtype), params["x_embedder"]
+                    ).astype(jnp.float32)
+    txt = W._linear(encoder_hidden_states.astype(cdtype),
+                    params["context_embedder"]).astype(jnp.float32)
+
+    temb = _sincos_256(timestep * 1000.0)
+    temb = W._linear(temb, params["time_embed"]["fc1"], jnp.float32)
+    temb = W._linear(jax.nn.silu(temb), params["time_embed"]["fc2"],
+                     jnp.float32)
+    pooled = W._linear(pooled_projections.astype(jnp.float32),
+                       params["text_embed"]["fc1"], jnp.float32)
+    pooled = W._linear(jax.nn.silu(pooled), params["text_embed"]["fc2"],
+                       jnp.float32)
+    temb = temb + pooled
+    if guidance is not None and "guidance_embed" in params:
+        g = _sincos_256(guidance * 1000.0)
+        g = W._linear(g, params["guidance_embed"]["fc1"], jnp.float32)
+        g = W._linear(jax.nn.silu(g), params["guidance_embed"]["fc2"],
+                      jnp.float32)
+        temb = temb + g
+
+    ids = jnp.concatenate([txt_ids, img_ids], axis=0)
+    rope_cs = rope_from_ids(cfg, ids)
+
+    def dual_body(carry, bp):
+        i, t = carry
+        i, t = flux_dual_block(bp, cfg, i, t, temb, rope_cs,
+                               attn_backend=attn_backend)
+        return (i, t), None
+
+    (img, txt), _ = jax.lax.scan(dual_body, (img, txt), params["blocks"])
+
+    x = jnp.concatenate([txt, img], axis=1)
+
+    def single_body(carry, bp):
+        return flux_single_block(bp, cfg, carry, temb, rope_cs,
+                                 attn_backend=attn_backend), None
+
+    x, _ = jax.lax.scan(single_body, x, params["single_blocks"])
+    img = x[:, txt.shape[1]:]
+
+    # AdaLayerNormContinuous: chunk order (scale, shift)
+    m = W._linear(jax.nn.silu(temb), params["norm_out"]["lin"], jnp.float32)
+    scale, shift = jnp.split(m, 2, axis=1)
+    img = W._layer_norm(img, 1e-6) * (1 + scale[:, None]) + shift[:, None]
+    return W._linear(img.astype(cdtype), params["proj_out"]).astype(
+        jnp.float32)

@@ -1,0 +1,206 @@
+"""QwenImage 2D transformer (VideoX-Fun image-gen sibling).
+
+Rebuild of `videox_fun/models/qwenimage_transformer2d.py`: 60 dual-stream
+blocks where each stream derives TWO (shift, scale, gate) modulations from a
+single silu+linear over the time embedding (`:369-414`), joint attention with
+separate img/txt projections and RMS q/k norms, RMS-normed text input,
+3-axis rope, AdaLayerNormContinuous head. Shares primitives with `flux.py`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import attention
+from . import wan_dit as W
+from . import rope as rope_lib
+from .flux import _sincos_256, rope_from_ids as _flux_rope_from_ids
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class QwenImageConfig:
+    patch_size: int = 2
+    in_channels: int = 64
+    out_channels: int = 16
+    num_layers: int = 60
+    attention_head_dim: int = 128
+    num_attention_heads: int = 24
+    joint_attention_dim: int = 3584
+    axes_dims_rope: Tuple[int, int, int] = (16, 56, 56)
+    rope_theta: float = 10000.0
+    eps: float = 1e-6
+
+    @property
+    def inner_dim(self) -> int:
+        return self.num_attention_heads * self.attention_head_dim
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+QWENIMAGE = QwenImageConfig()
+QWENIMAGE_TINY = QwenImageConfig(in_channels=8, out_channels=8, num_layers=2,
+                                 attention_head_dim=16,
+                                 num_attention_heads=4,
+                                 joint_attention_dim=32,
+                                 axes_dims_rope=(4, 6, 6))
+
+
+def init_qwenimage(key, cfg: QwenImageConfig, dtype=jnp.float32) -> Params:
+    d = cfg.inner_dim
+    hd = cfg.attention_head_dim
+    it = iter(jax.random.split(key, 24 + 16 * cfg.num_layers))
+
+    def rms():
+        return {"weight": jnp.ones((hd,), dtype)}
+
+    def block():
+        ks = [next(it) for _ in range(12)]
+        return {
+            "img_mod": {"lin": W._init_linear(ks[0], d, 6 * d, jnp.float32)},
+            "txt_mod": {"lin": W._init_linear(ks[1], d, 6 * d, jnp.float32)},
+            "attn": {
+                "q": W._init_linear(ks[2], d, d, dtype),
+                "k": W._init_linear(ks[3], d, d, dtype),
+                "v": W._init_linear(ks[4], d, d, dtype),
+                "o": W._init_linear(ks[5], d, d, dtype),
+                "add_q": W._init_linear(ks[6], d, d, dtype),
+                "add_k": W._init_linear(ks[7], d, d, dtype),
+                "add_v": W._init_linear(ks[8], d, d, dtype),
+                "add_o": W._init_linear(ks[9], d, d, dtype),
+                "norm_q": rms(), "norm_k": rms(),
+                "norm_added_q": rms(), "norm_added_k": rms(),
+            },
+            "img_mlp": {"fc1": W._init_linear(ks[10], d, 4 * d, dtype),
+                        "fc2": W._init_linear(next(it), 4 * d, d, dtype)},
+            "txt_mlp": {"fc1": W._init_linear(next(it), d, 4 * d, dtype),
+                        "fc2": W._init_linear(ks[11], 4 * d, d, dtype)},
+        }
+
+    blocks = [block() for _ in range(cfg.num_layers)]
+    return {
+        "img_in": W._init_linear(next(it), cfg.in_channels, d, dtype),
+        "txt_in": W._init_linear(next(it), cfg.joint_attention_dim, d, dtype),
+        "txt_norm": {"weight": jnp.ones((cfg.joint_attention_dim,), dtype)},
+        "time_embed": {"fc1": W._init_linear(next(it), 256, d, jnp.float32),
+                       "fc2": W._init_linear(next(it), d, d, jnp.float32)},
+        "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
+        "norm_out": {"lin": W._init_linear(next(it), d, 2 * d, jnp.float32)},
+        "proj_out": W._init_linear(
+            next(it), d, cfg.patch_size ** 2 * cfg.out_channels, dtype),
+    }
+
+
+def _modulate(x, mod, eps):
+    """mod [B, 3*D] -> (modulated, gate) (`qwenimage:409-411`,
+    chunk order shift, scale, gate)."""
+    shift, scale, gate = jnp.split(mod, 3, axis=-1)
+    return (W._layer_norm(x, eps) * (1 + scale[:, None]) + shift[:, None],
+            gate[:, None])
+
+
+def qwen_block_apply(p, cfg: QwenImageConfig, img, txt, temb, rope_cs,
+                     txt_mask=None, attn_backend=None):
+    eps = cfg.eps
+    N, hd = cfg.num_attention_heads, cfg.attention_head_dim
+    B, Li, D = img.shape
+    Lt = txt.shape[1]
+    cdtype = p["attn"]["q"]["kernel"].dtype
+
+    img_mod = W._linear(jax.nn.silu(temb), p["img_mod"]["lin"], jnp.float32)
+    txt_mod = W._linear(jax.nn.silu(temb), p["txt_mod"]["lin"], jnp.float32)
+    im1, im2 = jnp.split(img_mod, 2, axis=-1)
+    tm1, tm2 = jnp.split(txt_mod, 2, axis=-1)
+
+    ni, ig1 = _modulate(img, im1, eps)
+    nt, tg1 = _modulate(txt, tm1, eps)
+    ni, nt = ni.astype(cdtype), nt.astype(cdtype)
+
+    def heads(x, name, norm):
+        h = W._linear(x, p["attn"][name]).reshape(x.shape[0], x.shape[1], N,
+                                                  hd)
+        if norm:
+            h = W._rms_norm(h, p["attn"][norm]["weight"], eps)
+        return h
+
+    q = jnp.concatenate([heads(nt, "add_q", "norm_added_q"),
+                         heads(ni, "q", "norm_q")], axis=1)
+    k = jnp.concatenate([heads(nt, "add_k", "norm_added_k"),
+                         heads(ni, "k", "norm_k")], axis=1)
+    v = jnp.concatenate([heads(nt, "add_v", None),
+                         heads(ni, "v", None)], axis=1)
+    if rope_cs is not None:
+        q = rope_lib.apply_rope(q, *rope_cs)
+        k = rope_lib.apply_rope(k, *rope_cs)
+    mask = None
+    if txt_mask is not None:
+        mask = jnp.concatenate(
+            [txt_mask.astype(bool),
+             jnp.ones((B, Li), bool)], axis=1)
+    o = attention(q, k, v, mask=mask, backend=attn_backend
+                  ).reshape(B, Lt + Li, D)
+    o_txt = W._linear(o[:, :Lt], p["attn"]["add_o"]).astype(jnp.float32)
+    o_img = W._linear(o[:, Lt:], p["attn"]["o"]).astype(jnp.float32)
+
+    img = img + ig1 * o_img
+    txt = txt + tg1 * o_txt
+
+    ni, ig2 = _modulate(img, im2, eps)
+    h = W._linear(ni.astype(cdtype), p["img_mlp"]["fc1"])
+    h = jax.nn.gelu(h, approximate=True)
+    img = img + ig2 * W._linear(h, p["img_mlp"]["fc2"]).astype(jnp.float32)
+
+    nt, tg2 = _modulate(txt, tm2, eps)
+    h = W._linear(nt.astype(cdtype), p["txt_mlp"]["fc1"])
+    h = jax.nn.gelu(h, approximate=True)
+    txt = txt + tg2 * W._linear(h, p["txt_mlp"]["fc2"]).astype(jnp.float32)
+    return img, txt
+
+
+def qwenimage_forward(
+    params: Params,
+    cfg: QwenImageConfig,
+    hidden_states: jax.Array,          # [B, L_img, in_channels]
+    encoder_hidden_states: jax.Array,  # [B, L_txt, joint_attention_dim]
+    timestep: jax.Array,               # [B] in [0, 1]
+    img_ids: jax.Array,                # [L_img, 3]
+    txt_ids: jax.Array,                # [L_txt, 3]
+    encoder_hidden_states_mask: Optional[jax.Array] = None,
+    attn_backend=None,
+) -> jax.Array:
+    cdtype = params["img_in"]["kernel"].dtype
+    img = W._linear(hidden_states.astype(cdtype), params["img_in"]
+                    ).astype(jnp.float32)
+    txt = W._rms_norm(encoder_hidden_states.astype(cdtype),
+                      params["txt_norm"]["weight"], 1e-6)
+    txt = W._linear(txt, params["txt_in"]).astype(jnp.float32)
+
+    temb = _sincos_256(timestep * 1000.0)
+    temb = W._linear(temb, params["time_embed"]["fc1"], jnp.float32)
+    temb = W._linear(jax.nn.silu(temb), params["time_embed"]["fc2"],
+                     jnp.float32)
+
+    ids = jnp.concatenate([txt_ids, img_ids], axis=0)
+    rope_cs = _flux_rope_from_ids(cfg, ids)
+
+    def body(carry, bp):
+        i, t = carry
+        i, t = qwen_block_apply(bp, cfg, i, t, temb, rope_cs,
+                                txt_mask=encoder_hidden_states_mask,
+                                attn_backend=attn_backend)
+        return (i, t), None
+
+    (img, txt), _ = jax.lax.scan(body, (img, txt), params["blocks"])
+
+    m = W._linear(jax.nn.silu(temb), params["norm_out"]["lin"], jnp.float32)
+    scale, shift = jnp.split(m, 2, axis=1)
+    img = W._layer_norm(img, 1e-6) * (1 + scale[:, None]) + shift[:, None]
+    return W._linear(img.astype(cdtype), params["proj_out"]).astype(
+        jnp.float32)
