@@ -14,3 +14,17 @@ compiled XLA program.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy convenience exports (keep bare `import videocof_tpu` light)
+    if name == "WanPipeline":
+        from .pipeline import WanPipeline
+        return WanPipeline
+    if name == "Wan22Pipeline":
+        from .pipeline import Wan22Pipeline
+        return Wan22Pipeline
+    if name == "load_pipeline":
+        from .factory import load_pipeline
+        return load_pipeline
+    raise AttributeError(name)
