@@ -5,16 +5,16 @@ Every model is a pure-functional (init, forward) pair over parameter pytrees:
   Wan family      wan_dit (t2v/i2v + VACE/S2V variants), wan_vae (2.1) +
                   wan_vae_streaming, wan_vae22 (2.2/3.8), t5_encoder (umT5),
                   clip_vision (i2v ViT-H), camera_adapter
-  Sibling families cogvideox, flux, qwenimage
+  Sibling families cogvideox, cogvideox_vae, flux, qwenimage
   Acceleration    teacache, lora (weight fusion), weights (checkpoint IO)
 """
 
-from . import (camera_adapter, clip_vision, cogvideox, flux, lora, qwenimage,
+from . import (camera_adapter, clip_vision, cogvideox, cogvideox_vae, flux, lora, qwenimage, qwenimage_vae,
                rope, t5_encoder, teacache, wan_dit, wan_dit_s2v, wan_dit_vace,
                wan_vae, wan_vae22, wan_vae_streaming, weights)
 
 __all__ = [
-    "camera_adapter", "clip_vision", "cogvideox", "flux", "lora",
-    "qwenimage", "rope", "t5_encoder", "teacache", "wan_dit", "wan_dit_s2v",
+    "camera_adapter", "clip_vision", "cogvideox", "cogvideox_vae", "flux", "lora",
+    "qwenimage", "qwenimage_vae", "rope", "t5_encoder", "teacache", "wan_dit", "wan_dit_s2v",
     "wan_dit_vace", "wan_vae", "wan_vae22", "wan_vae_streaming", "weights",
 ]
