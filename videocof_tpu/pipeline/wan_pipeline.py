@@ -7,12 +7,13 @@ noise(tgt)] (`prepare_cot_video_latents:381-419`), per-step source freezing
 (`noise_pred[:, :, :condition_count] = 0` at `:735-737`), CFG by batch
 doubling, segment-wise VAE decode (`:757-786`).
 
-TPU-first structure: everything per-step heavy is inside ONE jitted function
-(CFG doubling, DiT forward, guidance combine, source freeze) with donated
-latents; the sampler update applies host-precomputed scalar coefficients; RoPE
-segment geometry enters as cos/sin data computed once per call geometry.
-Compiled executables are cached per (geometry, steps, cfg-flag) signature, so
-batch editing at a fixed bucket recompiles nothing after the first video.
+TPU-first structure: on the default path the WHOLE denoise trajectory runs as
+one compiled scan (`fused_sampler.py`); otherwise each step is one jitted
+function (CFG doubling, DiT forward, guidance combine, source freeze) plus a
+jitted sampler update from host-precomputed scalar coefficients. RoPE segment
+geometry enters as cos/sin data cached per call geometry. Compiled
+executables are cached per (geometry, steps, cfg-flag) signature, so batch
+editing at a fixed bucket recompiles nothing after the first video.
 """
 
 from __future__ import annotations
@@ -116,10 +117,17 @@ class WanPipeline:
         zero-pads; padded positions then flow through the text MLP unmasked —
         `pipeline_wan.py:140-182`, `wan_transformer3d.py:937-942`)."""
         ids, mask = self.tokenizer(list(prompts), max_length=max_length)
-        emb = t5_encoder.t5_encode(self.t5_params, self.t5_cfg,
-                                   jnp.asarray(ids), jnp.asarray(mask))
-        emb = emb * jnp.asarray(mask)[..., None].astype(emb.dtype)
-        return emb
+        if "t5" not in self._jit_cache:
+            cfg = self.t5_cfg
+
+            @jax.jit
+            def enc(params, ids, mask):
+                e = t5_encoder.t5_encode(params, cfg, ids, mask)
+                return e * mask[..., None].astype(e.dtype)
+
+            self._jit_cache["t5"] = enc
+        return self._jit_cache["t5"](self.t5_params, jnp.asarray(ids),
+                                     jnp.asarray(mask))
 
     # ---------------------------------------------------------------- latents
     def vae_encode(self, video: jax.Array) -> jax.Array:
