@@ -1,0 +1,56 @@
+"""4x length extrapolation (reference `README.md:12,181`): the CoF repeat
+RoPE restarts target temporal positions at the source's coordinate range, so
+a model trained at 33 frames runs at 4x length without leaving its trained
+position range."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videocof_tpu.configs import T5_TINY, VAE_TINY, WAN_TINY
+from videocof_tpu.models import rope, t5_encoder, wan_dit, wan_vae
+from videocof_tpu.pipeline import WanPipeline
+
+
+def test_cof_positions_bounded_at_4x():
+    # 4x the default training geometry: 132-frame source = 33 latent frames
+    f_src = 33
+    f = f_src + 1 + f_src
+    t_pos = rope.cof_temporal_positions(f, f_src=f_src, f_ground=1)
+    # positions stay within [0, f_src] regardless of total length — the
+    # whole point of the repeat RoPE
+    assert t_pos.max() == f_src
+    assert t_pos.min() == 0
+    # versus the default contiguous map which would reach f-1
+    assert rope.cof_temporal_positions(f).max() == f - 1
+
+
+def test_pipeline_at_4x_length():
+    VCFG = VAE_TINY
+    DCFG = WAN_TINY.replace(in_dim=VCFG.z_dim, out_dim=VCFG.z_dim,
+                            text_dim=T5_TINY.dim)
+    pipe = WanPipeline(
+        wan_dit.init_wan_dit(jax.random.PRNGKey(0), DCFG), DCFG,
+        wan_vae.init_wan_vae(jax.random.PRNGKey(1), VCFG), VCFG,
+        t5_encoder.init_t5_encoder(jax.random.PRNGKey(2), T5_TINY), T5_TINY,
+        dtype=jnp.float32)
+    # 4x the 9-frame tiny geometry used elsewhere in the suite
+    video = np.random.default_rng(0).uniform(
+        -1, 1, (1, 3, 33, 16, 16)).astype(np.float32)
+    out = pipe(video, "remove the cube", source_frames=33,
+               reasoning_frames=4, num_inference_steps=1)
+    # 9 src + 1 ground + 9 tgt latent frames; decode(1)->1, decode(9)->33
+    assert out.ground_videos.shape == (1, 3, 1, 16, 16)
+    assert out.edit_videos.shape == (1, 3, 33, 16, 16)
+    assert np.isfinite(out.videos).all()
+
+
+def test_riflex_composes_with_cof():
+    # RIFLEx replaces the intrinsic temporal frequency; combined with CoF
+    # positions it still produces valid tables
+    cos, sin = rope.build_rope_cos_sin(
+        (67, 2, 2), 128, f_src=33, f_ground=1,
+        temporal_table=rope.riflex_angle_table(128, k=6, L_test=66))
+    assert cos.shape == (67 * 4, 64)
+    assert np.isfinite(cos).all() and np.isfinite(sin).all()
