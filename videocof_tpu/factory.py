@@ -34,7 +34,14 @@ def load_pipeline(
     t5_cfg: Optional[T5Config] = None,
     seed: int = 0,
     attn_backend: Optional[str] = None,
+    high_noise_model: Optional[str] = None,
+    boundary: float = 0.875,
 ) -> WanPipeline:
+    """Build a pipeline from a checkpoint dir (or random weights).
+
+    ``high_noise_model``: path to a second DiT checkpoint dir — returns a
+    `Wan22Pipeline` routing high-noise timesteps to it (the Wan2.2 A14B MoE
+    layout ships low/high-noise expert directories)."""
     vae_cfg = vae_cfg or WanVAEConfig()
     t5_cfg = t5_cfg or T5Config()
 
@@ -81,6 +88,16 @@ def load_pipeline(
     dit_params = jax.tree.map(jnp.asarray, dit_params)
     vae_params = jax.tree.map(jnp.asarray, vae_params)
     t5_params = jax.tree.map(jnp.asarray, t5_params)
+
+    if high_noise_model:
+        from .pipeline import Wan22Pipeline
+        sd2 = weights.load_state_dict(high_noise_model)
+        dit2 = weights.convert_dit_state_dict(sd2, dit_cfg, dtype=npdt)
+        dit2 = jax.tree.map(jnp.asarray, dit2)
+        return Wan22Pipeline(dit_params, dit_cfg, vae_params, vae_cfg,
+                             t5_params, t5_cfg, tokenizer, dtype=dtype,
+                             attn_backend=attn_backend, dit_params_2=dit2,
+                             boundary=boundary)
     return WanPipeline(dit_params, dit_cfg, vae_params, vae_cfg, t5_params,
                        t5_cfg, tokenizer, dtype=dtype,
                        attn_backend=attn_backend)
