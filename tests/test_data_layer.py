@@ -121,3 +121,16 @@ def test_dataset_retry_on_bad_item(triplet_json, tmp_path):
     # index 1 is broken; retry resamples to the good item
     s = ds[1]
     assert s["pixel_src"].shape == (3, 4, 32, 48)
+
+
+def test_tokenizer_require_real_rejects_fallback():
+    import pytest
+    from videocof_tpu.data.tokenizer import WanTokenizer
+    # bad checkpoint path + require_real -> hard error, never hash fallback
+    with pytest.raises(RuntimeError, match="refusing the hash-fallback"):
+        WanTokenizer("/nonexistent/umt5-dir", require_real=True)
+    # without require_real: loud warning + fallback, still functional
+    tok = WanTokenizer("/nonexistent/umt5-dir", require_real=False)
+    assert tok.is_fallback
+    ids, mask = tok(["hello world"], max_length=8)
+    assert ids.shape == (1, 8) and mask[0].sum() == 3

@@ -57,6 +57,22 @@ def test_batch_decode(test_video):
     np.testing.assert_allclose(out[0], out[3], atol=1e-6)
 
 
+def test_decode_preserves_caller_order(test_video):
+    fwd = runtime.decode_frames(test_video, [0, 10, 29], 48, 64)
+    rev = runtime.decode_frames(test_video, [29, 10, 0], 48, 64)
+    np.testing.assert_allclose(rev, fwd[::-1], atol=1e-6)
+    means = rev.mean(axis=(1, 2, 3))
+    assert means[0] > means[1] > means[2]  # gradient: brighter first
+
+
+def test_batch_decode_preserves_caller_order(test_video):
+    fwd = runtime.decode_batch([test_video] * 2,
+                               np.tile(np.array([0, 5, 10]), (2, 1)), 48, 64)
+    rev = runtime.decode_batch([test_video] * 2,
+                               np.tile(np.array([10, 5, 0]), (2, 1)), 48, 64)
+    np.testing.assert_allclose(rev, fwd[:, ::-1], atol=1e-6)
+
+
 def test_missing_file_errors():
     with pytest.raises(Exception):
         runtime.video_info("/nonexistent/file.mp4")

@@ -147,3 +147,14 @@ def test_add_noise_roundtrip():
     n = jnp.zeros((2, 2))
     out = sched.add_noise(x0, n, 0.25)
     np.testing.assert_allclose(np.asarray(out), 0.75)
+
+
+def test_euler_timesteps_stay_float():
+    """diffusers' FlowMatchEulerDiscreteScheduler keeps float sigma*T
+    timesteps; truncating to int conditions the model on wrong t (ADVICE r1).
+    UniPC/DPM intentionally truncate — Euler must not."""
+    s = FlowEulerScheduler()
+    ts = s.set_timesteps(7, shift=3.0)
+    assert np.issubdtype(ts.dtype, np.floating)
+    assert np.any(ts != np.floor(ts))
+    np.testing.assert_allclose(ts, s.sigmas[:-1] * 1000.0, rtol=1e-12)

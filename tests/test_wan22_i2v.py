@@ -48,6 +48,27 @@ def test_wan22_pipeline_runs():
     assert np.isfinite(out.videos).all()
 
 
+def test_wan22_uint8_input_matches_float():
+    """The Wan2.2 __call__ must honor the base pipeline's uint8 contract
+    (ADVICE r1: it used to VAE-encode raw 0..255 values)."""
+    p1 = wan_dit.init_wan_dit(jax.random.PRNGKey(0), DCFG)
+    pipe = Wan22Pipeline(
+        p1, DCFG,
+        wan_vae.init_wan_vae(jax.random.PRNGKey(2), VCFG), VCFG,
+        t5_encoder.init_t5_encoder(jax.random.PRNGKey(3), T5_TINY), T5_TINY,
+        dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    u8 = rng.integers(0, 256, (1, 3, 9, 32, 32), dtype=np.uint8)
+    f32 = u8.astype(np.float32) * (2.0 / 255.0) - 1.0
+    kw = dict(source_frames=9, num_inference_steps=2, guidance_scale=1.0,
+              cot=False)
+    a = pipe(f32, "make it snow", **kw)
+    b = pipe(u8, "make it snow", **kw)
+    np.testing.assert_allclose(a.videos, b.videos, atol=2e-2)
+    with pytest.raises(ValueError, match="prompts"):
+        pipe(f32, ["a", "b"], **kw)
+
+
 def test_i2v_dit_branch():
     cfg = WAN_TINY.replace(model_type="i2v", in_dim=WAN_TINY.in_dim * 2)
     params = wan_dit.init_wan_dit(jax.random.PRNGKey(0), cfg)

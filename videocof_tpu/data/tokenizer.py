@@ -38,8 +38,13 @@ class _FallbackTokenizer:
 
 
 class WanTokenizer:
+    """``require_real=True`` (the CLI/serving default when a checkpoint path
+    is given) turns a tokenizer-load failure into a hard error instead of the
+    silent hash fallback — a typo'd checkpoint path must not hash-tokenize
+    production prompts into garbage embeddings."""
+
     def __init__(self, path_or_name: Optional[str] = None,
-                 vocab_size: int = 256384):
+                 vocab_size: int = 256384, require_real: bool = False):
         self._hf = None
         self.is_fallback = True
         if path_or_name is not None:
@@ -47,7 +52,17 @@ class WanTokenizer:
                 from transformers import AutoTokenizer
                 self._hf = AutoTokenizer.from_pretrained(path_or_name)
                 self.is_fallback = False
-            except Exception:
+            except Exception as e:
+                if require_real:
+                    raise RuntimeError(
+                        f"could not load the umT5 tokenizer from "
+                        f"{path_or_name!r} ({e}); refusing the hash-fallback "
+                        f"tokenizer (require_real=True)") from e
+                import sys
+                print(f"[tokenizer] WARNING: failed to load tokenizer from "
+                      f"{path_or_name!r} ({e}); using the deterministic "
+                      f"HASH fallback — embeddings will NOT match the "
+                      f"production vocabulary", file=sys.stderr)
                 self._hf = None
         if self._hf is None:
             self._fallback = _FallbackTokenizer(vocab_size)

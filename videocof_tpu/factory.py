@@ -36,6 +36,7 @@ def load_pipeline(
     attn_backend: Optional[str] = None,
     high_noise_model: Optional[str] = None,
     boundary: float = 0.875,
+    require_real_tokenizer: bool = True,
 ) -> WanPipeline:
     """Build a pipeline from a checkpoint dir (or random weights).
 
@@ -81,9 +82,12 @@ def load_pipeline(
     t5_params = weights.convert_t5_state_dict(t5_sd, t5_cfg, dtype=npdt)
     del t5_sd
 
+    # A real checkpoint dir demands a real tokenizer: failing over to the
+    # hash tokenizer here would silently corrupt production prompts.
     tok_path = os.path.join(model_name, TOKENIZER_SUBPATH)
     tokenizer = WanTokenizer(tok_path if os.path.isdir(tok_path)
-                             else TOKENIZER_SUBPATH, vocab_size=t5_cfg.vocab)
+                             else TOKENIZER_SUBPATH, vocab_size=t5_cfg.vocab,
+                             require_real=require_real_tokenizer)
 
     dit_params = jax.tree.map(jnp.asarray, dit_params)
     vae_params = jax.tree.map(jnp.asarray, vae_params)

