@@ -1,0 +1,257 @@
+"""Load reference (torch) modules from /root/reference as numeric oracles.
+
+The reference depends on `diffusers` (not installed here) and optional CUDA
+libraries. This module installs a minimal, faithful stub of the diffusers
+surface the target files touch, registers synthetic `videox_fun.*` parent
+packages (so we never execute the heavyweight package __init__ files that
+drag in torchvision/every model family), and imports the real module files:
+
+    wan_transformer3d.py   — DiT forward + CoF rope_apply oracle
+    wan_vae.py             — causal VAE encode/decode oracle
+    fm_solvers_unipc.py    — Flow UniPC trajectory oracle
+    fm_solvers.py          — Flow DPM++ trajectory oracle
+
+Only stub classes that merely anchor inheritance are fabricated; every
+numeric path executed by the oracles is reference code verbatim, on torch
+CPU. DiagonalGaussianDistribution is re-implemented faithfully (chunk into
+mean/logvar along dim=1; mode()==mean) because the VAE's output contract
+flows through it.
+"""
+
+from __future__ import annotations
+
+import functools
+import importlib
+import inspect
+import sys
+import types
+
+REF_ROOT = "/root/reference"
+
+
+class _AttrDict(dict):
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError:
+            raise AttributeError(k)
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+
+def _install_diffusers_stub():
+    if "diffusers" in sys.modules:
+        return
+    import torch
+    import torch.nn as nn
+
+    def mod(name):
+        m = types.ModuleType(name)
+        sys.modules[name] = m
+        return m
+
+    diffusers = mod("diffusers")
+
+    # --- configuration_utils
+    cu = mod("diffusers.configuration_utils")
+
+    class ConfigMixin:
+        def register_to_config(self, **kwargs):
+            if getattr(self, "config", None) is None:
+                self.config = _AttrDict()
+            self.config.update(kwargs)
+
+    def register_to_config(init):
+        @functools.wraps(init)
+        def wrapped(self, *args, **kwargs):
+            sig = inspect.signature(init)
+            ba = sig.bind(self, *args, **kwargs)
+            ba.apply_defaults()
+            cfg = {k: v for k, v in ba.arguments.items() if k != "self"}
+            # diffusers registers the config BEFORE running __init__ so the
+            # body can read self.config.*
+            self.config = _AttrDict(cfg)
+            init(self, *args, **kwargs)
+
+        return wrapped
+
+    cu.ConfigMixin = ConfigMixin
+    cu.register_to_config = register_to_config
+    cu.FrozenDict = _AttrDict
+
+    # --- loaders
+    mod("diffusers.loaders")
+    sfm = mod("diffusers.loaders.single_file_model")
+
+    class FromOriginalModelMixin:
+        pass
+
+    sfm.FromOriginalModelMixin = FromOriginalModelMixin
+
+    # --- models
+    mod("diffusers.models")
+    mu_ = mod("diffusers.models.modeling_utils")
+
+    class ModelMixin(nn.Module):
+        config = None
+
+        @property
+        def dtype(self):
+            try:
+                return next(self.parameters()).dtype
+            except StopIteration:
+                return torch.float32
+
+        @property
+        def device(self):
+            try:
+                return next(self.parameters()).device
+            except StopIteration:
+                return torch.device("cpu")
+
+    mu_.ModelMixin = ModelMixin
+
+    mod("diffusers.models.autoencoders")
+    vae_mod = mod("diffusers.models.autoencoders.vae")
+
+    class DiagonalGaussianDistribution:
+        def __init__(self, parameters, deterministic=False):
+            self.parameters = parameters
+            self.mean, self.logvar = torch.chunk(parameters, 2, dim=1)
+            self.logvar = torch.clamp(self.logvar, -30.0, 20.0)
+            self.deterministic = deterministic
+            self.std = torch.exp(0.5 * self.logvar)
+            self.var = torch.exp(self.logvar)
+
+        def sample(self, generator=None):
+            noise = torch.randn(self.mean.shape, generator=generator,
+                                dtype=self.mean.dtype)
+            return self.mean + self.std * noise
+
+        def mode(self):
+            return self.mean
+
+    class DecoderOutput:
+        def __init__(self, sample, commit_loss=None):
+            self.sample = sample
+            self.commit_loss = commit_loss
+
+    vae_mod.DiagonalGaussianDistribution = DiagonalGaussianDistribution
+    vae_mod.DecoderOutput = DecoderOutput
+
+    mo = mod("diffusers.models.modeling_outputs")
+
+    class AutoencoderKLOutput:
+        def __init__(self, latent_dist):
+            self.latent_dist = latent_dist
+
+    mo.AutoencoderKLOutput = AutoencoderKLOutput
+
+    # --- utils
+    du = mod("diffusers.utils")
+
+    def is_torch_version(operation, version):
+        from packaging import version as v
+        cur = v.parse(torch.__version__.split("+")[0])
+        ref = v.parse(version)
+        return {"<": cur < ref, "<=": cur <= ref, ">": cur > ref,
+                ">=": cur >= ref, "==": cur == ref}[operation]
+
+    class _Logging:
+        @staticmethod
+        def get_logger(name=None):
+            import logging
+            return logging.getLogger(name or "diffusers")
+
+    du.is_torch_version = is_torch_version
+    du.logging = _Logging()
+    du.deprecate = lambda *a, **k: None
+    du.is_scipy_available = lambda: True
+    du.BaseOutput = object
+
+    au = mod("diffusers.utils.accelerate_utils")
+    au.apply_forward_hook = lambda fn: fn
+    du.accelerate_utils = au
+
+    tu = mod("diffusers.utils.torch_utils")
+
+    def randn_tensor(shape, generator=None, device=None, dtype=None,
+                     layout=None):
+        return torch.randn(shape, generator=generator, dtype=dtype)
+
+    tu.randn_tensor = randn_tensor
+    du.torch_utils = tu
+
+    # --- schedulers
+    mod("diffusers.schedulers")
+    su = mod("diffusers.schedulers.scheduling_utils")
+    import enum
+
+    class KarrasDiffusionSchedulers(enum.Enum):
+        DDIMScheduler = 1
+
+    class SchedulerMixin:
+        config = None
+
+    class SchedulerOutput:
+        def __init__(self, prev_sample):
+            self.prev_sample = prev_sample
+
+    su.KarrasDiffusionSchedulers = KarrasDiffusionSchedulers
+    su.SchedulerMixin = SchedulerMixin
+    su.SchedulerOutput = SchedulerOutput
+
+    diffusers.ConfigMixin = ConfigMixin
+    diffusers.ModelMixin = ModelMixin
+
+
+def _install_videox_fun_parents():
+    """Synthetic `videox_fun`, `videox_fun.models`, `videox_fun.utils`,
+    `videox_fun.dist` packages: real module files resolve under them, but the
+    heavyweight real __init__ bodies never run."""
+    if "videox_fun" in sys.modules:
+        return
+    pkg = types.ModuleType("videox_fun")
+    pkg.__path__ = [f"{REF_ROOT}/videox_fun"]
+    sys.modules["videox_fun"] = pkg
+
+    models = types.ModuleType("videox_fun.models")
+    models.__path__ = [f"{REF_ROOT}/videox_fun/models"]
+    sys.modules["videox_fun.models"] = models
+
+    utils = types.ModuleType("videox_fun.utils")
+    utils.__path__ = [f"{REF_ROOT}/videox_fun/utils"]
+    sys.modules["videox_fun.utils"] = utils
+
+    # `from ..dist import ...` — only names; the SP path is never exercised
+    # on the CPU oracle (sp_world_size stays 1).
+    dist = types.ModuleType("videox_fun.dist")
+    dist.get_sequence_parallel_rank = lambda: 0
+    dist.get_sequence_parallel_world_size = lambda: 1
+    dist.get_sp_group = lambda: None
+    dist.usp_attn_forward = None
+    dist.usp_attn_s2v_forward = None
+    dist.xFuserLongContextAttention = None
+    sys.modules["videox_fun.dist"] = dist
+
+    # `from ..utils import cfg_skip` resolves through the synthetic package:
+    # load the real cfg_optimization file and re-export.
+    cfg_opt = importlib.import_module("videox_fun.utils.cfg_optimization")
+    utils.cfg_skip = cfg_opt.cfg_skip
+
+
+@functools.lru_cache(maxsize=1)
+def load_reference():
+    """-> namespace with .wan_transformer3d, .wan_vae, .fm_solvers_unipc,
+    .fm_solvers (reference torch modules, CPU)."""
+    _install_diffusers_stub()
+    _install_videox_fun_parents()
+    ns = types.SimpleNamespace()
+    ns.wan_transformer3d = importlib.import_module(
+        "videox_fun.models.wan_transformer3d")
+    ns.wan_vae = importlib.import_module("videox_fun.models.wan_vae")
+    ns.fm_solvers_unipc = importlib.import_module(
+        "videox_fun.utils.fm_solvers_unipc")
+    ns.fm_solvers = importlib.import_module("videox_fun.utils.fm_solvers")
+    return ns

@@ -1,0 +1,251 @@
+"""Numeric parity vs the reference implementation (torch CPU oracles).
+
+These tests run the actual reference modules from /root/reference (via
+tests/_reference_oracle.py), port weights through our converters, and assert
+our JAX implementations reproduce the reference math at fp32 within 1e-3:
+
+  * CoF `rope_apply` (wan_transformer3d.py:135-205) — all three position
+    modes — vs our positions-as-data cos/sin tables
+  * full DiT forward (wan_transformer3d.py:818-1105) at a tiny config
+  * Flow UniPC trajectory (fm_solvers_unipc.py) incl. corrector + warmup
+  * Flow DPM++ trajectory (fm_solvers.py)
+  * causal VAE chunked encode / frame-by-frame decode (wan_vae.py:520-575)
+
+This substantiates BASELINE.md's "bf16 latent parity" north star without
+needing the published checkpoints.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+torch = pytest.importorskip("torch")
+if not os.path.isdir("/root/reference/videox_fun"):
+    pytest.skip("reference tree not mounted", allow_module_level=True)
+
+from _reference_oracle import load_reference  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from videocof_tpu.configs import WAN_TINY, VAE_TINY  # noqa: E402
+from videocof_tpu.models import rope as rope_lib  # noqa: E402
+from videocof_tpu.models import wan_dit, wan_vae, weights  # noqa: E402
+
+REF = load_reference()
+
+
+def _sd_to_numpy(module):
+    return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
+
+
+# ---------------------------------------------------------------- CoF RoPE
+
+def _ref_freqs(head_dim: int) -> torch.Tensor:
+    rp = REF.wan_transformer3d.rope_params
+    d = head_dim
+    return torch.cat([rp(1024, d - 4 * (d // 6)), rp(1024, 2 * (d // 6)),
+                      rp(1024, 2 * (d // 6))], dim=1)
+
+
+@pytest.mark.parametrize("mode", ["default", "paired", "cof"])
+def test_rope_apply_parity(mode):
+    d, n = 16, 2
+    f, h, w = 7, 2, 3
+    L = f * h * w
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, L, n, d)).astype(np.float32)
+
+    f_src, f_ground = {"default": (None, 0), "paired": (3, 0),
+                       "cof": (3, 1)}[mode]
+    fsi = None if f_src is None else [f_src]
+    gfi = [(f_src, f_src + f_ground)] if f_ground else None
+
+    ref_out = REF.wan_transformer3d.rope_apply(
+        torch.from_numpy(x), torch.tensor([[f, h, w]]), _ref_freqs(d),
+        frame_split_indices=fsi, ground_frame_indices=gfi).numpy()
+
+    cos, sin = rope_lib.build_rope_cos_sin((f, h, w), d, f_src=f_src,
+                                           f_ground=f_ground)
+    ours = np.asarray(rope_lib.apply_rope(jnp.asarray(x), jnp.asarray(cos),
+                                          jnp.asarray(sin)))
+    np.testing.assert_allclose(ours, ref_out, atol=2e-5, rtol=1e-5)
+
+
+def test_rope_apply_parity_4x_extrapolation():
+    """CoF positions at 4x the training length still match the reference."""
+    d = 16
+    f, h, w = 25, 2, 2      # 12 src + 1 ground + 12 tgt latent frames
+    L = f * h * w
+    x = np.random.default_rng(1).standard_normal((1, L, 2, d)).astype(
+        np.float32)
+    ref_out = REF.wan_transformer3d.rope_apply(
+        torch.from_numpy(x), torch.tensor([[f, h, w]]), _ref_freqs(d),
+        frame_split_indices=[12], ground_frame_indices=[(12, 13)]).numpy()
+    cos, sin = rope_lib.build_rope_cos_sin((f, h, w), d, f_src=12, f_ground=1)
+    ours = np.asarray(rope_lib.apply_rope(jnp.asarray(x), jnp.asarray(cos),
+                                          jnp.asarray(sin)))
+    np.testing.assert_allclose(ours, ref_out, atol=2e-5, rtol=1e-5)
+
+
+# ------------------------------------------------------------- DiT forward
+
+@pytest.fixture(scope="module")
+def dit_pair():
+    cfg = WAN_TINY
+    torch.manual_seed(0)
+    ref = REF.wan_transformer3d.WanTransformer3DModel(
+        model_type="t2v", patch_size=tuple(cfg.patch_size),
+        text_len=cfg.text_len, in_dim=cfg.in_dim, dim=cfg.dim,
+        ffn_dim=cfg.ffn_dim, freq_dim=cfg.freq_dim, text_dim=cfg.text_dim,
+        out_dim=cfg.out_dim, num_heads=cfg.num_heads,
+        num_layers=cfg.num_layers, qk_norm=cfg.qk_norm,
+        cross_attn_norm=cfg.cross_attn_norm, eps=cfg.eps,
+        in_channels=cfg.in_dim, hidden_size=cfg.dim).float().eval()
+    params = weights.convert_dit_state_dict(_sd_to_numpy(ref), cfg,
+                                            dtype=np.float32)
+    params = jax.tree.map(jnp.asarray, params)
+    return ref, params, cfg
+
+
+@pytest.mark.parametrize("cof", [False, True])
+def test_dit_forward_parity(dit_pair, cof):
+    ref, params, cfg = dit_pair
+    f, h, w = 5, 4, 4
+    pt, ph, pw = cfg.patch_size
+    F, H, W = f * pt, h * ph, w * pw
+    L = f * h * w
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((1, cfg.in_dim, F, H, W)).astype(np.float32)
+    # short prompt (10 < text_len) exercises the reference's zero-pad path
+    ctx_short = rng.standard_normal((10, cfg.text_dim)).astype(np.float32)
+    t_val = 687.0
+
+    fsi, gfi = ([2], [(2, 3)]) if cof else (None, None)
+    os.environ.setdefault("VIDEOX_ATTENTION_TYPE", "SDPA")
+    with torch.no_grad():
+        # the reference takes a stacked [B,C,F,H,W] tensor (its list-of-
+        # tensors docstring notwithstanding: forward reads x.dtype at :862)
+        ref_out = ref(
+            torch.from_numpy(x), torch.tensor([t_val]),
+            [torch.from_numpy(ctx_short)], seq_len=L,
+            frame_split_indices=fsi, ground_frame_indices=gfi)
+    ref_np = torch.stack(list(ref_out)).numpy() if isinstance(
+        ref_out, (list, tuple)) else ref_out.numpy()
+    ref_np = ref_np.reshape(1, cfg.out_dim, F, H, W)
+
+    ctx = np.zeros((1, cfg.text_len, cfg.text_dim), np.float32)
+    ctx[0, :10] = ctx_short
+    f_src = 2 if cof else None
+    cos, sin = wan_dit.make_rope_for_geometry(cfg, (f, h, w), f_src=f_src,
+                                              f_ground=1 if cof else 0)
+    ours = np.asarray(wan_dit.wan_dit_forward(
+        params, cfg, jnp.asarray(x), jnp.asarray([t_val]), jnp.asarray(ctx),
+        jnp.asarray(cos), jnp.asarray(sin)))
+    np.testing.assert_allclose(ours, ref_np, atol=1e-3, rtol=1e-3)
+
+
+# --------------------------------------------------------------- UniPC/DPM
+
+def _drive_ref_scheduler(sched, timesteps, x0, vfield):
+    x = torch.from_numpy(x0.copy())
+    for t in timesteps:
+        v = vfield(x.numpy(), float(t))
+        out = sched.step(torch.from_numpy(v), t, x)
+        x = out.prev_sample if hasattr(out, "prev_sample") else out[0]
+    return x.numpy()
+
+
+def _drive_ours(sched, steps, shift, x0, vfield, **set_kw):
+    from videocof_tpu.schedulers import get_scheduler
+    s = get_scheduler(sched)
+    s.set_timesteps(steps, shift=shift, **set_kw)
+    x = jnp.asarray(x0)
+    state = s.init_state(x)
+    for i in range(steps):
+        v = vfield(np.asarray(x), float(s.timesteps[i]))
+        x, state = s.step(jnp.asarray(v), i, x, state)
+    return np.asarray(x), s
+
+
+def _linear_vfield(x, t):
+    # deterministic pseudo-model: contraction + time-dependent drift
+    return (0.3 * x + np.cos(t / 1000.0)).astype(np.float32)
+
+
+@pytest.mark.parametrize("steps", [4, 10])
+def test_unipc_trajectory_parity(steps):
+    x0 = np.random.default_rng(3).standard_normal((1, 4, 3, 4, 4)).astype(
+        np.float32)
+    ref = REF.fm_solvers_unipc.FlowUniPCMultistepScheduler(shift=1.0)
+    ref.set_timesteps(steps, shift=3.0)
+    ref_x = _drive_ref_scheduler(ref, ref.timesteps, x0, _linear_vfield)
+
+    ours, s = _drive_ours("unipc", steps, 3.0, x0, _linear_vfield)
+    np.testing.assert_allclose(np.asarray(s.timesteps, np.float64),
+                               ref.timesteps.numpy().astype(np.float64),
+                               atol=1e-6)
+    np.testing.assert_allclose(ours, ref_x, atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize("steps", [4, 10])
+def test_dpm_trajectory_parity(steps):
+    x0 = np.random.default_rng(4).standard_normal((1, 4, 2, 4, 4)).astype(
+        np.float32)
+    from videocof_tpu.schedulers.flow_dpm import get_sampling_sigmas
+    ref = REF.fm_solvers.FlowDPMSolverMultistepScheduler(shift=1.0)
+    ref.set_timesteps(num_inference_steps=steps,
+                      sigmas=get_sampling_sigmas(steps, 3.0))
+    ref_x = _drive_ref_scheduler(ref, ref.timesteps, x0, _linear_vfield)
+
+    ours, s = _drive_ours("dpm++", steps, 3.0, x0, _linear_vfield)
+    np.testing.assert_allclose(np.asarray(s.timesteps, np.float64),
+                               ref.timesteps.numpy().astype(np.float64),
+                               atol=1e-6)
+    np.testing.assert_allclose(ours, ref_x, atol=1e-3, rtol=1e-3)
+
+
+# --------------------------------------------------------------------- VAE
+
+@pytest.fixture(scope="module")
+def vae_pair():
+    cfg = VAE_TINY
+    torch.manual_seed(1)
+    ref = REF.wan_vae.AutoencoderKLWan_(
+        dim=cfg.dim, z_dim=cfg.z_dim, dim_mult=list(cfg.dim_mult),
+        num_res_blocks=cfg.num_res_blocks, attn_scales=list(cfg.attn_scales),
+        temperal_downsample=list(cfg.temporal_downsample),
+        dropout=0.0).float().eval()
+    params = weights.convert_vae_state_dict(_sd_to_numpy(ref), cfg,
+                                            dtype=np.float32)
+    params = jax.tree.map(jnp.asarray, params)
+    scale = [torch.zeros(cfg.z_dim), torch.ones(cfg.z_dim)]
+    return ref, params, cfg, scale
+
+
+def test_vae_encode_parity(vae_pair):
+    ref, params, cfg, scale = vae_pair
+    x = np.random.default_rng(5).uniform(-1, 1, (1, 3, 9, 32, 32)).astype(
+        np.float32)
+    with torch.no_grad():
+        ref_out = ref.encode(torch.from_numpy(x), scale).numpy()
+    ref_mu, ref_logvar = np.split(ref_out, 2, axis=1)
+    mu, logvar = wan_vae.encode(params, cfg, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(mu), ref_mu, atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(logvar), ref_logvar, atol=1e-3,
+                               rtol=1e-3)
+
+
+def test_vae_decode_parity(vae_pair):
+    ref, params, cfg, scale = vae_pair
+    z = np.random.default_rng(6).standard_normal((1, cfg.z_dim, 3, 4, 4)
+                                                 ).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref.decode(torch.from_numpy(z), scale).clamp_(
+            -1, 1).numpy()
+    ours = np.asarray(wan_vae.decode(params, cfg, jnp.asarray(z)))
+    np.testing.assert_allclose(ours, ref_out, atol=1e-3, rtol=1e-3)
