@@ -303,6 +303,7 @@ def wan_dit_forward(
     context_mask: Optional[jax.Array] = None,   # [B, text_len] bool
     attn_backend: Optional[str] = None,
     remat_blocks: bool = False,
+    sp=None,
 ) -> jax.Array:
     """Velocity prediction [B, out_dim, F, H, W].
 
@@ -313,7 +314,7 @@ def wan_dit_forward(
     out, _ = wan_dit_forward_with_residual(
         params, cfg, x, t, context, rope_cos, rope_sin,
         context_mask=context_mask, attn_backend=attn_backend,
-        remat_blocks=remat_blocks)
+        remat_blocks=remat_blocks, sp=sp)
     return out
 
 
@@ -333,11 +334,22 @@ def wan_dit_forward_with_residual(
     clip_fea: Optional[jax.Array] = None,   # [B, 257, 1280] i2v CLIP feats
     y: Optional[jax.Array] = None,          # i2v conditioning, channel-concat
     y_camera: Optional[jax.Array] = None,   # [B, D, F, H', W'] camera feats
+    sp=None,                                # parallel.SPContext or None
 ) -> Tuple[jax.Array, jax.Array]:
     """Forward that exposes the TeaCache token-stream residual: returns
     (velocity, residual). With ``skip_blocks=True`` the block stack is
     bypassed and ``residual`` (from a previous compute step) is re-added to
-    the embedded stream (`wan_transformer3d.py:981-1031`)."""
+    the embedded stream (`wan_transformer3d.py:981-1031`).
+
+    With ``sp`` (a `videocof_tpu.parallel.SPContext`) the WHOLE forward is
+    sequence-parallel, mirroring the reference's token chunking after patch
+    embed and all_gather after the head (`wan_transformer3d.py:949-953,
+    1085-1086`): the token stream, RoPE tables, and (per-token) AdaLN params
+    are sharded over the ``seq`` mesh axis via GSPMD constraints, a
+    non-dividing token count is zero-padded to a multiple of the axis (with a
+    key mask so padded tokens never enter a softmax), and the head output is
+    gathered before unpatchify. FFN/projections/AdaLN/head all scale with the
+    SP degree — not just attention."""
     compute_dtype = params["patch_embed"]["kernel"].dtype
 
     if y is not None:  # i2v conditioning video (`wan_transformer3d.py:866-867`)
@@ -384,6 +396,35 @@ def wan_dit_forward_with_residual(
         h = _layer_norm(h, 1e-5, ie["ln2"]["scale"], ie["ln2"]["bias"])
         ctx = jnp.concatenate([h.astype(ctx.dtype), ctx], axis=1)
 
+    # ---- whole-forward sequence parallelism (see docstring): pad tokens to
+    # a multiple of the seq axis, shard stream/rope/per-token-AdaLN, and mask
+    # padded keys out of self-attention
+    L_real = hseq.shape[1]
+    seq_mask = None
+    if sp is not None and sp.size > 1:
+        Lp = sp.padded_len(L_real)
+        if Lp != L_real:
+            pad = Lp - L_real
+            hseq = jnp.pad(hseq, ((0, 0), (0, pad), (0, 0)))
+            # identity rotation for padded positions
+            rope_cos = jnp.pad(rope_cos, ((0, pad), (0, 0)),
+                               constant_values=1.0)
+            rope_sin = jnp.pad(rope_sin, ((0, pad), (0, 0)))
+            seq_mask = jnp.broadcast_to((jnp.arange(Lp) < L_real)[None],
+                                        (hseq.shape[0], Lp))
+            if per_token_t:
+                # pad with the last token's AdaLN params, mirroring the
+                # reference's t padding (`wan_transformer3d.py:919-923`)
+                e0 = jnp.pad(e0, ((0, 0), (0, pad), (0, 0), (0, 0)),
+                             mode="edge")
+                e = jnp.pad(e, ((0, 0), (0, pad), (0, 0)), mode="edge")
+        hseq = sp.shard_tokens(hseq)
+        rope_cos = sp.shard_rope(rope_cos)
+        rope_sin = sp.shard_rope(rope_sin)
+        if per_token_t:
+            e0 = sp.shard_tokens(e0)
+            e = sp.shard_tokens(e)
+
     rope_cs = (rope_cos, rope_sin)
     stream0 = hseq.astype(jnp.float32)
 
@@ -394,6 +435,7 @@ def wan_dit_forward_with_residual(
     else:
         def block_fn(bp, carry):
             return wan_block_apply(bp, cfg, carry, e0, ctx, rope_cs,
+                                   seq_mask=seq_mask,
                                    context_mask=context_mask,
                                    attn_backend=attn_backend)
 
@@ -417,6 +459,12 @@ def wan_dit_forward_with_residual(
         he0, he1 = hm[:, 0][:, None, :], hm[:, 1][:, None, :]
     out = _layer_norm(stream, cfg.eps) * (1.0 + he1) + he0
     out = _linear(out.astype(compute_dtype), params["head"]["fc"])
+
+    if sp is not None and sp.size > 1:
+        # head-exit all_gather (`wan_transformer3d.py:1085-1086`), then drop
+        # the SP padding
+        out = sp.gather(out)
+        out = out[:, :L_real]
 
     return unpatchify(out.astype(jnp.float32), grid, cfg.patch_size,
                       cfg.out_dim), residual_out

@@ -78,10 +78,10 @@ def attention(
     varlen handling (`attention_utils.py:152-211`).
     """
     if callable(backend):
-        # custom impl (e.g. Ulysses sequence-parallel self-attention); masks
-        # are resolved by the caller in that case
-        assert mask is None and bias is None
-        return backend(q, k, v)
+        # custom impl (Ulysses/ring sequence-parallel self-attention); the
+        # boolean key mask passes through (SP padding), bias does not
+        assert bias is None
+        return backend(q, k, v, mask=mask)
 
     if backend is None:
         backend = default_backend()

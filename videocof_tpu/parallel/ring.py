@@ -24,17 +24,23 @@ from jax import shard_map
 
 def make_ring_attention(mesh: Mesh, seq_axis: str = "seq",
                         scale: Optional[float] = None) -> Callable:
+    """Returns attn(q, k, v, mask=None). ``mask`` is a global boolean key
+    mask [B, L]; its shard rotates around the ring with the K/V blocks."""
     sp = mesh.shape[seq_axis]
+    NEG = jnp.finfo(jnp.float32).min
 
-    def inner(q, k, v):
+    def _inner(q, k, v, mask):
         B, Lq, N, D = q.shape
         sc = (D ** -0.5) if scale is None else scale
         qf = q.astype(jnp.float32)
+        perm = [(i, (i + 1) % sp) for i in range(sp)]
 
         def body(carry, _):
-            k_blk, v_blk, acc, m, l = carry
+            k_blk, v_blk, m_blk, acc, m, l = carry
             s = jnp.einsum("bqnd,bknd->bqnk", qf,
                            k_blk.astype(jnp.float32)) * sc
+            if m_blk is not None:
+                s = jnp.where(m_blk[:, None, None, :], s, NEG)
             m_cur = jnp.max(s, axis=-1, keepdims=True)
             m_new = jnp.maximum(m, m_cur)
             p = jnp.exp(s - m_new)
@@ -42,27 +48,32 @@ def make_ring_attention(mesh: Mesh, seq_axis: str = "seq",
             acc = acc * alpha + jnp.einsum(
                 "bqnk,bknd->bqnd", p, v_blk.astype(jnp.float32))
             l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            perm = [(i, (i + 1) % sp) for i in range(sp)]
             k_blk = jax.lax.ppermute(k_blk, seq_axis, perm)
             v_blk = jax.lax.ppermute(v_blk, seq_axis, perm)
-            return (k_blk, v_blk, acc, m_new, l), None
+            if m_blk is not None:
+                m_blk = jax.lax.ppermute(m_blk, seq_axis, perm)
+            return (k_blk, v_blk, m_blk, acc, m_new, l), None
 
         # fresh constants must be marked device-varying for the scan carry
-        acc0 = jax.lax.pvary(jnp.zeros((B, Lq, N, D), jnp.float32), seq_axis)
-        m0 = jax.lax.pvary(jnp.full((B, Lq, N, 1), -jnp.inf, jnp.float32),
-                           seq_axis)
-        l0 = jax.lax.pvary(jnp.zeros((B, Lq, N, 1), jnp.float32), seq_axis)
-        (k_f, v_f, acc, m, l), _ = jax.lax.scan(
-            body, (k, v, acc0, m0, l0), None, length=sp)
+        _vary = lambda x: jax.lax.pcast(x, seq_axis, to="varying")
+        acc0 = _vary(jnp.zeros((B, Lq, N, D), jnp.float32))
+        m0 = _vary(jnp.full((B, Lq, N, 1), NEG, jnp.float32))
+        l0 = _vary(jnp.zeros((B, Lq, N, 1), jnp.float32))
+        (k_f, v_f, _, acc, m, l), _ = jax.lax.scan(
+            body, (k, v, mask, acc0, m0, l0), None, length=sp)
         return (acc / l).astype(q.dtype)
 
-    def attn(q, k, v):
+    def attn(q, k, v, mask=None):
         L = q.shape[1]
         assert L % sp == 0, f"seq len {L} not divisible by sp={sp} (pad first)"
+        tok = P(None, seq_axis, None, None)
+        if mask is None:
+            return shard_map(
+                lambda q, k, v: _inner(q, k, v, None), mesh=mesh,
+                in_specs=(tok,) * 3, out_specs=tok)(q, k, v)
         return shard_map(
-            inner, mesh=mesh,
-            in_specs=(P(None, seq_axis, None, None),) * 3,
-            out_specs=P(None, seq_axis, None, None),
-        )(q, k, v)
+            _inner, mesh=mesh,
+            in_specs=(tok, tok, tok, P(None, seq_axis)),  # mask shards w/ KV
+            out_specs=tok)(q, k, v, mask)
 
     return attn

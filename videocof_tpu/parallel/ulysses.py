@@ -24,21 +24,18 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..ops import attention as _attention
-
-
-def pad_tokens_for_sp(L: int, sp: int) -> int:
-    """Sequence padding to a multiple of the seq axis (the reference rounds
-    seq_len up the same way — `wan_transformer3d.py:904-905`)."""
-    return ((L + sp - 1) // sp) * sp
+from .sp import pad_tokens_for_sp  # noqa: F401  (re-export; historical home)
 
 
 def make_ulysses_attention(mesh: Mesh, seq_axis: str = "seq",
                            inner_backend: Optional[str] = None) -> Callable:
-    """Returns attn(q, k, v) on logically-global [B, L, N, D] arrays; L and N
-    must divide by the seq-axis size."""
+    """Returns attn(q, k, v, mask=None) on logically-global [B, L, N, D]
+    arrays; L and N must divide by the seq-axis size. ``mask`` is a global
+    boolean key mask [B, L] (True = attend) — used for non-dividing token
+    counts that were zero-padded to a multiple of the axis."""
     sp = mesh.shape[seq_axis]
 
-    def inner(q, k, v):
+    def _inner(q, k, v, mask):
         # [B, L/sp, N, D] -> [B, L, N/sp, D]
         def a2a_in(x):
             return jax.lax.all_to_all(x, seq_axis, split_axis=2,
@@ -48,20 +45,26 @@ def make_ulysses_attention(mesh: Mesh, seq_axis: str = "seq",
             q_, k_, v_ = a2a_in(q), a2a_in(k), a2a_in(v)
         else:
             q_, k_, v_ = q, k, v
-        o = _attention(q_, k_, v_, backend=inner_backend)
+        # keys are full-length after the all-to-all, so the global key mask
+        # applies directly
+        o = _attention(q_, k_, v_, mask=mask, backend=inner_backend)
         if sp > 1:
             o = jax.lax.all_to_all(o, seq_axis, split_axis=1, concat_axis=2,
                                    tiled=True)
         return o
 
-    def attn(q, k, v):
+    def attn(q, k, v, mask=None):
         B, L, N, D = q.shape
         assert L % sp == 0, f"seq len {L} not divisible by sp={sp} (pad first)"
         assert N % sp == 0, f"heads {N} not divisible by sp={sp}"
+        tok = P(None, seq_axis, None, None)
+        if mask is None:
+            return shard_map(
+                lambda q, k, v: _inner(q, k, v, None), mesh=mesh,
+                in_specs=(tok,) * 3, out_specs=tok)(q, k, v)
         return shard_map(
-            inner, mesh=mesh,
-            in_specs=(P(None, seq_axis, None, None),) * 3,
-            out_specs=P(None, seq_axis, None, None),
-        )(q, k, v)
+            _inner, mesh=mesh,
+            in_specs=(tok, tok, tok, P(None, None)),  # mask replicated
+            out_specs=tok)(q, k, v, mask)
 
     return attn

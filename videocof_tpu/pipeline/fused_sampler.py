@@ -29,7 +29,7 @@ from ..models import wan_dit
 def make_fused_sample_fn(dit_cfg: WanDiTConfig, sampler_name: str,
                          plan: dict, do_cfg: bool, guidance_scale: float,
                          condition_count: int, dtype,
-                         attn_backend=None):
+                         attn_backend=None, sp=None):
     """Returns jitted fn(dit_params, latents, context, rope_cos, rope_sin)
     -> final latents. ``plan`` is scheduler.plan_arrays()."""
     xs = {k: jnp.asarray(v) for k, v in plan.items()}
@@ -42,7 +42,7 @@ def make_fused_sample_fn(dit_cfg: WanDiTConfig, sampler_name: str,
         t = jnp.full((x.shape[0],), t_scalar, jnp.float32)
         v = wan_dit.wan_dit_forward(
             dit_params, dit_cfg, x.astype(dtype), t, context, cos, sin,
-            attn_backend=attn_backend)
+            attn_backend=attn_backend, sp=sp)
         if do_cfg:
             vu, vc = jnp.split(v, 2, axis=0)
             v = vu + guidance_scale * (vc - vu)

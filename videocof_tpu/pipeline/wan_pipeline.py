@@ -86,13 +86,15 @@ class WanPipeline:
     def enable_sequence_parallel(self, mesh=None, data: int = 1,
                                  seq: Optional[int] = None,
                                  mode: str = "ulysses") -> None:
-        """Run every DiT self-attention sequence-parallel over the mesh's
-        ``seq`` axis (the reference's `enable_multi_gpus_inference` —
-        `wan_transformer3d.py:802-816` — but CoF-compatible, since RoPE enters
-        as per-token data). Token count must divide the seq axis; typical CoF
-        geometries (e.g. 29640 tokens at 480x832) divide 2/4/8.
+        """Run the WHOLE DiT forward sequence-parallel over the mesh's
+        ``seq`` axis: the residual stream (patch embed -> blocks -> head) is
+        token-sharded and gathered at the head exit, mirroring the
+        reference's `wan_transformer3d.py:949-953,1085-1086` — but
+        CoF-compatible, since RoPE enters as per-token data sharded with the
+        tokens. Non-dividing token counts are padded (with key masking)
+        to a multiple of the seq axis.
         """
-        from ..parallel import (make_mesh, make_ring_attention,
+        from ..parallel import (SPContext, make_mesh, make_ring_attention,
                                 make_ulysses_attention)
         if mesh is None:
             import jax as _jax
@@ -102,11 +104,13 @@ class WanPipeline:
                  "ring": make_ring_attention}[mode]
         self.attn_backend = maker(mesh)
         self.sp_mesh = mesh
+        self.sp_ctx = SPContext(mesh)
         self._jit_cache.clear()
 
     def disable_sequence_parallel(self) -> None:
         self.attn_backend = None
         self.sp_mesh = None
+        self.sp_ctx = None
         self._jit_cache.clear()
 
     # ------------------------------------------------------------------ text
@@ -209,6 +213,7 @@ class WanPipeline:
 
         dit_cfg = self.dit_cfg
         backend = self.attn_backend
+        sp = getattr(self, "sp_ctx", None)
 
         @jax.jit
         def step(dit_params, latents, t_scalar, context, rope_cos, rope_sin,
@@ -223,7 +228,7 @@ class WanPipeline:
             v, res = wan_dit.wan_dit_forward_with_residual(
                 dit_params, dit_cfg, x.astype(self.dtype), t, ctx,
                 rope_cos, rope_sin, attn_backend=backend,
-                residual=residual, skip_blocks=skip_blocks)
+                residual=residual, skip_blocks=skip_blocks, sp=sp)
             if do_cfg:
                 vu, vc = jnp.split(v, 2, axis=0)
                 v = vu + guidance_scale * (vc - vu)
@@ -360,7 +365,8 @@ class WanPipeline:
                 self._jit_cache[fkey] = make_fused_sample_fn(
                     self.dit_cfg, sampler, sched.plan_arrays(), do_cfg,
                     guidance_scale, condition_count, self.dtype,
-                    attn_backend=self.attn_backend)
+                    attn_backend=self.attn_backend,
+                    sp=getattr(self, "sp_ctx", None))
             latents = self._jit_cache[fkey](self.dit_params, latents,
                                             context, cos, sin)
             _tick("denoise(fused)", latents)

@@ -20,7 +20,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..configs import WanDiTConfig
 from ..models import wan_dit
 from .timestep_sampler import DiscreteSampling
-from ..parallel import fsdp_param_sharding, make_ulysses_attention, replicate
+from ..parallel import (SPContext, fsdp_param_sharding,
+                        make_ulysses_attention, replicate)
 
 
 class TrainState(NamedTuple):
@@ -31,7 +32,7 @@ class TrainState(NamedTuple):
 
 def flow_matching_loss(params, cfg: WanDiTConfig, x0, context, rope_cos,
                        rope_sin, timesteps, noise, attn_backend=None,
-                       remat: bool = True, frame_mask=None):
+                       remat: bool = True, frame_mask=None, sp=None):
     """Rectified-flow loss: x_t = (1-sigma) x0 + sigma n, target v = n - x0.
 
     ``frame_mask`` [F] (1 = denoised frame, 0 = clean conditioning frame)
@@ -48,7 +49,8 @@ def flow_matching_loss(params, cfg: WanDiTConfig, x0, context, rope_cos,
         target = target * m
     pred = wan_dit.wan_dit_forward(
         params, cfg, x_t, timesteps.astype(jnp.float32), context,
-        rope_cos, rope_sin, attn_backend=attn_backend, remat_blocks=remat)
+        rope_cos, rope_sin, attn_backend=attn_backend, remat_blocks=remat,
+        sp=sp)
     if frame_mask is not None:
         m = frame_mask.astype(jnp.float32)[None, None, :, None, None]
         err = jnp.square(pred - target) * m
@@ -73,8 +75,9 @@ def make_train_step(
     ``rope_sin``, ``timesteps`` [B].
     """
     optimizer = optimizer or optax.adamw(1e-5, weight_decay=1e-3)
-    attn = make_ulysses_attention(mesh) if (use_ulysses and
-                                            mesh.shape["seq"] > 1) else None
+    sp_on = use_ulysses and mesh.shape["seq"] > 1
+    attn = make_ulysses_attention(mesh) if sp_on else None
+    sp = SPContext(mesh) if sp_on else None
 
     def init_fn(params) -> TrainState:
         pshard = fsdp_param_sharding(mesh, params, min_size=fsdp_min_size)
@@ -99,7 +102,7 @@ def make_train_step(
                 p, cfg, x0, batch["context"], batch["rope_cos"],
                 batch["rope_sin"], batch["timesteps"], noise,
                 attn_backend=attn, remat=remat,
-                frame_mask=batch.get("frame_mask"))
+                frame_mask=batch.get("frame_mask"), sp=sp)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state,
