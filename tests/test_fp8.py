@@ -1,0 +1,130 @@
+"""fp8 weight storage wired into the model path (VERDICT r1 #4: it used to
+be a shelf utility with zero callers)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videocof_tpu.configs import T5_TINY, VAE_TINY, WAN_TINY
+from videocof_tpu.models import wan_dit
+from videocof_tpu.utils.fp8 import (dequantize_params, fp8_bytes,
+                                    is_fp8_leaf, quantize_params_fp8)
+
+DCFG = WAN_TINY
+
+
+@pytest.fixture(scope="module")
+def params():
+    return wan_dit.init_wan_dit(jax.random.PRNGKey(0), DCFG)
+
+
+def test_quantize_halves_block_bytes(params):
+    q = quantize_params_fp8(params)
+    orig = sum(l.size * l.dtype.itemsize
+               for l in jax.tree.leaves(params["blocks"]))
+    quant = fp8_bytes(q["blocks"])
+    assert quant < 0.3 * orig  # fp32 -> fp8 is ~4x on the matmul weights
+
+
+def test_per_layer_scales_on_stacked_blocks(params):
+    q = quantize_params_fp8(params)
+    leaf = q["blocks"]["self_attn"]["q"]["kernel"]
+    assert is_fp8_leaf(leaf)
+    assert leaf["scale"].shape == (DCFG.num_layers,)
+    # modulation / norms / biases stay high precision
+    assert not is_fp8_leaf(q["blocks"]["modulation"])
+    assert not is_fp8_leaf(q["blocks"]["self_attn"]["norm_q"]["weight"])
+    assert not is_fp8_leaf(q["time_mlp"]["fc1"]["kernel"])
+
+
+def test_host_numpy_quantization(params):
+    host = jax.tree.map(np.asarray, params)
+    q = quantize_params_fp8(host)
+    leaf = q["blocks"]["ffn"]["fc1"]["kernel"]
+    assert isinstance(leaf["fp8"], np.ndarray)
+    d = dequantize_params(q, jnp.float32)
+    rel = np.abs(np.asarray(d["blocks"]["ffn"]["fc1"]["kernel"]) -
+                 np.asarray(params["blocks"]["ffn"]["fc1"]["kernel"]))
+    denom = np.abs(np.asarray(params["blocks"]["ffn"]["fc1"]["kernel"])
+                   ).max()
+    assert rel.max() / denom < 0.07  # e4m3 mantissa granularity
+
+
+def test_fp8_forward_close_to_fp32(params):
+    cfg = DCFG
+    q = quantize_params_fp8(params)
+    f, h, w = 3, 4, 4
+    pt, ph, pw = cfg.patch_size
+    x = jax.random.normal(jax.random.PRNGKey(1),
+                          (1, cfg.in_dim, f * pt, h * ph, w * pw))
+    t = jnp.array([500.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(2),
+                            (1, cfg.text_len, cfg.text_dim))
+    cos, sin = wan_dit.make_rope_for_geometry(cfg, (f, h, w))
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+    base = np.asarray(wan_dit.wan_dit_forward(params, cfg, x, t, ctx,
+                                              cos, sin))
+    out = np.asarray(wan_dit.wan_dit_forward(q, cfg, x, t, ctx, cos, sin))
+    # fp8 weights, bf16 compute: per-element tolerance scales with output
+    err = np.abs(out - base)
+    assert err.mean() < 0.05 * np.abs(base).mean() + 0.05
+    assert np.isfinite(out).all()
+
+
+def test_fp8_pipeline_end_to_end():
+    from videocof_tpu.factory import load_pipeline
+    pipe = load_pipeline("", random_init=True, dit_cfg=WAN_TINY.replace(
+        in_dim=VAE_TINY.z_dim, out_dim=VAE_TINY.z_dim,
+        text_dim=T5_TINY.dim), vae_cfg=VAE_TINY, t5_cfg=T5_TINY,
+        dtype=jnp.float32, quantize="fp8")
+    assert is_fp8_leaf(pipe.dit_params["blocks"]["self_attn"]["q"]["kernel"])
+    video = np.random.default_rng(0).uniform(
+        -1, 1, (1, 3, 9, 32, 32)).astype(np.float32)
+    out = pipe(video, "remove the box", source_frames=9, reasoning_frames=4,
+               num_inference_steps=2)
+    assert np.isfinite(out.videos).all()
+
+
+def test_fp8_with_offload_t5_factory_path(tmp_path):
+    """offload_t5 keeps T5 weights host-resident (numpy leaves)."""
+    from videocof_tpu.factory import load_pipeline
+    pipe = load_pipeline("", random_init=True, dit_cfg=WAN_TINY.replace(
+        in_dim=VAE_TINY.z_dim, out_dim=VAE_TINY.z_dim,
+        text_dim=T5_TINY.dim), vae_cfg=VAE_TINY, t5_cfg=T5_TINY,
+        dtype=jnp.float32)
+    host_t5 = jax.tree.map(np.asarray, pipe.t5_params)
+    pipe.t5_params = host_t5
+    emb = pipe.encode_prompt(["hello world"])
+    assert np.isfinite(np.asarray(emb)).all()
+    # the pipeline's own copy is still numpy (host-resident)
+    assert isinstance(jax.tree.leaves(pipe.t5_params)[0], np.ndarray)
+
+
+def test_lora_fuses_before_quantize_and_refuses_after():
+    """factory.lora_paths fuses host-side ahead of fp8; merging into an
+    already-quantized tree is a hard error."""
+    from videocof_tpu.models.lora import merge_lora
+    cfg = WAN_TINY
+    params = wan_dit.init_wan_dit(jax.random.PRNGKey(7), cfg)
+    rank, d = 2, cfg.dim
+    rng = np.random.default_rng(8)
+    sd = {
+        "diffusion_model.blocks.0.self_attn.q.lora_A.weight":
+            rng.standard_normal((rank, d)).astype(np.float32) * 0.02,
+        "diffusion_model.blocks.0.self_attn.q.lora_B.weight":
+            rng.standard_normal((d, rank)).astype(np.float32) * 0.02,
+    }
+    # numpy (host) path used by the 14B flow
+    host = jax.tree.map(np.asarray, params)
+    merged = merge_lora(host, cfg, sd)
+    assert not np.allclose(
+        merged["blocks"]["self_attn"]["q"]["kernel"][0],
+        host["blocks"]["self_attn"]["q"]["kernel"][0])
+    # layer 1 untouched
+    np.testing.assert_array_equal(
+        merged["blocks"]["self_attn"]["q"]["kernel"][1],
+        host["blocks"]["self_attn"]["q"]["kernel"][1])
+    q = quantize_params_fp8(merged)
+    with pytest.raises(ValueError, match="fp8-quantized"):
+        merge_lora(q, cfg, sd)

@@ -48,6 +48,13 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                         help="Random weights (weight-free smoke runs)")
     parser.add_argument("--attention", type=str, default=None,
                         choices=[None, "pallas", "xla", "naive"])
+    parser.add_argument("--quantize", type=str, default=None,
+                        choices=[None, "fp8"],
+                        help="fp8 DiT weight storage (14B fits 16 GB; the "
+                             "TPU replacement for sequential CPU offload)")
+    parser.add_argument("--offload_t5", action="store_true",
+                        help="Keep umT5 weights host-resident; stream to "
+                             "device per encode call")
 
 
 def collect_items(args) -> List[Tuple[str, Dict]]:
@@ -125,21 +132,26 @@ def run_items(pipe, args, subset, rank: int, *, num_inference_steps: int,
 def build_pipeline_from_args(args, dtype=None):
     import jax.numpy as jnp
     from ..factory import load_pipeline
-    from ..models.lora import merge_lora
 
     dtype = dtype or jnp.bfloat16
-    pipe = load_pipeline(args.model_name or "", dtype=dtype,
-                         random_init=args.random_init,
-                         attn_backend=args.attention,
-                         seed=args.seed)
+    loras = []
     for path, mult in ((getattr(args, "acceleration_lora", None), 1.0),
                       (args.lora_path, args.lora_weight),
                       (args.videocof_path, args.lora_weight)):
         if path:
             if os.path.exists(path):
-                pipe.dit_params = merge_lora(pipe.dit_params, pipe.dit_cfg,
-                                             path, multiplier=mult)
-                print(f"merged LoRA: {path}", file=sys.stderr)
+                loras.append((path, mult))
             else:
                 print(f"warning: LoRA not found: {path}", file=sys.stderr)
+    # LoRA fusion runs inside the factory, host-side, BEFORE fp8
+    # quantization (merging into quantized weights is impossible)
+    pipe = load_pipeline(args.model_name or "", dtype=dtype,
+                         random_init=args.random_init,
+                         attn_backend=args.attention,
+                         seed=args.seed,
+                         quantize=getattr(args, "quantize", None),
+                         offload_t5=getattr(args, "offload_t5", False),
+                         lora_paths=loras)
+    for path, _ in loras:
+        print(f"merged LoRA: {path}", file=sys.stderr)
     return pipe

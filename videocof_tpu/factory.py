@@ -37,12 +37,32 @@ def load_pipeline(
     high_noise_model: Optional[str] = None,
     boundary: float = 0.875,
     require_real_tokenizer: bool = True,
+    quantize: Optional[str] = None,
+    offload_t5: bool = False,
+    lora_paths=None,
 ) -> WanPipeline:
     """Build a pipeline from a checkpoint dir (or random weights).
 
     ``high_noise_model``: path to a second DiT checkpoint dir — returns a
     `Wan22Pipeline` routing high-noise timesteps to it (the Wan2.2 A14B MoE
-    layout ships low/high-noise expert directories)."""
+    layout ships low/high-noise expert directories).
+
+    ``quantize="fp8"``: store DiT matmul weights as float8_e4m3fn with
+    per-layer scales, dequantized inside the scanned block body
+    (`wan_dit._kernel`). Halves DiT HBM — the 14B fits a 16 GB chip
+    (14 GB fp8 + activations) where bf16 (28 GB) cannot load at all. The
+    TPU-native replacement for the reference's sequential CPU offload
+    (`inference.py:306-321`, `utils/fp8_optimization.py`). Quantization of
+    checkpoint weights happens HOST-side (numpy), so the fp32/bf16 copy
+    never touches the device.
+
+    ``offload_t5=True``: keep the umT5 encoder weights host-resident; they
+    stream to the device only for the duration of each `encode_prompt` call
+    (staged residency: encode text -> free -> DiT has the chip to itself).
+
+    ``lora_paths``: sequence of (path, multiplier) fused into the DiT
+    weights BEFORE quantization (host-side on the checkpoint path), matching
+    the reference's merge-then-infer flow (`fast_infer.py:366-386`)."""
     vae_cfg = vae_cfg or WanVAEConfig()
     t5_cfg = t5_cfg or T5Config()
 
@@ -56,6 +76,15 @@ def load_pipeline(
         t5_params = jax.jit(
             lambda k: t5_encoder.init_t5_encoder(k, t5_cfg, dtype=dtype)
         )(keys[2])
+        for path, mult in (lora_paths or ()):
+            from .models.lora import merge_lora
+            dit_params = merge_lora(dit_params, dit_cfg, path,
+                                    multiplier=mult)
+        if quantize == "fp8":
+            from .utils.fp8 import quantize_params_fp8
+            dit_params = jax.jit(quantize_params_fp8)(dit_params)
+        elif quantize:
+            raise ValueError(f"unknown quantize mode {quantize!r}")
         tokenizer = WanTokenizer(vocab_size=t5_cfg.vocab)
         return WanPipeline(dit_params, dit_cfg, vae_params, vae_cfg,
                            t5_params, t5_cfg, tokenizer, dtype=dtype,
@@ -89,9 +118,25 @@ def load_pipeline(
                              else TOKENIZER_SUBPATH, vocab_size=t5_cfg.vocab,
                              require_real=require_real_tokenizer)
 
+    # LoRA fusion happens host-side here, BEFORE quantization, so the 14B
+    # fp8 path never materializes bf16 weights on the device
+    for path, mult in (lora_paths or ()):
+        from .models.lora import merge_lora
+        dit_params = merge_lora(dit_params, dit_cfg, path, multiplier=mult)
+
+    if quantize == "fp8":
+        # host-side: the bf16/fp32 copy never ships to the device
+        from .utils.fp8 import quantize_params_fp8
+        dit_params = quantize_params_fp8(dit_params)
+    elif quantize:
+        raise ValueError(f"unknown quantize mode {quantize!r}")
+
     dit_params = jax.tree.map(jnp.asarray, dit_params)
     vae_params = jax.tree.map(jnp.asarray, vae_params)
-    t5_params = jax.tree.map(jnp.asarray, t5_params)
+    if not offload_t5:
+        t5_params = jax.tree.map(jnp.asarray, t5_params)
+    # (offload_t5: numpy leaves stream to the device per encode_prompt call
+    # and are freed with the call's temporaries — staged residency)
 
     if high_noise_model:
         from .pipeline import Wan22Pipeline

@@ -133,13 +133,30 @@ def merge_lora(params: Dict[str, Any], cfg: WanDiTConfig,
         for p in path:
             node = node[p]
         kern = node["kernel"]
-        delta = jnp.asarray(delta_t.T, dtype=jnp.float32)
-        if layer is None:
-            node["kernel"] = (kern.astype(jnp.float32) + delta).astype(
-                kern.dtype)
+        if isinstance(kern, dict):
+            raise ValueError(
+                f"cannot fuse LoRA into fp8-quantized weight {name!r}: "
+                "merge before quantization (factory.load_pipeline applies "
+                "lora_paths ahead of quantize='fp8')")
+        if isinstance(kern, np.ndarray):
+            # host-side fusion (numpy): used by the 14B fp8 path, where
+            # weights must never materialize bf16 on the device
+            delta = delta_t.T.astype(np.float32)
+            kern = np.array(kern)  # copy
+            if layer is None:
+                kern = (kern.astype(np.float32) + delta).astype(kern.dtype)
+            else:
+                kern[layer] = (kern[layer].astype(np.float32)
+                               + delta).astype(kern.dtype)
+            node["kernel"] = kern
         else:
-            upd = kern[layer].astype(jnp.float32) + delta
-            node["kernel"] = kern.at[layer].set(upd.astype(kern.dtype))
+            delta = jnp.asarray(delta_t.T, dtype=jnp.float32)
+            if layer is None:
+                node["kernel"] = (kern.astype(jnp.float32) + delta).astype(
+                    kern.dtype)
+            else:
+                upd = kern[layer].astype(jnp.float32) + delta
+                node["kernel"] = kern.at[layer].set(upd.astype(kern.dtype))
     return params
 
 

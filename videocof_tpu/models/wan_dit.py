@@ -66,9 +66,24 @@ def _rms_norm(x, weight, eps):
     return (out * weight.astype(jnp.float32)).astype(x.dtype)
 
 
+def _kernel(p, dtype=None):
+    """Resolve a weight leaf, dequantizing {"fp8", "scale"} storage
+    (utils/fp8.py) to the compute dtype. Inside the scanned block stack this
+    means only ONE block's bf16 weights are ever materialized at a time — the
+    fp8 copy is the only HBM-resident one, which is what fits the 14B DiT on
+    a 16 GB chip (reference fallback: sequential CPU offload,
+    `inference.py:306-321`)."""
+    k = p["kernel"]
+    if isinstance(k, dict):  # fp8 leaf
+        dtype = dtype or jnp.bfloat16
+        return (k["fp8"].astype(jnp.float32) * k["scale"]).astype(dtype)
+    return k.astype(dtype) if dtype is not None else k
+
+
 def _linear(x, p, dtype=None):
-    dtype = dtype or p["kernel"].dtype
-    y = jnp.dot(x.astype(dtype), p["kernel"].astype(dtype))
+    k = _kernel(p, dtype)
+    dtype = dtype or k.dtype
+    y = jnp.dot(x.astype(dtype), k.astype(dtype))
     if "bias" in p:
         y = y + p["bias"].astype(dtype)
     return y
@@ -341,6 +356,10 @@ def wan_dit_forward_with_residual(
     bypassed and ``residual`` (from a previous compute step) is re-added to
     the embedded stream (`wan_transformer3d.py:981-1031`).
 
+    Params may carry fp8 weight storage (`utils/fp8.quantize_params_fp8`):
+    matmul kernels arrive as {"fp8", "scale"} dicts and are dequantized
+    per-use inside the scanned block body (see `_kernel`).
+
     With ``sp`` (a `videocof_tpu.parallel.SPContext`) the WHOLE forward is
     sequence-parallel, mirroring the reference's token chunking after patch
     embed and all_gather after the head (`wan_transformer3d.py:949-953,
@@ -350,7 +369,8 @@ def wan_dit_forward_with_residual(
     key mask so padded tokens never enter a softmax), and the head output is
     gathered before unpatchify. FFN/projections/AdaLN/head all scale with the
     SP degree — not just attention."""
-    compute_dtype = params["patch_embed"]["kernel"].dtype
+    pk = params["patch_embed"]["kernel"]
+    compute_dtype = jnp.bfloat16 if isinstance(pk, dict) else pk.dtype
 
     if y is not None:  # i2v conditioning video (`wan_transformer3d.py:866-867`)
         x = jnp.concatenate([x, y.astype(x.dtype)], axis=1)

@@ -163,9 +163,10 @@ def convert_dit_state_dict(sd: StateDict, cfg: WanDiTConfig,
 
 
 def _stack_pytrees(trees):
+    # host-side (numpy) stacking: conversion stays off-device so the caller
+    # decides what ships (e.g. fp8-quantize first — factory.load_pipeline)
     import jax
-    import jax.numpy as jnp
-    return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+    return jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]),
                         *trees)
 
 

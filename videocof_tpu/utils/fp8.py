@@ -4,15 +4,25 @@ Equivalent of the reference's fp8 path (`utils/fp8_optimization.py`:
 float8_e4m3fn storage, per-forward upcast, 'modulation' params excluded).
 On TPU we add per-tensor scales: e4m3 has a narrow dynamic range, so each
 quantized leaf stores (q: float8_e4m3fn, scale: fp32) and dequantizes to the
-compute dtype at use. Halves HBM for the 14B DiT (28 GB bf16 -> 14 GB).
+compute dtype at use (`wan_dit._kernel` does this inside the scanned block
+body, so only one block's bf16 weights are ever live). Halves HBM for the
+14B DiT (28 GB bf16 -> 14 GB) — the TPU answer to the reference's
+sequential CPU offload (`inference.py:306-321`).
+
+Scan-stacked block weights ([num_layers, ...] leaves under "blocks") get a
+PER-LAYER scale (shape [num_layers]); `lax.scan` slices it to a scalar
+alongside the fp8 slab.
+
+Quantization runs host-side in numpy when given numpy leaves (ml_dtypes
+float8), so a 14B checkpoint never has to materialize in fp32 on a 16 GB
+device just to be quantized.
 """
 
 from __future__ import annotations
 
 from typing import Any, Sequence, Tuple
 
-import jax
-import jax.numpy as jnp
+import numpy as np
 
 E4M3_MAX = 448.0
 
@@ -20,25 +30,52 @@ E4M3_MAX = 448.0
 # 'modulation'; norms/biases are tiny and precision-sensitive)
 DEFAULT_EXCLUDE = ("modulation", "norm", "bias", "time_mlp", "time_proj")
 
+# path prefixes whose leaves are scan-stacked on axis 0 (per-layer scales)
+DEFAULT_STACKED = ("blocks",)
 
-def _match(path: Tuple, patterns: Sequence[str]) -> bool:
-    s = "/".join(str(getattr(k, "key", k)) for k in path)
-    return any(p in s for p in patterns)
+
+def _path_str(path: Tuple) -> str:
+    return "/".join(str(getattr(k, "key", k)) for k in path)
 
 
 def quantize_params_fp8(params: Any,
-                        exclude: Sequence[str] = DEFAULT_EXCLUDE) -> Any:
+                        exclude: Sequence[str] = DEFAULT_EXCLUDE,
+                        stacked: Sequence[str] = DEFAULT_STACKED) -> Any:
     """Returns a pytree where large matmul weights become
-    {"fp8": q, "scale": s} dicts; use `dequantize_leaf`/`dequantize_params`
-    to recover compute weights."""
+    {"fp8": q, "scale": s} dicts; `wan_dit._kernel` (or `dequantize_params`)
+    recovers compute weights. numpy leaves quantize on host, jax leaves on
+    device."""
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
 
     def quant(path, leaf):
-        if leaf.ndim < 2 or _match(path, exclude):
+        s = _path_str(path)
+        if leaf.ndim < 2 or any(p in s for p in exclude):
             return leaf
+        per_layer = leaf.ndim >= 3 and any(s.startswith(p) or f"/{p}/" in s
+                                           for p in stacked)
+        if isinstance(leaf, np.ndarray):
+            a = leaf.astype(np.float32)
+            if per_layer:
+                red = tuple(range(1, a.ndim))
+                scale = np.maximum(np.abs(a).max(axis=red), 1e-12) / E4M3_MAX
+                q = (a / scale.reshape((-1,) + (1,) * (a.ndim - 1))
+                     ).astype(ml_dtypes.float8_e4m3fn)
+                return {"fp8": q, "scale": scale.astype(np.float32)}
+            scale = np.float32(max(float(np.abs(a).max()), 1e-12) / E4M3_MAX)
+            return {"fp8": (a / scale).astype(ml_dtypes.float8_e4m3fn),
+                    "scale": scale}
         a = jnp.asarray(leaf, jnp.float32)
+        if per_layer:
+            red = tuple(range(1, a.ndim))
+            scale = jnp.maximum(jnp.max(jnp.abs(a), axis=red),
+                                1e-12) / E4M3_MAX
+            q = (a / scale.reshape((-1,) + (1,) * (a.ndim - 1))
+                 ).astype(jnp.float8_e4m3fn)
+            return {"fp8": q, "scale": scale}
         scale = jnp.maximum(jnp.max(jnp.abs(a)), 1e-12) / E4M3_MAX
-        q = (a / scale).astype(jnp.float8_e4m3fn)
-        return {"fp8": q, "scale": scale}
+        return {"fp8": (a / scale).astype(jnp.float8_e4m3fn), "scale": scale}
 
     return jax.tree_util.tree_map_with_path(quant, params)
 
@@ -47,21 +84,29 @@ def is_fp8_leaf(x: Any) -> bool:
     return isinstance(x, dict) and "fp8" in x and "scale" in x
 
 
-def dequantize_leaf(x: Any, dtype=jnp.bfloat16):
+def dequantize_leaf(x: Any, dtype=None):
+    import jax.numpy as jnp
+    dtype = dtype or jnp.bfloat16
     if is_fp8_leaf(x):
-        return (x["fp8"].astype(jnp.float32) * x["scale"]).astype(dtype)
+        q = jnp.asarray(x["fp8"]).astype(jnp.float32)
+        scale = jnp.asarray(x["scale"])
+        if scale.ndim == 1:  # per-layer: [L] against [L, ...]
+            scale = scale.reshape((-1,) + (1,) * (q.ndim - 1))
+        return (q * scale).astype(dtype)
     return x
 
 
-def dequantize_params(params: Any, dtype=jnp.bfloat16) -> Any:
+def dequantize_params(params: Any, dtype=None) -> Any:
     """Full upcast (for feeding the standard forward; XLA fuses the upcast
     into the consuming matmul, so under jit the fp8 copy stays the only
     HBM-resident one when donated)."""
+    import jax
     return jax.tree.map(lambda x: dequantize_leaf(x, dtype), params,
                         is_leaf=is_fp8_leaf)
 
 
 def fp8_bytes(params: Any) -> int:
+    import jax
     total = 0
     for leaf in jax.tree.leaves(params):
         total += leaf.size * leaf.dtype.itemsize
