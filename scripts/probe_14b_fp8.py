@@ -43,10 +43,13 @@ def main():
     ap.add_argument("--grid", type=str, default="19,30,52",
                     help="latent grid f,h,w (default = 480x832, 33+4 CoF)")
     ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--stream-dtype", type=str, default="bfloat16",
+                    help="residual-stream dtype (bfloat16 fits the 16 GB "
+                         "chip at 29.6k tokens; float32 OOMs by ~1.1 GB)")
     args = ap.parse_args()
     f, h, w = (int(x) for x in args.grid.split(","))
 
-    cfg = WAN21_T2V_14B
+    cfg = WAN21_T2V_14B.replace(stream_dtype=args.stream_dtype)
     dev = jax.devices()[0]
     print(f"device: {dev} ({dev.platform})", file=sys.stderr)
 

@@ -113,3 +113,27 @@ def test_sp_token_stream_actually_sharded():
     gathered = jax.jit(lambda v: spc.gather(spc.shard_tokens(v)))(x)
     assert {s.data.shape for s in gathered.addressable_shards} == {
         (2, 112, 64)}
+
+
+def test_cfg_parallel_matches_single_device(pipe):
+    """CFG parallelism (ref dist/fuser.py:35-49): cond/uncond split over the
+    data axis must reproduce single-device CFG output exactly."""
+    video = np.random.default_rng(3).uniform(
+        -1, 1, (1, 3, 9, 32, 32)).astype(np.float32)
+    kw = dict(source_frames=9, reasoning_frames=4, num_inference_steps=2,
+              guidance_scale=5.0, negative_prompt="blurry", seed=13)
+    pipe.disable_sequence_parallel()
+    base = pipe(video, "swap the cup with a vase", **kw)
+    pipe.enable_sequence_parallel(data=2, seq=2, mode="ulysses",
+                                  cfg_parallel=True)
+    try:
+        par = pipe(video, "swap the cup with a vase", **kw)
+    finally:
+        pipe.disable_sequence_parallel()
+    np.testing.assert_allclose(par.videos, base.videos, atol=2e-2)
+
+
+def test_cfg_parallel_requires_data_axis(pipe):
+    with pytest.raises(ValueError, match="data axis"):
+        pipe.enable_sequence_parallel(data=1, seq=4, cfg_parallel=True)
+    pipe.disable_sequence_parallel()

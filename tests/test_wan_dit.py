@@ -135,3 +135,30 @@ def test_grad_flows(setup):
     flat = jax.tree.leaves(norms)
     assert all(np.isfinite(v) for v in flat)
     assert max(flat) > 0
+
+
+def test_bf16_stream_dtype_close_to_fp32():
+    """cfg.stream_dtype='bfloat16' halves stream HBM (the 14B-on-16GB
+    enabler); output must stay close to the fp32-stream default."""
+    import jax
+    import jax.numpy as jnp
+    from videocof_tpu.configs import WAN_TINY
+    from videocof_tpu.models import wan_dit
+    cfg32 = WAN_TINY
+    cfg16 = WAN_TINY.replace(stream_dtype="bfloat16")
+    params = wan_dit.init_wan_dit(jax.random.PRNGKey(0), cfg32)
+    f, h, w = 3, 4, 4
+    pt, ph, pw = cfg32.patch_size
+    x = jax.random.normal(jax.random.PRNGKey(1),
+                          (1, cfg32.in_dim, f * pt, h * ph, w * pw))
+    t = jnp.array([500.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(2),
+                            (1, cfg32.text_len, cfg32.text_dim))
+    cos, sin = wan_dit.make_rope_for_geometry(cfg32, (f, h, w))
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+    a = np.asarray(wan_dit.wan_dit_forward(params, cfg32, x, t, ctx, cos,
+                                           sin))
+    b = np.asarray(wan_dit.wan_dit_forward(params, cfg16, x, t, ctx, cos,
+                                           sin))
+    assert np.isfinite(b).all()
+    assert np.abs(a - b).mean() < 0.02 * np.abs(a).mean() + 0.02

@@ -38,6 +38,13 @@ class WanDiTConfig:
     eps: float = 1e-6
     rope_max_pos: int = 1024
     rope_theta: float = 10000.0
+    # Residual-stream storage dtype. "float32" (default) carries the stream
+    # in fp32 between blocks (extra precision vs the reference, whose
+    # autocast-bf16 blocks keep x in bf16); "bfloat16" halves stream-sized
+    # HBM temporaries — needed to fit the 14B forward at the 29.6k-token
+    # CoF geometry beside fp8 weights on a 16 GB chip. Norms/softmax/AdaLN
+    # still compute in fp32 either way.
+    stream_dtype: str = "float32"
 
     @property
     def head_dim(self) -> int:

@@ -135,7 +135,9 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     a, b = xf[..., 0], xf[..., 1]
     c = cos.reshape(L, 1, D // 2)
     s = sin.reshape(L, 1, D // 2)
-    ra = a * c - b * s
-    rb = a * s + b * c
-    out = jnp.stack([ra, rb], axis=-1).reshape(*lead, L, N, D)
-    return out.astype(orig_dtype)
+    # cast each rotated half BEFORE stacking: the rotation math stays fp32
+    # (fusion-internal), but the materialized buffer is x.dtype — at 14B
+    # geometry the fp32 stack was a 580 MB HLO temp per q/k (OOM driver)
+    ra = (a * c - b * s).astype(orig_dtype)
+    rb = (a * s + b * c).astype(orig_dtype)
+    return jnp.stack([ra, rb], axis=-1).reshape(*lead, L, N, D)

@@ -245,11 +245,13 @@ def wan_block_apply(p: Params, cfg: WanDiTConfig, x, e0, context,
         e = (p["modulation"][None].astype(jnp.float32) + e0)  # [B, 6, D]
         e_ = [e[:, i][:, None, :] for i in range(6)]  # each [B, 1, D]
 
+    sdt = x.dtype  # residual-stream storage dtype (cfg.stream_dtype)
+
     # self-attention with AdaLN-zero gates
     tx = _layer_norm(x, eps) * (1.0 + e_[1]) + e_[0]
     y = _attn_qkv(tx.astype(context.dtype), p["self_attn"], cfg.num_heads, eps,
                   rope_cs=rope_cs, kv_mask=seq_mask, backend=attn_backend)
-    x = x + y.astype(jnp.float32) * e_[2]
+    x = (x.astype(jnp.float32) + y.astype(jnp.float32) * e_[2]).astype(sdt)
 
     # cross-attention (t2v: plain text K/V — `wan_transformer3d.py:308-336`;
     # i2v additionally attends q against the first 257 image tokens through a
@@ -270,14 +272,14 @@ def wan_block_apply(p: Params, cfg: WanDiTConfig, x, e0, context,
         y = _attn_qkv(nxc, p["cross_attn"], cfg.num_heads,
                       eps, kv_in=context, kv_mask=context_mask,
                       backend=xattn_backend)
-    x = x + y.astype(jnp.float32)
+    x = (x.astype(jnp.float32) + y.astype(jnp.float32)).astype(sdt)
 
     # gated FFN
     tx = _layer_norm(x, eps) * (1.0 + e_[4]) + e_[3]
     h = _linear(tx.astype(context.dtype), p["ffn"]["fc1"])
     h = _gelu_tanh(h)
     h = _linear(h, p["ffn"]["fc2"])
-    x = x + h.astype(jnp.float32) * e_[5]
+    x = (x.astype(jnp.float32) + h.astype(jnp.float32) * e_[5]).astype(sdt)
     return x
 
 
@@ -446,7 +448,7 @@ def wan_dit_forward_with_residual(
             e = sp.shard_tokens(e)
 
     rope_cs = (rope_cos, rope_sin)
-    stream0 = hseq.astype(jnp.float32)
+    stream0 = hseq.astype(jnp.dtype(cfg.stream_dtype))
 
     if skip_blocks:
         assert residual is not None, "skip_blocks needs a cached residual"

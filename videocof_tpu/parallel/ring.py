@@ -23,9 +23,11 @@ from jax import shard_map
 
 
 def make_ring_attention(mesh: Mesh, seq_axis: str = "seq",
-                        scale: Optional[float] = None) -> Callable:
+                        scale: Optional[float] = None,
+                        batch_axis: Optional[str] = None) -> Callable:
     """Returns attn(q, k, v, mask=None). ``mask`` is a global boolean key
-    mask [B, L]; its shard rotates around the ring with the K/V blocks."""
+    mask [B, L]; its shard rotates around the ring with the K/V blocks.
+    ``batch_axis``: additionally shard the batch dim (CFG parallelism)."""
     sp = mesh.shape[seq_axis]
     NEG = jnp.finfo(jnp.float32).min
 
@@ -66,14 +68,16 @@ def make_ring_attention(mesh: Mesh, seq_axis: str = "seq",
     def attn(q, k, v, mask=None):
         L = q.shape[1]
         assert L % sp == 0, f"seq len {L} not divisible by sp={sp} (pad first)"
-        tok = P(None, seq_axis, None, None)
+        if batch_axis is not None:
+            assert q.shape[0] % mesh.shape[batch_axis] == 0
+        tok = P(batch_axis, seq_axis, None, None)
         if mask is None:
             return shard_map(
                 lambda q, k, v: _inner(q, k, v, None), mesh=mesh,
                 in_specs=(tok,) * 3, out_specs=tok)(q, k, v)
         return shard_map(
             _inner, mesh=mesh,
-            in_specs=(tok, tok, tok, P(None, seq_axis)),  # mask shards w/ KV
+            in_specs=(tok, tok, tok, P(batch_axis, seq_axis)),
             out_specs=tok)(q, k, v, mask)
 
     return attn

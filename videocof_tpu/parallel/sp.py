@@ -30,19 +30,43 @@ def pad_tokens_for_sp(L: int, sp: int) -> int:
 class SPContext:
     mesh: Mesh
     axis: str = "seq"
+    data_axis: str = "data"
+    # CFG parallelism (reference `dist/fuser.py:35-49`): the doubled
+    # cond/uncond batch shards over the data axis, so each device group runs
+    # ONE guidance branch instead of both. Enabled per-step by the pipeline
+    # only when the batch actually carries both branches.
+    cfg_parallel: bool = False
 
     @property
     def size(self) -> int:
         return self.mesh.shape[self.axis]
 
+    @property
+    def data_size(self) -> int:
+        return self.mesh.shape[self.data_axis]
+
+    def with_cfg_parallel(self) -> "SPContext":
+        return dataclasses.replace(self, cfg_parallel=True)
+
     def padded_len(self, L: int) -> int:
         return pad_tokens_for_sp(L, self.size)
 
     # -- constraints (used inside jit) ------------------------------------
+    def shard_batch(self, x: jax.Array) -> jax.Array:
+        """[2B, ...]: shard the (CFG-doubled) batch over the data axis."""
+        spec = [None] * x.ndim
+        spec[0] = self.data_axis
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, P(*spec)))
+
     def shard_tokens(self, x: jax.Array) -> jax.Array:
-        """[B, L, ...]: shard the token axis."""
+        """[B, L, ...]: shard the token axis (and, under CFG parallelism,
+        the batch axis — P(None, ...) would otherwise force the batch
+        replicated again)."""
         spec = [None] * x.ndim
         spec[1] = self.axis
+        if self.cfg_parallel:
+            spec[0] = self.data_axis
         return jax.lax.with_sharding_constraint(
             x, NamedSharding(self.mesh, P(*spec)))
 

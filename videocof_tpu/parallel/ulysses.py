@@ -28,11 +28,15 @@ from .sp import pad_tokens_for_sp  # noqa: F401  (re-export; historical home)
 
 
 def make_ulysses_attention(mesh: Mesh, seq_axis: str = "seq",
-                           inner_backend: Optional[str] = None) -> Callable:
+                           inner_backend: Optional[str] = None,
+                           batch_axis: Optional[str] = None) -> Callable:
     """Returns attn(q, k, v, mask=None) on logically-global [B, L, N, D]
     arrays; L and N must divide by the seq-axis size. ``mask`` is a global
     boolean key mask [B, L] (True = attend) — used for non-dividing token
-    counts that were zero-padded to a multiple of the axis."""
+    counts that were zero-padded to a multiple of the axis.
+
+    ``batch_axis``: additionally shard the batch dim (CFG parallelism — the
+    cond/uncond doubled batch split over the data axis)."""
     sp = mesh.shape[seq_axis]
 
     def _inner(q, k, v, mask):
@@ -57,14 +61,16 @@ def make_ulysses_attention(mesh: Mesh, seq_axis: str = "seq",
         B, L, N, D = q.shape
         assert L % sp == 0, f"seq len {L} not divisible by sp={sp} (pad first)"
         assert N % sp == 0, f"heads {N} not divisible by sp={sp}"
-        tok = P(None, seq_axis, None, None)
+        if batch_axis is not None:
+            assert B % mesh.shape[batch_axis] == 0, (B, batch_axis)
+        tok = P(batch_axis, seq_axis, None, None)
         if mask is None:
             return shard_map(
                 lambda q, k, v: _inner(q, k, v, None), mesh=mesh,
                 in_specs=(tok,) * 3, out_specs=tok)(q, k, v)
         return shard_map(
             _inner, mesh=mesh,
-            in_specs=(tok, tok, tok, P(None, None)),  # mask replicated
+            in_specs=(tok, tok, tok, P(batch_axis, None)),
             out_specs=tok)(q, k, v, mask)
 
     return attn

@@ -37,6 +37,9 @@ def make_fused_sample_fn(dit_cfg: WanDiTConfig, sampler_name: str,
     def dit_v(dit_params, latents, t_scalar, context, cos, sin):
         if do_cfg:
             x = jnp.concatenate([latents, latents], axis=0)
+            if sp is not None and sp.cfg_parallel:
+                x = sp.shard_batch(x)
+                context = sp.shard_batch(context)
         else:
             x = latents
         t = jnp.full((x.shape[0],), t_scalar, jnp.float32)

@@ -85,7 +85,8 @@ class WanPipeline:
     # ----------------------------------------------------------- parallelism
     def enable_sequence_parallel(self, mesh=None, data: int = 1,
                                  seq: Optional[int] = None,
-                                 mode: str = "ulysses") -> None:
+                                 mode: str = "ulysses",
+                                 cfg_parallel: bool = False) -> None:
         """Run the WHOLE DiT forward sequence-parallel over the mesh's
         ``seq`` axis: the residual stream (patch embed -> blocks -> head) is
         token-sharded and gathered at the head exit, mirroring the
@@ -93,6 +94,11 @@ class WanPipeline:
         CoF-compatible, since RoPE enters as per-token data sharded with the
         tokens. Non-dividing token counts are padded (with key masking)
         to a multiple of the seq axis.
+
+        ``cfg_parallel=True`` (needs data >= 2): during CFG steps the
+        cond/uncond doubled batch shards over the ``data`` axis so each
+        device group runs one guidance branch — the reference's
+        classifier_free_guidance_degree (`dist/fuser.py:35-49`).
         """
         from ..parallel import (SPContext, make_mesh, make_ring_attention,
                                 make_ulysses_attention)
@@ -102,15 +108,19 @@ class WanPipeline:
             mesh = make_mesh(data=data, seq=seq)
         maker = {"ulysses": make_ulysses_attention,
                  "ring": make_ring_attention}[mode]
+        if cfg_parallel and mesh.shape["data"] < 2:
+            raise ValueError("cfg_parallel needs a data axis of >= 2")
         self.attn_backend = maker(mesh)
         self.sp_mesh = mesh
         self.sp_ctx = SPContext(mesh)
+        self.cfg_parallel = cfg_parallel
         self._jit_cache.clear()
 
     def disable_sequence_parallel(self) -> None:
         self.attn_backend = None
         self.sp_mesh = None
         self.sp_ctx = None
+        self.cfg_parallel = False
         self._jit_cache.clear()
 
     # ------------------------------------------------------------------ text
@@ -214,6 +224,8 @@ class WanPipeline:
         dit_cfg = self.dit_cfg
         backend = self.attn_backend
         sp = getattr(self, "sp_ctx", None)
+        if sp is not None and do_cfg and getattr(self, "cfg_parallel", False):
+            sp = sp.with_cfg_parallel()
 
         @jax.jit
         def step(dit_params, latents, t_scalar, context, rope_cos, rope_sin,
@@ -221,6 +233,11 @@ class WanPipeline:
             if do_cfg:
                 x = jnp.concatenate([latents, latents], axis=0)
                 ctx = context  # [2B, ...] (uncond first, then cond)
+                if sp is not None and sp.cfg_parallel:
+                    # cond/uncond split over the data axis
+                    # (ref `dist/fuser.py:35-49`)
+                    x = sp.shard_batch(x)
+                    ctx = sp.shard_batch(ctx)
             else:
                 x = latents
                 ctx = context
@@ -362,11 +379,14 @@ class WanPipeline:
                     self.attn_backend)
             if fkey not in self._jit_cache:
                 from .fused_sampler import make_fused_sample_fn
+                sp = getattr(self, "sp_ctx", None)
+                if (sp is not None and do_cfg
+                        and getattr(self, "cfg_parallel", False)):
+                    sp = sp.with_cfg_parallel()
                 self._jit_cache[fkey] = make_fused_sample_fn(
                     self.dit_cfg, sampler, sched.plan_arrays(), do_cfg,
                     guidance_scale, condition_count, self.dtype,
-                    attn_backend=self.attn_backend,
-                    sp=getattr(self, "sp_ctx", None))
+                    attn_backend=self.attn_backend, sp=sp)
             latents = self._jit_cache[fkey](self.dit_params, latents,
                                             context, cos, sin)
             _tick("denoise(fused)", latents)
