@@ -134,3 +134,70 @@ def test_tokenizer_require_real_rejects_fallback():
     assert tok.is_fallback
     ids, mask = tok(["hello world"], max_length=8)
     assert ids.shape == (1, 8) and mask[0].sum() == 3
+
+
+def test_interpolate_ground_frames_linear():
+    from videocof_tpu.data.dataset import interpolate_ground_frames
+    a = np.zeros((8, 8, 3), np.uint8)
+    b = np.full((8, 8, 3), 240, np.uint8)
+    out = interpolate_ground_frames(a, b, total_steps=16,
+                                    pick_indices=(0, 3, 6, 9, 12))
+    assert out.shape == (5, 8, 8, 3) and out.dtype == np.uint8
+    # align_corners linear: weight = idx/15
+    want = [round(240 * i / 15) for i in (0, 3, 6, 9, 12)]
+    got = [int(out[i, 0, 0, 0]) for i in range(5)]
+    assert all(abs(g - w) <= 1 for g, w in zip(got, want)), (got, want)
+    # mismatched sizes resize target to ground
+    b2 = np.full((4, 6, 3), 200, np.uint8)
+    out2 = interpolate_ground_frames(a, b2, total_steps=4,
+                                     pick_indices=(0, 3))
+    assert out2.shape == (2, 8, 8, 3)
+
+
+def test_gray_mask_and_effects():
+    from videocof_tpu.data.dataset import (apply_gray_overlay,
+                                           apply_gray_region_effect,
+                                           build_gray_mask)
+    frame = np.zeros((6, 6, 3), np.uint8)
+    frame[:3] = 128                      # flat gray in band -> masked
+    frame[3:] = [200, 40, 90]            # saturated -> not masked
+    m = build_gray_mask(frame)
+    assert m[:3].all() and not m[3:].any()
+
+    red = apply_gray_region_effect(frame[None], "red")[0]
+    assert (red[:3] == [255, 0, 0]).all()
+    assert (red[3:] == [200, 40, 90]).all()
+
+    blk = apply_gray_region_effect(frame[None], "black")[0]
+    assert (blk[:3] == 128).all() and (blk[3:] == 0).all()
+
+    src = np.full((2, 6, 6, 3), 100, np.uint8)
+    ov = apply_gray_overlay(src, frame[None].repeat(2, 0), alpha=0.5,
+                            gray_value=0.5, num_frames=1)
+    # first frame, gray region: 0.5*100/255 + 0.5*0.5 -> ~96... compute:
+    want = round((0.5 * (100 / 255.0) + 0.5 * 0.5) * 255.0)
+    assert abs(int(ov[0, 0, 0, 0]) - want) <= 1
+    # unmasked rows and the second frame untouched
+    assert (ov[0, 3:] == 100).all() and (ov[1] == 100).all()
+
+
+def test_dataset_gradual_and_gray_modes(triplet_json):
+    from videocof_tpu.data.dataset import CoTTripletDataset
+    ds = CoTTripletDataset(triplet_json, height=32, width=48,
+                           source_frames=6, target_frames=6,
+                           reasoning_frames=4, text_drop_ratio=0.0,
+                           gradual_ground=True, gray_viz="red")
+    s = ds[0]
+    # gradual mode: reasoning_frames interpolated grounding frames
+    assert s["pixel_ground"].shape == (3, 4, 32, 48)
+    # first interpolated frame == grounded video's first frame (weight 0)
+    ds2 = CoTTripletDataset(triplet_json, height=32, width=48,
+                            source_frames=6, target_frames=6,
+                            reasoning_frames=4, text_drop_ratio=0.0,
+                            gray_viz="overlay")
+    s2 = ds2[0]
+    # overlay mode returns the (modified) SOURCE stream as grounding
+    # (reference `:1541-1546`)
+    assert s2["pixel_ground"].shape == (3, 6, 32, 48)
+    with pytest.raises(ValueError, match="gray_viz"):
+        CoTTripletDataset(triplet_json, gray_viz="sparkle")
