@@ -18,23 +18,72 @@ ASSETS = os.path.join(os.path.dirname(__file__), "..", "assets")
 
 CLIPS = {
     "two_man.mp4": (64, 48),
+    "three_people.mp4": (64, 48),
     "office.mp4": (64, 48),
-    "road.mp4": (64, 48),
-    "cat.mp4": (64, 48),
-    "house.mp4": (64, 48),
+    "woman_ballon.mp4": (64, 48),
+    "greenhouse.mp4": (64, 48),
+    "gameplay.mp4": (64, 48),
+    "dog.mp4": (64, 48),
+    "sign.mp4": (64, 48),
+    "old_man.mp4": (64, 48),
+    "pants.mp4": (64, 48),
+    "bowl.mp4": (64, 48),
+    "ketchup.mp4": (64, 48),
+    "fruit.mp4": (64, 48),
 }
 
+# The reference's full 13-item eval list (assets/teaser_test.json:
+# obj_rem x3, obj_add x4, obj_swap x3, local_style x3), instructions
+# verbatim, clip names mapped onto synthetic moving-shape videos.
 TASKS = [
     {"task_type": "obj_rem", "sample_id": "001", "video": "two_man.mp4",
-     "edit_instruction": "Remove the man on the left."},
-    {"task_type": "obj_rem", "sample_id": "002", "video": "office.mp4",
-     "edit_instruction": "Remove the beige computer."},
-    {"task_type": "obj_add", "sample_id": "001", "video": "road.mp4",
-     "edit_instruction": "Add a red sports car driving on the road."},
-    {"task_type": "obj_swap", "sample_id": "001", "video": "cat.mp4",
-     "edit_instruction": "Replace the cat with a golden retriever puppy."},
-    {"task_type": "local_style", "sample_id": "001", "video": "house.mp4",
-     "edit_instruction": "Change the house walls to weathered red brick."},
+     "edit_instruction": "Remove the young man with short black hair "
+                         "wearing black shirt on the left."},
+    {"task_type": "obj_rem", "sample_id": "002", "video": "three_people.mp4",
+     "edit_instruction": "Remove the man with short dark hair wearing a "
+                         "gray suit on the right"},
+    {"task_type": "obj_rem", "sample_id": "003", "video": "office.mp4",
+     "edit_instruction": "Remove the beige CRT computer setup."},
+    {"task_type": "obj_add", "sample_id": "001", "video": "woman_ballon.mp4",
+     "edit_instruction": "Add the woman in a floral dress pointing at the "
+                         "balloon on the left."},
+    {"task_type": "obj_add", "sample_id": "002", "video": "greenhouse.mp4",
+     "edit_instruction": "A white Samoyed is watching the man, who crouches "
+                         "in a greenhouse. The Samoyed is covered in thick, "
+                         "fluffy white fur, giving it a very soft and plush "
+                         "appearance. Its ears are erect and triangular, "
+                         "making it look alert and intelligent. The "
+                         "Samoyed's face features its signature smile, with "
+                         "bright black eyes that convey friendliness and "
+                         "curiosity."},
+    {"task_type": "obj_add", "sample_id": "003", "video": "gameplay.mp4",
+     "edit_instruction": "Add the woman holding the blue game controller "
+                         "to the left of the man, engaged in gameplay."},
+    {"task_type": "obj_add", "sample_id": "004", "video": "dog.mp4",
+     "edit_instruction": "Add the brown and white beagle interacting with "
+                         "and drinking from the metallic bowl on the "
+                         "wooden floor."},
+    {"task_type": "obj_swap", "sample_id": "001", "video": "sign.mp4",
+     "edit_instruction": "Replace the yellow \"SCHOOL\" sign with a red "
+                         "hospital sign, featuring a white hospital emblem "
+                         "on the top and the word \"HOSPITAL\" below."},
+    {"task_type": "obj_swap", "sample_id": "002", "video": "old_man.mp4",
+     "edit_instruction": "Swap the old man with long white hair and a blue "
+                         "checkered shirt at the left side of the frame "
+                         "with a woman with curly brown hair and a denim "
+                         "shirt."},
+    {"task_type": "obj_swap", "sample_id": "003", "video": "pants.mp4",
+     "edit_instruction": "swap the white pants worn by the individual the "
+                         "light blue jeans."},
+    {"task_type": "local_style", "sample_id": "001", "video": "bowl.mp4",
+     "edit_instruction": "Make the largest cup on the right white and "
+                         "smooth."},
+    {"task_type": "local_style", "sample_id": "002", "video": "ketchup.mp4",
+     "edit_instruction": "Make the ketchup bottle to the right of the BBQ "
+                         "sauce bottle violet color."},
+    {"task_type": "local_style", "sample_id": "003", "video": "fruit.mp4",
+     "edit_instruction": "Make the pomegranate at the right side of the "
+                         "basket lavender color."},
 ]
 
 
