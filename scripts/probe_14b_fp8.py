@@ -49,7 +49,8 @@ def main():
     args = ap.parse_args()
     f, h, w = (int(x) for x in args.grid.split(","))
 
-    cfg = WAN21_T2V_14B.replace(stream_dtype=args.stream_dtype)
+    cfg = WAN21_T2V_14B.replace(stream_dtype=args.stream_dtype,
+                                rope_dtype=args.stream_dtype)
     dev = jax.devices()[0]
     print(f"device: {dev} ({dev.platform})", file=sys.stderr)
 

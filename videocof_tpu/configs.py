@@ -38,6 +38,12 @@ class WanDiTConfig:
     eps: float = 1e-6
     rope_max_pos: int = 1024
     rope_theta: float = 10000.0
+    # RoPE rotation arithmetic dtype. "float32" (default) matches the
+    # reference's fp32 complex rope exactly; "bfloat16" computes the
+    # rotation in bf16 (the angle TABLES are still float64-derived) —
+    # eliminates 2x ~580 MB fp32 HLO temps per attention at the 14B
+    # 29.6k-token geometry.
+    rope_dtype: str = "float32"
     # Residual-stream storage dtype. "float32" (default) carries the stream
     # in fp32 between blocks (extra precision vs the reference, whose
     # autocast-bf16 blocks keep x in bf16); "bfloat16" halves stream-sized

@@ -125,19 +125,25 @@ def build_rope_cos_sin(
     return np.cos(out).astype(np.float32), np.sin(out).astype(np.float32)
 
 
-def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array,
+               compute_dtype=None) -> jax.Array:
     """Rotate consecutive channel pairs of ``x`` [..., L, N, D] by per-token
-    angles (cos/sin of shape [L, D//2]). Math in fp32 (the reference keeps RoPE
-    in fp32 complex — `wan_transformer3d.py:135-136`), result in x.dtype."""
+    angles (cos/sin of shape [L, D//2]).
+
+    ``compute_dtype`` defaults to fp32, matching the reference's fp32
+    complex rope (`wan_transformer3d.py:135-136`). bf16 avoids fp32-sized
+    HLO temps (XLA CSE-materializes the upcast input once per q/k — 580 MB
+    each at the 14B 29.6k-token geometry); the angle tables themselves are
+    always float64-derived so only the final multiply loses precision.
+    Result in x.dtype; rotated halves cast BEFORE stacking so the
+    materialized output buffer is x.dtype-sized."""
+    cd = jnp.float32 if compute_dtype is None else jnp.dtype(compute_dtype)
     orig_dtype = x.dtype
     *lead, L, N, D = x.shape
-    xf = x.astype(jnp.float32).reshape(*lead, L, N, D // 2, 2)
+    xf = x.astype(cd).reshape(*lead, L, N, D // 2, 2)
     a, b = xf[..., 0], xf[..., 1]
-    c = cos.reshape(L, 1, D // 2)
-    s = sin.reshape(L, 1, D // 2)
-    # cast each rotated half BEFORE stacking: the rotation math stays fp32
-    # (fusion-internal), but the materialized buffer is x.dtype — at 14B
-    # geometry the fp32 stack was a 580 MB HLO temp per q/k (OOM driver)
+    c = cos.reshape(L, 1, D // 2).astype(cd)
+    s = sin.reshape(L, 1, D // 2).astype(cd)
     ra = (a * c - b * s).astype(orig_dtype)
     rb = (a * s + b * c).astype(orig_dtype)
     return jnp.stack([ra, rb], axis=-1).reshape(*lead, L, N, D)

@@ -182,7 +182,7 @@ def init_wan_dit(key, cfg: WanDiTConfig, dtype=jnp.float32) -> Params:
 # ----------------------------------------------------------------- block apply
 
 def _attn_qkv(x_in, p, num_heads, eps, kv_in=None, rope_cs=None,
-              kv_mask=None, backend=None):
+              kv_mask=None, backend=None, rope_dtype=None):
     """Shared self/cross attention body. x_in is the (modulated) fp32 stream;
     matmuls run in param dtype."""
     B, L, D = x_in.shape
@@ -197,8 +197,8 @@ def _attn_qkv(x_in, p, num_heads, eps, kv_in=None, rope_cs=None,
     v = v.reshape(B, v.shape[1], N, hd)
     if rope_cs is not None:
         cos, sin = rope_cs
-        q = rope_lib.apply_rope(q, cos, sin)
-        k = rope_lib.apply_rope(k, cos, sin)
+        q = rope_lib.apply_rope(q, cos, sin, compute_dtype=rope_dtype)
+        k = rope_lib.apply_rope(k, cos, sin, compute_dtype=rope_dtype)
     out = attention(q, k, v, mask=kv_mask, backend=backend)
     out = out.reshape(B, L, D)
     return _linear(out, p["o"])
@@ -250,7 +250,8 @@ def wan_block_apply(p: Params, cfg: WanDiTConfig, x, e0, context,
     # self-attention with AdaLN-zero gates
     tx = _layer_norm(x, eps) * (1.0 + e_[1]) + e_[0]
     y = _attn_qkv(tx.astype(context.dtype), p["self_attn"], cfg.num_heads, eps,
-                  rope_cs=rope_cs, kv_mask=seq_mask, backend=attn_backend)
+                  rope_cs=rope_cs, kv_mask=seq_mask, backend=attn_backend,
+                  rope_dtype=jnp.dtype(cfg.rope_dtype))
     x = (x.astype(jnp.float32) + y.astype(jnp.float32) * e_[2]).astype(sdt)
 
     # cross-attention (t2v: plain text K/V — `wan_transformer3d.py:308-336`;

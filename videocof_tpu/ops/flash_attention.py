@@ -69,11 +69,18 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
     @pl.when(kv_i == nk - 1)
     def _finish():
         o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
-        lse_ref[0] = m_scr[:] + jnp.log(l_scr[:])
+        if lse_ref is not None:
+            lse_ref[0] = m_scr[:] + jnp.log(l_scr[:])
 
 
-def _flash_bnld(q, k, v, scale, block_q, block_k, interpret=False):
-    """q [BN, Lq, D], k/v [BN, Lk, D] -> (out [BN, Lq, D], lse [BN, Lqp, 1])."""
+def _flash_bnld(q, k, v, scale, block_q, block_k, interpret=False,
+                need_lse=True):
+    """q [BN, Lq, D], k/v [BN, Lk, D] -> (out [BN, Lq, D], lse [BN, Lqp, 1]
+    or None).
+
+    ``need_lse=False`` (the inference path) skips the LSE output entirely:
+    an [BN, L, 1] fp32 HBM buffer tile-pads its lane dim 1 -> 128, which at
+    the 14B 29.6k-token geometry is 580 MB of dead HBM per attention."""
     BN, Lq, D = q.shape
     Lk = k.shape[1]
     q_pad = (-Lq) % block_q
@@ -86,23 +93,33 @@ def _flash_bnld(q, k, v, scale, block_q, block_k, interpret=False):
     Lqp, Lkp = Lq + q_pad, Lk + k_pad
 
     grid = (BN, Lqp // block_q, Lkp // block_k)
-    out, lse = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, kv_len=Lk,
-                          block_k=block_k),
+    o_spec = pl.BlockSpec((1, block_q, D), lambda b, qi, ki: (b, qi, 0))
+    o_shape = jax.ShapeDtypeStruct((BN, Lqp, D), q.dtype)
+    if need_lse:
+        out_specs = [o_spec,
+                     pl.BlockSpec((1, block_q, 1), lambda b, qi, ki:
+                                  (b, qi, 0))]
+        out_shape = [o_shape, jax.ShapeDtypeStruct((BN, Lqp, 1), jnp.float32)]
+        kern = functools.partial(_flash_kernel, scale=scale, kv_len=Lk,
+                                 block_k=block_k)
+    else:
+        out_specs = [o_spec]
+        out_shape = [o_shape]
+
+        def kern(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr):
+            _flash_kernel(q_ref, k_ref, v_ref, o_ref, None, m_scr, l_scr,
+                          acc_scr, scale=scale, kv_len=Lk, block_k=block_k)
+
+    res = pl.pallas_call(
+        kern,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, D), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((1, block_k, D), lambda b, qi, ki: (b, ki, 0)),
             pl.BlockSpec((1, block_k, D), lambda b, qi, ki: (b, ki, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, block_q, D), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, block_q, 1), lambda b, qi, ki: (b, qi, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((BN, Lqp, D), q.dtype),
-            jax.ShapeDtypeStruct((BN, Lqp, 1), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -110,7 +127,9 @@ def _flash_bnld(q, k, v, scale, block_q, block_k, interpret=False):
         ],
         interpret=interpret,
     )(q, k, v)
-    return out[:, :Lq], lse
+    if need_lse:
+        return res[0][:, :Lq], res[1]
+    return res[0][:, :Lq], None
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
@@ -245,8 +264,9 @@ def _flash_bwd_bnld(q, k, v, do, o, lse, scale, block_q, block_k,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _flash_core(q, k, v, scale, block_q, block_k, interpret):
+    # primal (inference) path: no LSE output (see _flash_bnld)
     out, _ = _flash_bnld(q, k, v, scale, block_q, block_k,
-                         interpret=interpret)
+                         interpret=interpret, need_lse=False)
     return out
 
 
