@@ -86,6 +86,15 @@ def attention(
     if backend is None:
         backend = default_backend()
 
+    if backend == "pallas":
+        # the kernel handles the boolean key mask natively (no bias tensor)
+        from .flash_attention import flash_attention as _pallas_flash
+        try:
+            return _pallas_flash(q, k, v, bias=bias, kv_mask=mask,
+                                 scale=scale)
+        except NotImplementedError:
+            backend = "xla"  # shape/feature not supported by the kernel yet
+
     if mask is not None:
         neg = jnp.finfo(jnp.float32).min
         mbias = jnp.where(mask[:, None, None, :], 0.0, neg).astype(jnp.float32)
@@ -95,13 +104,6 @@ def attention(
 
     if backend == "naive":
         return _naive_attention(q, k, v, bias=bias, scale=scale)
-
-    if backend == "pallas":
-        from .flash_attention import flash_attention as _pallas_flash
-        try:
-            return _pallas_flash(q, k, v, bias=bias, scale=scale)
-        except NotImplementedError:
-            backend = "xla"  # shape not supported by the kernel yet
 
     if backend == "int8":
         from .int8_attention import int8_flash_attention

@@ -29,8 +29,9 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
-                  *, scale: float, kv_len: int, block_k: int):
+def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, m_scr,
+                  l_scr, acc_scr, *, scale: float, kv_len: int,
+                  block_k: int):
     kv_i = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -52,6 +53,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
     k_idx = kv_i * block_k + jax.lax.broadcasted_iota(
         jnp.int32, s.shape, dimension=1)
     s = jnp.where(k_idx < kv_len, s, NEG_INF)
+    if mask_ref is not None:          # boolean key mask [1, BK]
+        s = jnp.where(mask_ref[0][None, :] != 0, s, NEG_INF)
 
     m_prev = m_scr[:]                                    # [BQ, 1]
     m_cur = jnp.max(s, axis=-1, keepdims=True)           # [BQ, 1]
@@ -74,13 +77,16 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
 
 
 def _flash_bnld(q, k, v, scale, block_q, block_k, interpret=False,
-                need_lse=True):
+                need_lse=True, kv_mask=None):
     """q [BN, Lq, D], k/v [BN, Lk, D] -> (out [BN, Lq, D], lse [BN, Lqp, 1]
     or None).
 
     ``need_lse=False`` (the inference path) skips the LSE output entirely:
     an [BN, L, 1] fp32 HBM buffer tile-pads its lane dim 1 -> 128, which at
-    the 14B 29.6k-token geometry is 580 MB of dead HBM per attention."""
+    the 14B 29.6k-token geometry is 580 MB of dead HBM per attention.
+
+    ``kv_mask`` [BN, Lk] bool/int: keys with 0 are excluded from softmax
+    (the varlen/SP-padding mask, applied inside the kernel)."""
     BN, Lq, D = q.shape
     Lk = k.shape[1]
     q_pad = (-Lq) % block_q
@@ -91,33 +97,68 @@ def _flash_bnld(q, k, v, scale, block_q, block_k, interpret=False,
         k = jnp.pad(k, ((0, 0), (0, k_pad), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, k_pad), (0, 0)))
     Lqp, Lkp = Lq + q_pad, Lk + k_pad
+    if kv_mask is not None:
+        kv_mask = jnp.pad(kv_mask.astype(jnp.int32),
+                          ((0, 0), (0, k_pad)))
 
     grid = (BN, Lqp // block_q, Lkp // block_k)
     o_spec = pl.BlockSpec((1, block_q, D), lambda b, qi, ki: (b, qi, 0))
-    o_shape = jax.ShapeDtypeStruct((BN, Lqp, D), q.dtype)
+    # inside shard_map, outputs must declare how they vary across mesh axes
+    try:
+        _vma = jax.typeof(q).vma
+    except Exception:
+        _vma = frozenset()
+
+    def _sds(shape, dtype):
+        try:
+            return jax.ShapeDtypeStruct(shape, dtype, vma=_vma)
+        except TypeError:  # older jax without vma kwarg
+            return jax.ShapeDtypeStruct(shape, dtype)
+
+    o_shape = _sds((BN, Lqp, D), q.dtype)
+    in_specs = [
+        pl.BlockSpec((1, block_q, D), lambda b, qi, ki: (b, qi, 0)),
+        pl.BlockSpec((1, block_k, D), lambda b, qi, ki: (b, ki, 0)),
+        pl.BlockSpec((1, block_k, D), lambda b, qi, ki: (b, ki, 0)),
+    ]
+    operands = [q, k, v]
+    if kv_mask is not None:
+        in_specs.append(pl.BlockSpec((1, block_k),
+                                     lambda b, qi, ki: (b, ki)))
+        operands.append(kv_mask)
+
+    has_mask = kv_mask is not None
+
+    def kern(*refs):
+        if has_mask:
+            q_ref, k_ref, v_ref, mask_ref = refs[:4]
+            rest = refs[4:]
+        else:
+            q_ref, k_ref, v_ref = refs[:3]
+            mask_ref = None
+            rest = refs[3:]
+        if need_lse:
+            o_ref, lse_ref = rest[:2]
+            scr = rest[2:]
+        else:
+            o_ref, lse_ref = rest[0], None
+            scr = rest[1:]
+        _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *scr,
+                      scale=scale, kv_len=Lk, block_k=block_k)
+
     if need_lse:
         out_specs = [o_spec,
                      pl.BlockSpec((1, block_q, 1), lambda b, qi, ki:
                                   (b, qi, 0))]
-        out_shape = [o_shape, jax.ShapeDtypeStruct((BN, Lqp, 1), jnp.float32)]
-        kern = functools.partial(_flash_kernel, scale=scale, kv_len=Lk,
-                                 block_k=block_k)
+        out_shape = [o_shape, _sds((BN, Lqp, 1), jnp.float32)]
     else:
         out_specs = [o_spec]
         out_shape = [o_shape]
 
-        def kern(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr):
-            _flash_kernel(q_ref, k_ref, v_ref, o_ref, None, m_scr, l_scr,
-                          acc_scr, scale=scale, kv_len=Lk, block_k=block_k)
-
     res = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, D), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, block_k, D), lambda b, qi, ki: (b, ki, 0)),
-            pl.BlockSpec((1, block_k, D), lambda b, qi, ki: (b, ki, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
@@ -126,7 +167,7 @@ def _flash_bnld(q, k, v, scale, block_q, block_k, interpret=False,
             pltpu.VMEM((block_q, D), jnp.float32),
         ],
         interpret=interpret,
-    )(q, k, v)
+    )(*operands)
     if need_lse:
         return res[0][:, :Lq], res[1]
     return res[0][:, :Lq], None
@@ -286,13 +327,22 @@ def _flash_core_bwd(scale, block_q, block_k, interpret, res, do):
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
+def _to_bnld(x):
+    B, L, N, D = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B * N, L, D)
+
+
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                     bias: Optional[jax.Array] = None,
+                    kv_mask: Optional[jax.Array] = None,
                     scale: Optional[float] = None,
                     block_q: int = 256, block_k: int = 512,
                     interpret: Optional[bool] = None) -> jax.Array:
     """[B, L, N, D] attention (heads on axis -2), bidirectional,
     differentiable (custom VJP backed by two Pallas backward kernels).
+
+    ``kv_mask`` [B, Lk] bool: keys excluded from softmax inside the kernel
+    (SP padding / varlen). The masked path is forward-only (inference).
 
     Raises NotImplementedError for shapes/features the kernel doesn't cover
     (the dispatcher falls back to XLA).
@@ -307,12 +357,42 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
         interpret = jax.devices()[0].platform != "tpu"
     scale = (D ** -0.5) if scale is None else scale
 
-    qt = q.transpose(0, 2, 1, 3).reshape(B * N, Lq, D)
-    kt = k.transpose(0, 2, 1, 3).reshape(B * N, Lk, D)
-    vt = v.transpose(0, 2, 1, 3).reshape(B * N, Lk, D)
-    out = _flash_core(qt, kt, vt, scale, min(block_q, _rup(Lq, 128)),
-                      min(block_k, _rup(Lk, 128)), interpret)
+    qt, kt, vt = _to_bnld(q), _to_bnld(k), _to_bnld(v)
+    bq = min(block_q, _rup(Lq, 128))
+    bk = min(block_k, _rup(Lk, 128))
+    if kv_mask is not None:
+        m = jnp.repeat(kv_mask, N, axis=0)               # [B*N, Lk]
+        out, _ = _flash_bnld(qt, kt, vt, scale, bq, bk, interpret=interpret,
+                             need_lse=False, kv_mask=m)
+    else:
+        out = _flash_core(qt, kt, vt, scale, bq, bk, interpret)
     return out.reshape(B, N, Lq, D).transpose(0, 2, 1, 3)
+
+
+def flash_attention_with_lse(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                             kv_mask: Optional[jax.Array] = None,
+                             scale: Optional[float] = None,
+                             block_q: int = 256, block_k: int = 512,
+                             interpret: Optional[bool] = None):
+    """Like `flash_attention` but also returns the log-sum-exp
+    [B, Lq, N, 1] (fp32) — the blockwise-combine primitive ring attention
+    needs to merge partial results across rotated KV shards."""
+    B, Lq, N, D = q.shape
+    Lk = k.shape[1]
+    if D % 128 != 0:
+        raise NotImplementedError(f"head_dim {D} not a multiple of 128")
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    scale = (D ** -0.5) if scale is None else scale
+    qt, kt, vt = _to_bnld(q), _to_bnld(k), _to_bnld(v)
+    m = None if kv_mask is None else jnp.repeat(kv_mask, N, axis=0)
+    out, lse = _flash_bnld(qt, kt, vt, scale,
+                           min(block_q, _rup(Lq, 128)),
+                           min(block_k, _rup(Lk, 128)),
+                           interpret=interpret, need_lse=True, kv_mask=m)
+    out = out.reshape(B, N, Lq, D).transpose(0, 2, 1, 3)
+    lse = lse[:, :Lq].reshape(B, N, Lq, 1).transpose(0, 2, 1, 3)
+    return out, lse
 
 
 def _rup(x: int, m: int) -> int:
