@@ -206,6 +206,34 @@ def _install_diffusers_stub():
     diffusers.ModelMixin = ModelMixin
 
 
+def _install_torchvision_stub():
+    """wan_image_encoder imports torchvision.transforms only for the
+    (unused-in-oracle) preprocessing Compose; attribute shells suffice."""
+    if "torchvision" in sys.modules:
+        return
+    tv = types.ModuleType("torchvision")
+    tr = types.ModuleType("torchvision.transforms")
+
+    class _Shell:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, x):
+            return x
+
+    class _Interp:
+        BICUBIC = "bicubic"
+
+    tr.Compose = _Shell
+    tr.Resize = _Shell
+    tr.ToTensor = _Shell
+    tr.Normalize = _Shell
+    tr.InterpolationMode = _Interp
+    tv.transforms = tr
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.transforms"] = tr
+
+
 def _install_videox_fun_parents():
     """Synthetic `videox_fun`, `videox_fun.models`, `videox_fun.utils`,
     `videox_fun.dist` packages: real module files resolve under them, but the
@@ -246,6 +274,7 @@ def load_reference():
     """-> namespace with .wan_transformer3d, .wan_vae, .fm_solvers_unipc,
     .fm_solvers (reference torch modules, CPU)."""
     _install_diffusers_stub()
+    _install_torchvision_stub()
     _install_videox_fun_parents()
     ns = types.SimpleNamespace()
     ns.wan_transformer3d = importlib.import_module(
@@ -254,4 +283,8 @@ def load_reference():
     ns.fm_solvers_unipc = importlib.import_module(
         "videox_fun.utils.fm_solvers_unipc")
     ns.fm_solvers = importlib.import_module("videox_fun.utils.fm_solvers")
+    ns.wan_xlm_roberta = importlib.import_module(
+        "videox_fun.models.wan_xlm_roberta")
+    ns.wan_image_encoder = importlib.import_module(
+        "videox_fun.models.wan_image_encoder")
     return ns

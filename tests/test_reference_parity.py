@@ -249,3 +249,34 @@ def test_vae_decode_parity(vae_pair):
             -1, 1).numpy()
     ours = np.asarray(wan_vae.decode(params, cfg, jnp.asarray(z)))
     np.testing.assert_allclose(ours, ref_out, atol=1e-3, rtol=1e-3)
+
+
+# ----------------------------------------------------------- XLM-Roberta
+
+def test_xlm_roberta_text_tower_parity():
+    """CLIP text tower (XLMRobertaWithHead) vs the reference torch module
+    at tiny config, weights ported through our converter."""
+    from videocof_tpu.models import xlm_roberta as xr
+
+    cfg = xr.XLMR_TINY
+    torch.manual_seed(2)
+    ref = REF.wan_image_encoder.XLMRobertaWithHead(
+        vocab_size=cfg.vocab_size, max_seq_len=cfg.max_seq_len,
+        type_size=cfg.type_size, pad_id=cfg.pad_id, dim=cfg.dim,
+        out_dim=cfg.out_dim, num_heads=cfg.num_heads,
+        num_layers=cfg.num_layers, post_norm=cfg.post_norm,
+        dropout=0.0).float().eval()
+    params = xr.convert_xlm_roberta_state_dict(_sd_to_numpy(ref), cfg)
+    params = jax.tree.map(jnp.asarray, params)
+
+    rng = np.random.default_rng(7)
+    ids = rng.integers(2, cfg.vocab_size, (2, 12)).astype(np.int32)
+    ids[0, 8:] = cfg.pad_id  # ragged lengths exercise the mask/pos path
+    with torch.no_grad():
+        want_h = REF.wan_xlm_roberta.XLMRoberta.forward(
+            ref, torch.from_numpy(ids).long()).numpy()
+        want = ref(torch.from_numpy(ids).long()).numpy()
+    got_h = np.asarray(xr.xlm_roberta_encode(params, cfg, jnp.asarray(ids)))
+    got = np.asarray(xr.xlm_roberta_clip_text(params, cfg, jnp.asarray(ids)))
+    np.testing.assert_allclose(got_h, want_h, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)

@@ -9,12 +9,12 @@ Every model is a pure-functional (init, forward) pair over parameter pytrees:
   Acceleration    teacache, lora (weight fusion), weights (checkpoint IO)
 """
 
-from . import (camera_adapter, clip_vision, cogvideox, cogvideox_vae, flux, lora, qwenimage, qwenimage_vae,
+from . import (camera_adapter, clip_vision, cogvideox, cogvideox_vae, flux, lora, qwenimage, qwenimage_vae, xlm_roberta,
                rope, t5_encoder, teacache, wan_dit, wan_dit_s2v, wan_dit_vace,
                wan_vae, wan_vae22, wan_vae_streaming, weights)
 
 __all__ = [
-    "camera_adapter", "clip_vision", "cogvideox", "cogvideox_vae", "flux", "lora",
+    "camera_adapter", "clip_vision", "cogvideox", "cogvideox_vae", "flux", "lora", "xlm_roberta",
     "qwenimage", "qwenimage_vae", "rope", "t5_encoder", "teacache", "wan_dit", "wan_dit_s2v",
     "wan_dit_vace", "wan_vae", "wan_vae22", "wan_vae_streaming", "weights",
 ]
