@@ -54,45 +54,74 @@ def main():
     dev = jax.devices()[0]
     print(f"device: {dev} ({dev.platform})", file=sys.stderr)
 
-    t0 = time.time()
-
-    @jax.jit
-    def init_fp8(key):
-        p = wan_dit.init_wan_dit(key, cfg, dtype=jnp.bfloat16)
-        return quantize_params_fp8(p)
-
-    params = init_fp8(jax.random.PRNGKey(0))
-    jax.block_until_ready(params)
-    t_init = time.time() - t0
-    pbytes = fp8_bytes(params)
-    print(f"init+quantize: {t_init:.1f}s, params {pbytes/2**30:.2f} GiB",
-          file=sys.stderr)
-
     L = f * h * w
     pt, ph, pw = cfg.patch_size
-    x = jnp.zeros((1, cfg.in_dim, f * pt, h * ph, w * pw), jnp.bfloat16)
-    t = jnp.full((1,), 800.0, jnp.float32)
-    ctx = jnp.zeros((1, cfg.text_len, cfg.text_dim), jnp.bfloat16)
     cos, sin = wan_dit.make_rope_for_geometry(cfg, (f, h, w),
                                               f_src=9, f_ground=1)
     cos, sin = jnp.asarray(cos), jnp.asarray(sin)
 
-    fwd = jax.jit(lambda p, x, t, c, co, si: wan_dit.wan_dit_forward(
-        p, cfg, x, t, c, co, si))
+    def init_fp8(key):
+        return quantize_params_fp8(
+            wan_dit.init_wan_dit(key, cfg, dtype=jnp.bfloat16))
+
+    def fwd_sum(p, x, t, c, co, si):
+        out = wan_dit.wan_dit_forward(p, cfg, x, t, c, co, si)
+        return jnp.sum(out[:, :, :1, :2, :2])
+
+    key = jax.random.PRNGKey(0)
+    p_abs = jax.eval_shape(init_fp8, key)
+    x_abs = jax.ShapeDtypeStruct((1, cfg.in_dim, f * pt, h * ph, w * pw),
+                                 jnp.bfloat16)
+    t = jnp.full((1,), 800.0, jnp.float32)
+    c_abs = jax.ShapeDtypeStruct((1, cfg.text_len, cfg.text_dim),
+                                 jnp.bfloat16)
+
+    # Compile the forward FIRST (from abstract shapes), then create the
+    # params DIRECTLY in its expected input formats (out_shardings of the
+    # init program). Creating them in default layouts and relaying out
+    # would transiently double the largest 2.8 GiB stacked leaf — and
+    # letting the runtime relayout at dispatch copies the whole 13.8 GiB
+    # tree -> ResourceExhausted either way on a 16 GB chip.
+    t0 = time.time()
+    compiled = jax.jit(fwd_sum).lower(p_abs, x_abs, t, c_abs, cos,
+                                      sin).compile()
+    t_compile = time.time() - t0
+    print(f"fwd compile: {t_compile:.1f}s", file=sys.stderr)
+    in_fmts = compiled.input_formats[0]
+    want_p = in_fmts[0]
 
     t0 = time.time()
-    out = fwd(params, x, t, ctx, cos, sin)
-    jax.block_until_ready(out)
-    t_compile = time.time() - t0
-    print(f"first step (compile+run): {t_compile:.1f}s", file=sys.stderr)
+    params = jax.jit(init_fp8, out_shardings=want_p)(key)
+    jax.block_until_ready(params)
+    t_init = time.time() - t0
+    pbytes = fp8_bytes(params)
+    print(f"init+quantize (target layouts): {t_init:.1f}s, "
+          f"params {pbytes/2**30:.2f} GiB", file=sys.stderr)
+
+    x = jax.jit(lambda k: jax.random.normal(k, x_abs.shape, x_abs.dtype),
+                out_shardings=in_fmts[1])(jax.random.PRNGKey(1))
+    t = jax.device_put(t, in_fmts[2])
+    ctx = jax.jit(lambda k: 0.1 * jax.random.normal(k, c_abs.shape,
+                                                    c_abs.dtype),
+                  out_shardings=in_fmts[3])(jax.random.PRNGKey(2))
+    cos = jax.device_put(cos, in_fmts[4])
+    sin = jax.device_put(sin, in_fmts[5])
+
+    # device->host fetch is the only trustworthy barrier over the tunnel
+    t0 = time.time()
+    chk = float(compiled(params, x, t, ctx, cos, sin))
+    t_first = time.time() - t0
+    print(f"first step: {t_first:.1f}s, checksum={chk}", file=sys.stderr)
+    if not np.isfinite(chk):
+        raise SystemExit(f"non-finite output: {chk}")
 
     times = []
     for _ in range(args.steps):
         t0 = time.time()
-        out = fwd(params, x, t, ctx, cos, sin)
-        jax.block_until_ready(out)
+        float(compiled(params, x, t, ctx, cos, sin))
         times.append(time.time() - t0)
     step_s = float(np.median(times))
+    print(f"steps: {[f'{s:.2f}' for s in times]}", file=sys.stderr)
 
     flops = dit_matmul_flops(cfg, L)
     tflops = flops / step_s / 1e12
@@ -111,7 +140,8 @@ def main():
         "tflops_per_s": round(tflops, 1),
         "mfu_vs_v5e_197tflops": round(tflops / 197.0, 3),
         "params_gib": round(pbytes / 2**30, 2),
-        "init_s": round(t_init, 1), "compile_s": round(t_compile, 1),
+        "init_plus_overhead_s": round(t_init, 1),
+        "compile_s": round(t_compile, 1),
         "hbm": mem,
     }))
 

@@ -1,0 +1,91 @@
+"""LoRA adapter training (the capability the reference never released)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videocof_tpu.configs import WAN_TINY
+from videocof_tpu.models import wan_dit
+from videocof_tpu.models.lora import (apply_lora_adapters,
+                                      init_lora_adapters,
+                                      lora_adapters_to_state_dict,
+                                      merge_lora)
+
+CFG = WAN_TINY
+
+
+@pytest.fixture(scope="module")
+def base():
+    return wan_dit.init_wan_dit(jax.random.PRNGKey(0), CFG)
+
+
+def test_adapters_identity_at_init(base):
+    ad = init_lora_adapters(jax.random.PRNGKey(1), CFG, rank=4)
+    full = apply_lora_adapters(base, ad)
+    np.testing.assert_array_equal(
+        np.asarray(full["blocks"]["self_attn"]["q"]["kernel"]),
+        np.asarray(base["blocks"]["self_attn"]["q"]["kernel"]))
+
+
+def _randomize_up(ad, key):
+    ups = jax.tree.map(lambda x: x, ad)
+    for mod in ups["blocks"].values():
+        for entry in mod.values():
+            key, k = jax.random.split(key)
+            entry["up"] = 0.1 * jax.random.normal(k, entry["up"].shape)
+    return ups
+
+
+def test_adapter_apply_matches_merge_lora_export(base):
+    """apply_lora_adapters == merging the kohya export through merge_lora
+    (the trained adapters are byte-compatible with the inference path and
+    with the reference's lora_utils)."""
+    ad = _randomize_up(init_lora_adapters(jax.random.PRNGKey(2), CFG,
+                                          rank=4), jax.random.PRNGKey(3))
+    full = apply_lora_adapters(base, ad)
+    sd = lora_adapters_to_state_dict(ad)
+    assert any(k.endswith(".lora_down.weight") for k in sd)
+    merged = merge_lora(base, CFG, sd)
+    for mod, name in (("self_attn", "q"), ("cross_attn", "v"),
+                      ("ffn", "fc1")):
+        np.testing.assert_allclose(
+            np.asarray(full["blocks"][mod][name]["kernel"]),
+            np.asarray(merged["blocks"][mod][name]["kernel"]),
+            atol=1e-5, rtol=1e-5)
+
+
+def test_lora_train_step_updates_only_adapters(base):
+    from videocof_tpu.parallel import make_mesh
+    from videocof_tpu.training import make_lora_train_step
+
+    mesh = make_mesh(data=2, seq=2)
+    init_fn, step_fn = make_lora_train_step(mesh, CFG, rank=4)
+    state = init_fn(jax.random.PRNGKey(4))
+
+    f, h, w = 3, 2, 2
+    pt, ph, pw = CFG.patch_size
+    B = 2
+    cos, sin = wan_dit.make_rope_for_geometry(CFG, (f, h, w), f_src=1,
+                                              f_ground=1)
+    batch = {
+        "x0": jax.random.normal(jax.random.PRNGKey(5),
+                                (B, CFG.in_dim, f * pt, h * ph, w * pw)),
+        "context": jax.random.normal(jax.random.PRNGKey(6),
+                                     (B, CFG.text_len, CFG.text_dim)),
+        "rope_cos": jnp.asarray(cos), "rope_sin": jnp.asarray(sin),
+        "timesteps": jnp.array([300, 700], jnp.int32),
+    }
+    ad0 = jax.tree.map(np.asarray, state.adapters["blocks"])
+    state2, loss = step_fn(state, base, batch, jax.random.PRNGKey(7))
+    assert np.isfinite(float(loss))
+    assert int(state2.step) == 1
+    # up matrices moved away from zero; base untouched by construction
+    moved = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        ad0, jax.tree.map(np.asarray, state2.adapters["blocks"]))
+    assert max(jax.tree.leaves(moved)) > 0.0
+
+    # two more steps run through the same executable
+    state3, loss3 = step_fn(state2, base, batch, jax.random.PRNGKey(8))
+    assert np.isfinite(float(loss3))

@@ -162,3 +162,90 @@ def merge_lora(params: Dict[str, Any], cfg: WanDiTConfig,
 
 def unmerge_lora(params, cfg: WanDiTConfig, lora, multiplier: float = 1.0):
     return merge_lora(params, cfg, lora, multiplier=-multiplier)
+
+
+# ---------------------------------------------------------------- adapters
+#
+# Runtime LoRA adapters for TRAINING (the reference's LoRANetwork,
+# `lora_utils.py:22-369`, trains adapters with forward hooks; VideoCoF's
+# released weights are such adapters). Tensors keep the torch orientation
+# (down [r, din], up [dout, r]) so export round-trips through merge_lora
+# byte-compatibly. Block adapters are stacked on the layer axis like the
+# DiT params.
+
+_ADAPTER_TARGETS = {
+    "self_attn": ("q", "k", "v", "o"),
+    "cross_attn": ("q", "k", "v", "o"),
+    "ffn": ("fc1", "fc2"),
+}
+
+
+def _target_dims(cfg: WanDiTConfig):
+    d, f = cfg.dim, cfg.ffn_dim
+    dims = {}
+    for n in ("q", "k", "v", "o"):
+        dims[("self_attn", n)] = (d, d)
+        dims[("cross_attn", n)] = (d, d)
+    dims[("ffn", "fc1")] = (d, f)
+    dims[("ffn", "fc2")] = (f, d)
+    return dims
+
+
+def init_lora_adapters(key, cfg: WanDiTConfig, rank: int = 16,
+                       dtype=jnp.float32) -> Dict[str, Any]:
+    """Zero-initialized-up adapters (identity at init, standard LoRA):
+    {"rank", "alpha", "blocks": {module: {name: {down [L,r,din],
+    up [L,dout,r]}}}}."""
+    L = cfg.num_layers
+    dims = _target_dims(cfg)
+    keys = iter(jax.random.split(key, len(dims)))
+    blocks: Dict[str, Any] = {}
+    for (mod, name), (din, dout) in dims.items():
+        blocks.setdefault(mod, {})[name] = {
+            "down": (jax.random.normal(next(keys), (L, rank, din))
+                     / rank).astype(dtype),
+            "up": jnp.zeros((L, dout, rank), dtype),
+        }
+    return {"rank": rank, "alpha": float(rank), "blocks": blocks}
+
+
+def apply_lora_adapters(params: Dict[str, Any], adapters: Dict[str, Any],
+                        multiplier: float = 1.0) -> Dict[str, Any]:
+    """Returns params with W_eff = W + multiplier*(alpha/rank)*(up@down)
+    fused in (differentiable wrt the adapters — the training-time analogue
+    of merge_lora)."""
+    scale = multiplier * adapters["alpha"] / adapters["rank"]
+    out = {k: v for k, v in params.items()}
+    out["blocks"] = {k: v for k, v in params["blocks"].items()}
+    for mod, names in adapters["blocks"].items():
+        out["blocks"][mod] = {k: v for k, v in out["blocks"][mod].items()}
+        for name, ad in names.items():
+            node = dict(out["blocks"][mod][name])
+            kern = node["kernel"]                      # [L, din, dout]
+            if isinstance(kern, dict):
+                raise ValueError("cannot apply adapters over fp8 weights")
+            # delta^T per layer: (up @ down)^T = down^T @ up^T
+            delta = jnp.einsum("lrd,lor->ldo", ad["down"].astype(jnp.float32),
+                               ad["up"].astype(jnp.float32))
+            node["kernel"] = (kern.astype(jnp.float32)
+                              + scale * delta).astype(kern.dtype)
+            out["blocks"][mod][name] = node
+    return out
+
+
+def lora_adapters_to_state_dict(adapters: Dict[str, Any]) -> Dict[str, Any]:
+    """Adapters -> kohya-format numpy state dict (lora_unet_* keys), loadable
+    by merge_lora and by the reference's lora_utils."""
+    name_map = {("ffn", "fc1"): "ffn.0", ("ffn", "fc2"): "ffn.2"}
+    sd: Dict[str, Any] = {}
+    for mod, names in adapters["blocks"].items():
+        for name, ad in names.items():
+            dotted = name_map.get((mod, name), f"{mod}.{name}")
+            down, up = np.asarray(ad["down"]), np.asarray(ad["up"])
+            for layer in range(down.shape[0]):
+                base = "lora_unet_" + f"blocks.{layer}.{dotted}".replace(
+                    ".", "_")
+                sd[base + ".lora_down.weight"] = down[layer]
+                sd[base + ".lora_up.weight"] = up[layer]
+                sd[base + ".alpha"] = np.float32(adapters["alpha"])
+    return sd

@@ -111,3 +111,74 @@ def make_train_step(
         return TrainState(params, opt_state, state.step + 1), loss
 
     return init_fn, step_fn
+
+
+class LoRATrainState(NamedTuple):
+    adapters: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_lora_train_step(
+    mesh: Mesh,
+    cfg: WanDiTConfig,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    rank: int = 16,
+    use_ulysses: bool = True,
+    remat: bool = True,
+) -> Tuple[Callable, Callable]:
+    """LoRA-adapter training (the reference releases only LoRA ZeRO configs
+    — `config/14b_lora_zero2_bf16_config.json` — and its VideoCoF weights
+    ARE trained adapters; the trainer itself was never released,
+    `README.md:199`).
+
+    Base weights stay frozen (passed per step, FSDP-shardable by the
+    caller); only the adapter pytree carries gradients/optimizer state, so
+    optimizer memory is ~rank/dim of full fine-tuning. The adapters fuse
+    into the kernels INSIDE the jitted loss (`models.lora
+    .apply_lora_adapters`), so the forward is the production forward — no
+    hook machinery.
+
+    init_fn(key) -> LoRATrainState; step_fn(state, base_params, batch, rng)
+    -> (state, loss). Batch contract matches `make_train_step`.
+    """
+    from ..models.lora import apply_lora_adapters, init_lora_adapters
+
+    optimizer = optimizer or optax.adamw(1e-4, weight_decay=0.0)
+    sp_on = use_ulysses and mesh.shape["seq"] > 1
+    attn = make_ulysses_attention(mesh) if sp_on else None
+    sp = SPContext(mesh) if sp_on else None
+
+    def init_fn(key) -> LoRATrainState:
+        adapters = init_lora_adapters(key, cfg, rank=rank)
+        return LoRATrainState(adapters=adapters,
+                              opt_state=optimizer.init(adapters["blocks"]),
+                              step=jnp.zeros((), jnp.int32))
+
+    data_sharding = NamedSharding(mesh, P("data"))
+
+    @jax.jit
+    def step_fn(state: LoRATrainState, base_params, batch, rng
+                ) -> Tuple[LoRATrainState, jax.Array]:
+        x0 = jax.lax.with_sharding_constraint(batch["x0"], data_sharding)
+        noise = jax.random.normal(rng, x0.shape, x0.dtype)
+        meta = {"rank": state.adapters["rank"],
+                "alpha": state.adapters["alpha"]}
+
+        def loss_fn(ad_blocks):
+            full = apply_lora_adapters(base_params,
+                                       {**meta, "blocks": ad_blocks})
+            return flow_matching_loss(
+                full, cfg, x0, batch["context"], batch["rope_cos"],
+                batch["rope_sin"], batch["timesteps"], noise,
+                attn_backend=attn, remat=remat,
+                frame_mask=batch.get("frame_mask"), sp=sp)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.adapters["blocks"])
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.adapters["blocks"])
+        blocks = optax.apply_updates(state.adapters["blocks"], updates)
+        adapters = {**meta, "blocks": blocks}
+        return LoRATrainState(adapters, opt_state, state.step + 1), loss
+
+    return init_fn, step_fn

@@ -89,3 +89,20 @@ def xla_trace(logdir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def dit_matmul_flops(cfg, num_tokens: int, text_len: int = None) -> float:
+    """Analytic matmul+attention FLOPs of one Wan DiT forward at ``num_tokens``
+    (batch 1). Used for measured-FLOP/s and MFU reporting in bench.py and
+    the 14B probe."""
+    L = num_tokens
+    d, f = cfg.dim, cfg.ffn_dim
+    Lt = text_len or cfg.text_len
+    per_block = 2 * L * (4 * d * d) + 2 * (L + Lt) * d * d * 2 \
+        + 2 * L * d * d * 2 + 2 * L * (2 * d * f)
+    # ^ self q/k/v/o; cross k/v over text + cross q/o over tokens; ffn
+    attn = 4 * L * L * d + 4 * L * Lt * d        # self + cross (qk + pv)
+    pt, ph, pw = cfg.patch_size
+    head = 2 * L * d * (pt * ph * pw * cfg.out_dim)
+    embed = 2 * L * (cfg.in_dim * pt * ph * pw) * d
+    return cfg.num_layers * (per_block + attn) + head + embed
