@@ -89,3 +89,52 @@ def test_lora_train_step_updates_only_adapters(base):
     # two more steps run through the same executable
     state3, loss3 = step_fn(state2, base, batch, jax.random.PRNGKey(8))
     assert np.isfinite(float(loss3))
+
+
+def test_trainer_lora_mode_and_export(tmp_path, base):
+    """CoFTrainer(lora_rank=...) trains adapters and the kohya export loads
+    back through merge_lora (CLI --lora_rank/--export_lora path)."""
+    import json
+    from safetensors.numpy import save_file
+    from videocof_tpu.configs import T5_TINY, VAE_TINY
+    from videocof_tpu.models import t5_encoder, wan_vae
+    from videocof_tpu.data.tokenizer import WanTokenizer
+    from videocof_tpu.training.trainer import CoFTrainer, TrainerConfig
+
+    vcfg = VAE_TINY
+    dcfg = CFG.replace(in_dim=vcfg.z_dim, out_dim=vcfg.z_dim,
+                       text_dim=T5_TINY.dim)
+    dit = wan_dit.init_wan_dit(jax.random.PRNGKey(0), dcfg)
+    tcfg = TrainerConfig(height=16, width=16, source_frames=5,
+                         target_frames=5, reasoning_frames=4, batch_size=1,
+                         total_steps=2, mesh_data=1, mesh_seq=1,
+                         log_every=1, save_every=0, lora_rank=4)
+    trainer = CoFTrainer(
+        dit, dcfg, wan_vae.init_wan_vae(jax.random.PRNGKey(1), vcfg), vcfg,
+        t5_encoder.init_t5_encoder(jax.random.PRNGKey(2), T5_TINY), T5_TINY,
+        WanTokenizer(vocab_size=T5_TINY.vocab), tcfg)
+
+    rng = np.random.default_rng(0)
+
+    def sample_iter():
+        while True:
+            yield {
+                "pixel_src": rng.uniform(-1, 1, (3, 5, 16, 16)).astype(
+                    np.float32),
+                "pixel_ground": rng.uniform(-1, 1, (3, 4, 16, 16)).astype(
+                    np.float32),
+                "pixel_tgt": rng.uniform(-1, 1, (3, 5, 16, 16)).astype(
+                    np.float32),
+                "text": "remove the cube",
+            }
+
+    state = trainer.train(sample_iter())
+    assert int(state.step) == 2
+
+    sd = lora_adapters_to_state_dict(jax.device_get(state.adapters))
+    path = str(tmp_path / "lora.safetensors")
+    save_file(dict(sd), path)
+    merged = merge_lora(dit, dcfg, path)
+    assert not np.allclose(
+        np.asarray(merged["blocks"]["self_attn"]["q"]["kernel"]),
+        np.asarray(dit["blocks"]["self_attn"]["q"]["kernel"]))

@@ -36,6 +36,13 @@ def parse_args():
     p.add_argument("--save_every", type=int, default=500)
     p.add_argument("--export_safetensors", type=str, default=None,
                    help="Write final DiT weights in the torch key layout")
+    p.add_argument("--lora_rank", type=int, default=None,
+                   help="Train rank-r LoRA adapters over a frozen base "
+                        "(the reference's 14B regime) instead of full FT")
+    p.add_argument("--export_lora", type=str, default=None,
+                   help="Write trained adapters as a kohya-format "
+                        "safetensors file (loadable by merge_lora and the "
+                        "reference's lora_utils)")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
 
@@ -64,14 +71,23 @@ def main():
         total_steps=args.steps, learning_rate=args.lr,
         grad_clip=args.grad_clip, mesh_data=args.mesh_data,
         mesh_seq=args.mesh_seq, checkpoint_dir=args.checkpoint_dir,
-        save_every=args.save_every, seed=args.seed)
+        save_every=args.save_every, seed=args.seed,
+        lora_rank=args.lora_rank)
     trainer = CoFTrainer(pipe.dit_params, pipe.dit_cfg, pipe.vae_params,
                          pipe.vae_cfg, pipe.t5_params, pipe.t5_cfg,
                          pipe.tokenizer, tcfg)
     state = trainer.train(sample_iter())
     print(f"[train] done at step {int(state.step)}", file=sys.stderr)
 
-    if args.export_safetensors:
+    if args.export_lora and args.lora_rank:
+        import jax
+        from safetensors.numpy import save_file
+        from ..models.lora import lora_adapters_to_state_dict
+        sd = lora_adapters_to_state_dict(jax.device_get(state.adapters))
+        save_file({k: v for k, v in sd.items()}, args.export_lora)
+        print(f"[train] exported LoRA {args.export_lora}", file=sys.stderr)
+
+    if args.export_safetensors and not args.lora_rank:
         import jax
         from ..utils.checkpoint import save_dit_safetensors
         params = jax.device_get(state.params)

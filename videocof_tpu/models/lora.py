@@ -247,5 +247,5 @@ def lora_adapters_to_state_dict(adapters: Dict[str, Any]) -> Dict[str, Any]:
                     ".", "_")
                 sd[base + ".lora_down.weight"] = down[layer]
                 sd[base + ".lora_up.weight"] = up[layer]
-                sd[base + ".alpha"] = np.float32(adapters["alpha"])
+                sd[base + ".alpha"] = np.array(adapters["alpha"], np.float32)
     return sd

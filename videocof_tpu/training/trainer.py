@@ -46,6 +46,9 @@ class TrainerConfig:
     save_every: int = 500
     checkpoint_dir: Optional[str] = None
     seed: int = 0
+    # LoRA mode (the reference's actual 14B training regime): train only
+    # rank-r adapters over a frozen base; None = full fine-tuning
+    lora_rank: Optional[int] = None
 
 
 class CoFTrainer:
@@ -66,9 +69,20 @@ class CoFTrainer:
         tx = optax.chain(
             optax.clip_by_global_norm(tcfg.grad_clip),
             optax.adamw(tcfg.learning_rate, weight_decay=tcfg.weight_decay))
-        init_fn, self.step_fn = make_train_step(
-            self.mesh, dit_cfg, tx, use_ulysses=tcfg.mesh_seq > 1)
-        self.state: TrainState = init_fn(dit_params)
+        self.base_params = None
+        if tcfg.lora_rank:
+            from ..parallel import fsdp_param_sharding
+            from .train_step import make_lora_train_step
+            init_fn, self.step_fn = make_lora_train_step(
+                self.mesh, dit_cfg, tx, rank=tcfg.lora_rank,
+                use_ulysses=tcfg.mesh_seq > 1)
+            self.base_params = jax.device_put(
+                dit_params, fsdp_param_sharding(self.mesh, dit_params))
+            self.state = init_fn(jax.random.PRNGKey(tcfg.seed + 1))
+        else:
+            init_fn, self.step_fn = make_train_step(
+                self.mesh, dit_cfg, tx, use_ulysses=tcfg.mesh_seq > 1)
+            self.state: TrainState = init_fn(dit_params)
         self.sampler = DiscreteSampling(group_num=max(1, tcfg.mesh_data))
         self._encode_jit = jax.jit(
             lambda v: wan_vae.encode(self.vae_params, self.vae_cfg, v)[0])
@@ -133,7 +147,11 @@ class CoFTrainer:
             rng, k1, k2 = jax.random.split(rng, 3)
             batch["timesteps"] = self.sampler.sample(
                 k1, tcfg.batch_size, dp_rank=jax.process_index())
-            self.state, loss = self.step_fn(self.state, batch, k2)
+            if self.base_params is not None:   # LoRA mode
+                self.state, loss = self.step_fn(self.state, self.base_params,
+                                                batch, k2)
+            else:
+                self.state, loss = self.step_fn(self.state, batch, k2)
             if step % tcfg.log_every == 0:
                 print(f"[train] step {step} loss {float(loss):.4f} "
                       f"({time.time() - t_start:.0f}s)", file=sys.stderr,
