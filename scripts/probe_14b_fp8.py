@@ -50,7 +50,8 @@ def main():
     f, h, w = (int(x) for x in args.grid.split(","))
 
     cfg = WAN21_T2V_14B.replace(stream_dtype=args.stream_dtype,
-                                rope_dtype=args.stream_dtype)
+                                rope_dtype=args.stream_dtype,
+                                token_pad_multiple=128)
     dev = jax.devices()[0]
     print(f"device: {dev} ({dev.platform})", file=sys.stderr)
 

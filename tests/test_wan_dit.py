@@ -162,3 +162,30 @@ def test_bf16_stream_dtype_close_to_fp32():
                                            sin))
     assert np.isfinite(b).all()
     assert np.abs(a - b).mean() < 0.02 * np.abs(a).mean() + 0.02
+
+
+def test_token_pad_multiple_matches_unpadded():
+    """cfg.token_pad_multiple pads tokens after patch embed with in-kernel
+    key masking; output must equal the unpadded forward."""
+    import jax
+    import jax.numpy as jnp
+    from videocof_tpu.configs import WAN_TINY
+    from videocof_tpu.models import wan_dit
+    cfg0 = WAN_TINY
+    cfgp = WAN_TINY.replace(token_pad_multiple=32)   # L=45 -> pad to 64
+    params = wan_dit.init_wan_dit(jax.random.PRNGKey(0), cfg0)
+    f, h, w = 5, 3, 3
+    pt, ph, pw = cfg0.patch_size
+    x = jax.random.normal(jax.random.PRNGKey(1),
+                          (1, cfg0.in_dim, f * pt, h * ph, w * pw))
+    t = jnp.array([500.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(2),
+                            (1, cfg0.text_len, cfg0.text_dim))
+    cos, sin = wan_dit.make_rope_for_geometry(cfg0, (f, h, w), f_src=2,
+                                              f_ground=1)
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+    a = np.asarray(wan_dit.wan_dit_forward(params, cfg0, x, t, ctx, cos,
+                                           sin))
+    b = np.asarray(wan_dit.wan_dit_forward(params, cfgp, x, t, ctx, cos,
+                                           sin))
+    np.testing.assert_allclose(b, a, atol=2e-5, rtol=2e-5)

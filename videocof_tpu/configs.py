@@ -38,6 +38,11 @@ class WanDiTConfig:
     eps: float = 1e-6
     rope_max_pos: int = 1024
     rope_theta: float = 10000.0
+    # Pad the token stream to a multiple of this right after patch embed
+    # (with in-kernel key masking). 128 = the flash kernel's lane tile:
+    # q/k/v are then BORN at kernel-aligned length instead of being
+    # pad-copied per attention (3x ~290 MB transient at 14B geometry).
+    token_pad_multiple: int = 1
     # RoPE rotation arithmetic dtype. "float32" (default) matches the
     # reference's fp32 complex rope exactly; "bfloat16" computes the
     # rotation in bf16 (the angle TABLES are still float64-derived) —

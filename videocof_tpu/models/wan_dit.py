@@ -419,13 +419,16 @@ def wan_dit_forward_with_residual(
         h = _layer_norm(h, 1e-5, ie["ln2"]["scale"], ie["ln2"]["bias"])
         ctx = jnp.concatenate([h.astype(ctx.dtype), ctx], axis=1)
 
-    # ---- whole-forward sequence parallelism (see docstring): pad tokens to
-    # a multiple of the seq axis, shard stream/rope/per-token-AdaLN, and mask
-    # padded keys out of self-attention
+    # ---- token padding + whole-forward sequence parallelism (see
+    # docstring): pad tokens to a multiple of the seq axis (SP) and/or the
+    # kernel tile (cfg.token_pad_multiple), shard stream/rope/per-token-
+    # AdaLN, and mask padded keys out of self-attention
     L_real = hseq.shape[1]
     seq_mask = None
-    if sp is not None and sp.size > 1:
-        Lp = sp.padded_len(L_real)
+    pad_to = math.lcm(cfg.token_pad_multiple,
+                      sp.size if (sp is not None and sp.size > 1) else 1)
+    if pad_to > 1:
+        Lp = ((L_real + pad_to - 1) // pad_to) * pad_to
         if Lp != L_real:
             pad = Lp - L_real
             hseq = jnp.pad(hseq, ((0, 0), (0, pad), (0, 0)))
@@ -441,6 +444,7 @@ def wan_dit_forward_with_residual(
                 e0 = jnp.pad(e0, ((0, 0), (0, pad), (0, 0), (0, 0)),
                              mode="edge")
                 e = jnp.pad(e, ((0, 0), (0, pad), (0, 0)), mode="edge")
+    if sp is not None and sp.size > 1:
         hseq = sp.shard_tokens(hseq)
         rope_cos = sp.shard_rope(rope_cos)
         rope_sin = sp.shard_rope(rope_sin)
@@ -484,10 +488,10 @@ def wan_dit_forward_with_residual(
     out = _linear(out.astype(compute_dtype), params["head"]["fc"])
 
     if sp is not None and sp.size > 1:
-        # head-exit all_gather (`wan_transformer3d.py:1085-1086`), then drop
-        # the SP padding
+        # head-exit all_gather (`wan_transformer3d.py:1085-1086`)
         out = sp.gather(out)
-        out = out[:, :L_real]
+    if out.shape[1] != L_real:
+        out = out[:, :L_real]  # drop SP/kernel-tile padding
 
     return unpatchify(out.astype(jnp.float32), grid, cfg.patch_size,
                       cfg.out_dim), residual_out
