@@ -53,8 +53,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, m_scr,
     k_idx = kv_i * block_k + jax.lax.broadcasted_iota(
         jnp.int32, s.shape, dimension=1)
     s = jnp.where(k_idx < kv_len, s, NEG_INF)
-    if mask_ref is not None:          # boolean key mask [1, BK]
-        s = jnp.where(mask_ref[0][None, :] != 0, s, NEG_INF)
+    if mask_ref is not None:          # boolean key mask block [1, 1, BK]
+        s = jnp.where(mask_ref[0, 0][None, :] != 0, s, NEG_INF)
 
     m_prev = m_scr[:]                                    # [BQ, 1]
     m_cur = jnp.max(s, axis=-1, keepdims=True)           # [BQ, 1]
@@ -98,8 +98,10 @@ def _flash_bnld(q, k, v, scale, block_q, block_k, interpret=False,
         v = jnp.pad(v, ((0, 0), (0, k_pad), (0, 0)))
     Lqp, Lkp = Lq + q_pad, Lk + k_pad
     if kv_mask is not None:
+        # 3D [BN, 1, Lkp]: TPU lowering needs the block's last two dims
+        # tile-aligned (or equal to the array dims); (1, 1, block_k) is
         kv_mask = jnp.pad(kv_mask.astype(jnp.int32),
-                          ((0, 0), (0, k_pad)))
+                          ((0, 0), (0, k_pad)))[:, None, :]
 
     grid = (BN, Lqp // block_q, Lkp // block_k)
     o_spec = pl.BlockSpec((1, block_q, D), lambda b, qi, ki: (b, qi, 0))
@@ -123,8 +125,8 @@ def _flash_bnld(q, k, v, scale, block_q, block_k, interpret=False,
     ]
     operands = [q, k, v]
     if kv_mask is not None:
-        in_specs.append(pl.BlockSpec((1, block_k),
-                                     lambda b, qi, ki: (b, ki)))
+        in_specs.append(pl.BlockSpec((1, 1, block_k),
+                                     lambda b, qi, ki: (b, 0, ki)))
         operands.append(kv_mask)
 
     has_mask = kv_mask is not None
