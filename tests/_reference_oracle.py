@@ -230,6 +230,13 @@ def _install_torchvision_stub():
     tr.Normalize = _Shell
     tr.InterpolationMode = _Interp
     tv.transforms = tr
+    # a real-looking spec + version so transformers'
+    # _is_package_available("torchvision") doesn't choke on the stub
+    import importlib.machinery
+    tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", loader=None)
+    tv.__version__ = "0.0.0-stub"
+    tr.__spec__ = importlib.machinery.ModuleSpec("torchvision.transforms",
+                                                 loader=None)
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.transforms"] = tr
 
