@@ -55,7 +55,12 @@ def main():
     if os.environ.get("BENCH_4X") == "1":
         source_frames = 132  # 4x the 33-frame training length
 
-    dit_cfg = WAN21_T2V_1_3B
+    # bf16 residual stream (the reference's autocast blocks keep x bf16 too;
+    # closeness-tested vs fp32) + kernel-aligned token padding: both cut HBM
+    # traffic on the DiT step. Override with BENCH_STREAM_DTYPE=float32.
+    dit_cfg = WAN21_T2V_1_3B.replace(
+        stream_dtype=os.environ.get("BENCH_STREAM_DTYPE", "bfloat16"),
+        token_pad_multiple=128)
     vae_cfg = WanVAEConfig()
     t5_cfg = T5Config()
 

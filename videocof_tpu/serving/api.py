@@ -143,6 +143,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model_name", type=str, default=None)
     p.add_argument("--random_init", action="store_true")
+    p.add_argument("--quantize", type=str, default=None,
+                   choices=[None, "fp8"])
+    p.add_argument("--offload_t5", action="store_true")
     p.add_argument("--port", type=int, default=8188)
     # loopback by default: this is an unauthenticated surface; pass
     # --host 0.0.0.0 explicitly to expose it
@@ -150,7 +153,9 @@ def main():
     args = p.parse_args()
 
     from ..factory import load_pipeline
-    pipe = load_pipeline(args.model_name or "", random_init=args.random_init)
+    pipe = load_pipeline(args.model_name or "", random_init=args.random_init,
+                         quantize=args.quantize,
+                         offload_t5=args.offload_t5)
     serve(VideoCoFController(pipe), host=args.host, port=args.port)
 
 
