@@ -96,3 +96,27 @@ def test_timer_records():
     recs = profiling.records()
     assert len(recs) == 1 and recs[0]["name"] == "toy"
     assert recs[0]["seconds"] >= 0
+
+
+def test_layout_targeting_roundtrip():
+    """consumer_input_formats + ship_tree_into: host tree lands in the
+    consumer's expected formats and the consumer runs on it directly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from videocof_tpu.utils.layouts import (consumer_input_formats,
+                                            ship_tree_into)
+
+    def consumer(p, x):
+        return p["w"] @ x + p["b"][:, None]
+
+    p_abs = {"w": jax.ShapeDtypeStruct((16, 8), jnp.float32),
+             "b": jax.ShapeDtypeStruct((16,), jnp.float32)}
+    x = jnp.ones((8, 4))
+    compiled, fmts = consumer_input_formats(consumer, p_abs, x)
+    host = {"w": np.arange(128, dtype=np.float32).reshape(16, 8),
+            "b": np.ones(16, np.float32)}
+    dev = ship_tree_into(host, fmts)
+    out = compiled(dev, x)
+    want = host["w"] @ np.ones((8, 4), np.float32) + 1.0
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-6)

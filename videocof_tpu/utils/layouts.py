@@ -1,0 +1,46 @@
+"""Cross-executable layout targeting for HBM-critical weight trees.
+
+On this class of runtime, an array produced by one executable and consumed
+by another gets RE-LAID-OUT at dispatch when the consumer prefers a
+different tiled layout — a full copy. For a 13.8 GiB fp8 14B tree on a
+16 GB chip that copy is fatal. The working recipe (proven by
+`scripts/probe_14b_fp8.py`):
+
+  1. AOT-compile the consumer from abstract shapes
+     (`jax.jit(f).lower(*abstract).compile()`);
+  2. read `compiled.input_formats`;
+  3. create/ship the weights DIRECTLY into those formats — either as
+     `out_shardings` of the producing jit, or leaf-wise `jax.device_put`
+     from host numpy (`ship_tree_into`).
+
+Use these helpers when wiring real 14B checkpoints through
+`factory.load_pipeline(quantize='fp8')` on a single chip.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+
+
+def consumer_input_formats(fn, *abstract_args, argnum: int = 0):
+    """AOT-compile ``fn`` on abstract args and return (compiled,
+    formats_of_argnum). ``abstract_args`` are ShapeDtypeStructs or concrete
+    arrays; build param abstracts with `jax.eval_shape`."""
+    compiled = jax.jit(fn).lower(*abstract_args).compile()
+    return compiled, compiled.input_formats[0][argnum]
+
+
+def ship_tree_into(host_tree: Any, formats: Any) -> Any:
+    """Leaf-wise `jax.device_put` of a host (numpy) pytree into target
+    Formats; each host leaf is released as soon as its device copy exists,
+    so peak device memory = accumulated tree + one leaf."""
+    leaves, tdef = jax.tree.flatten(host_tree)
+    fmts = jax.tree.flatten(formats)[0]
+    out = []
+    for i in range(len(leaves)):
+        out.append(jax.device_put(leaves[i], fmts[i]))
+        leaves[i] = None
+    jax.block_until_ready(out)
+    return jax.tree.unflatten(tdef, out)
