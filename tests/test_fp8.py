@@ -128,3 +128,45 @@ def test_lora_fuses_before_quantize_and_refuses_after():
     q = quantize_params_fp8(merged)
     with pytest.raises(ValueError, match="fp8-quantized"):
         merge_lora(q, cfg, sd)
+
+
+def test_precompile_fused_then_ship(tmp_path):
+    """AOT precompile of the fused executable + host weights shipped into
+    its input formats produce the same output as the normal jit path (the
+    production 14B-on-16GB flow)."""
+    from videocof_tpu.configs import T5_TINY, VAE_TINY
+    from videocof_tpu.models import t5_encoder, wan_vae
+    from videocof_tpu.pipeline import WanPipeline
+    from videocof_tpu.utils.layouts import ship_tree_into
+
+    cfg = WAN_TINY.replace(in_dim=VAE_TINY.z_dim, out_dim=VAE_TINY.z_dim,
+                           text_dim=T5_TINY.dim)
+    dit = wan_dit.init_wan_dit(jax.random.PRNGKey(0), cfg)
+    vae = wan_vae.init_wan_vae(jax.random.PRNGKey(1), VAE_TINY)
+    t5 = t5_encoder.init_t5_encoder(jax.random.PRNGKey(2), T5_TINY)
+    video = np.random.default_rng(0).uniform(
+        -1, 1, (1, 3, 9, 32, 32)).astype(np.float32)
+    kw = dict(source_frames=9, reasoning_frames=4, num_inference_steps=2,
+              seed=5)
+
+    ref_pipe = WanPipeline(dit, cfg, vae, VAE_TINY, t5, T5_TINY,
+                           dtype=jnp.float32)
+    want = ref_pipe(video, "remove the box", **kw)
+
+    # host-resident (numpy, fp8) DiT -> AOT compile -> ship into formats
+    host_dit = jax.tree.map(np.asarray, quantize_params_fp8(dit))
+    pipe = WanPipeline(host_dit, cfg, vae, VAE_TINY, t5, T5_TINY,
+                       dtype=jnp.float32)
+    fmts = pipe.precompile_fused(
+        height=32, width=32, source_frames=9, reasoning_frames=4,
+        num_inference_steps=2,
+        dit_param_abstract=jax.eval_shape(lambda p: p, host_dit))
+    pipe.dit_params = ship_tree_into(host_dit, fmts)
+    n_cached = len(pipe._jit_cache)
+    got = pipe(video, "remove the box", **kw)
+    # the AOT executable was reused, not recompiled under a new key
+    assert len([k for k in pipe._jit_cache
+                if isinstance(k, tuple) and k and k[0] == "fused"]) == 1
+    # fp8 weights: compare within quantization tolerance
+    assert np.isfinite(got.videos).all()
+    assert np.abs(got.videos - want.videos).mean() < 0.1

@@ -40,6 +40,7 @@ def load_pipeline(
     quantize: Optional[str] = None,
     offload_t5: bool = False,
     lora_paths=None,
+    precompile: Optional[dict] = None,
 ) -> WanPipeline:
     """Build a pipeline from a checkpoint dir (or random weights).
 
@@ -62,7 +63,14 @@ def load_pipeline(
 
     ``lora_paths``: sequence of (path, multiplier) fused into the DiT
     weights BEFORE quantization (host-side on the checkpoint path), matching
-    the reference's merge-then-infer flow (`fast_infer.py:366-386`)."""
+    the reference's merge-then-infer flow (`fast_infer.py:366-386`).
+
+    ``precompile``: kwargs for `WanPipeline.precompile_fused` (height,
+    width, source_frames, ...). The fused denoise executable is AOT-
+    compiled from abstract shapes BEFORE the DiT weights ship, and the
+    weights land directly in its expected input formats — mandatory for
+    the 14B fp8 on a 16 GB chip, where a dispatch-time relayout copy of
+    the 13.8 GiB tree would exhaust HBM (see utils/layouts.py)."""
     vae_cfg = vae_cfg or WanVAEConfig()
     t5_cfg = t5_cfg or T5Config()
 
@@ -131,7 +139,10 @@ def load_pipeline(
     elif quantize:
         raise ValueError(f"unknown quantize mode {quantize!r}")
 
-    dit_params = jax.tree.map(jnp.asarray, dit_params)
+    if precompile is None:
+        dit_params = jax.tree.map(jnp.asarray, dit_params)
+    # (precompile: DiT stays host-side until the fused executable's input
+    # formats are known — see the ship step below)
     vae_params = jax.tree.map(jnp.asarray, vae_params)
     if not offload_t5:
         t5_params = jax.tree.map(jnp.asarray, t5_params)
@@ -147,6 +158,13 @@ def load_pipeline(
                              t5_params, t5_cfg, tokenizer, dtype=dtype,
                              attn_backend=attn_backend, dit_params_2=dit2,
                              boundary=boundary)
-    return WanPipeline(dit_params, dit_cfg, vae_params, vae_cfg, t5_params,
+    pipe = WanPipeline(dit_params, dit_cfg, vae_params, vae_cfg, t5_params,
                        t5_cfg, tokenizer, dtype=dtype,
                        attn_backend=attn_backend)
+    if precompile is not None:
+        from .utils.layouts import ship_tree_into
+        fmts = pipe.precompile_fused(
+            **precompile,
+            dit_param_abstract=jax.eval_shape(lambda p: p, pipe.dit_params))
+        pipe.dit_params = ship_tree_into(pipe.dit_params, fmts)
+    return pipe

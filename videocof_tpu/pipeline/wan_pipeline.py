@@ -210,6 +210,75 @@ class WanPipeline:
         noise = jax.random.normal(key, mu.shape, jnp.float32)
         return jnp.concatenate([mu.astype(jnp.float32), noise], axis=2)
 
+    # -------------------------------------------------- AOT fused precompile
+    def precompile_fused(self, *, height: int, width: int,
+                         source_frames: int = 33, reasoning_frames: int = 4,
+                         num_inference_steps: int = 4,
+                         guidance_scale: float = 1.0, shift: float = 3.0,
+                         sampler: str = "unipc", batch: int = 1,
+                         max_sequence_length: int = 512,
+                         dit_param_abstract=None):
+        """AOT-compile the fused denoise executable for one geometry and
+        return the DiT params' expected input Formats.
+
+        The point (see utils/layouts.py): weights that cross executables in
+        the wrong layout get relayout-COPIED at dispatch — fatal for a
+        13.8 GiB fp8 14B on a 16 GB chip. Compile the consumer first (this
+        method works from abstract shapes, so no weights need to be
+        resident), ship the weights into the returned formats
+        (`utils.layouts.ship_tree_into`), and `__call__` at the same
+        geometry reuses the executable. ``dit_param_abstract``: pytree of
+        ShapeDtypeStructs (e.g. `jax.eval_shape` over the host tree);
+        defaults to the current `self.dit_params` shapes."""
+        from .fused_sampler import make_fused_sample_fn
+
+        do_cfg = guidance_scale > 1.0
+        tc = self.vae_cfg.temporal_compression_ratio
+        sc = self.vae_cfg.spatial_compression_ratio
+        cond = latent_frame_count(source_frames, tc)
+        ground = latent_frame_count(reasoning_frames, tc)
+        Tl = cond + ground + cond
+        Hl, Wl = height // sc, width // sc
+        ph, pw = self.dit_cfg.patch_size[1:]
+        grid = (Tl, Hl // ph, Wl // pw)
+
+        cos, sin = wan_dit.make_rope_for_geometry(
+            self.dit_cfg, grid, f_src=cond, f_ground=ground)
+        cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+        self._rope_cache[(grid, cond, ground, None, None, None)] = (cos, sin)
+
+        sched = get_scheduler(sampler)
+        sched.set_timesteps(num_inference_steps, shift=shift)
+        sp = getattr(self, "sp_ctx", None)
+        if sp is not None and do_cfg and getattr(self, "cfg_parallel", False):
+            sp = sp.with_cfg_parallel()
+        fn = make_fused_sample_fn(
+            self.dit_cfg, sampler, sched.plan_arrays(), do_cfg,
+            guidance_scale, cond, self.dtype,
+            attn_backend=self.attn_backend, sp=sp)
+
+        p_abs = (dit_param_abstract if dit_param_abstract is not None
+                 else jax.eval_shape(lambda p: p, self.dit_params))
+        lat_abs = jax.ShapeDtypeStruct(
+            (batch, self.vae_cfg.z_dim, Tl, Hl, Wl), jnp.float32)
+        ctx_abs = jax.ShapeDtypeStruct(
+            (batch * (2 if do_cfg else 1), max_sequence_length,
+             self.dit_cfg.text_dim), self.dtype)
+        compiled = fn.lower(p_abs, lat_abs, ctx_abs, cos, sin).compile()
+        fmts = compiled.input_formats[0]
+
+        def runner(p, lat, ctx, rc, rs):
+            # non-param inputs are tiny: normalize their formats at call
+            return compiled(p, jax.device_put(lat, fmts[1]),
+                            jax.device_put(ctx, fmts[2]),
+                            jax.device_put(rc, fmts[3]),
+                            jax.device_put(rs, fmts[4]))
+
+        fkey = ("fused", sampler, num_inference_steps, float(shift),
+                do_cfg, float(guidance_scale), cond, self.attn_backend)
+        self._jit_cache[fkey] = runner
+        return fmts[0]
+
     # ------------------------------------------------------------- jitted step
     def _step_fn(self, do_cfg: bool, guidance_scale: float,
                  condition_count: int, skip_blocks: bool = False):
