@@ -55,6 +55,12 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--offload_t5", action="store_true",
                         help="Keep umT5 weights host-resident; stream to "
                              "device per encode call")
+    parser.add_argument("--precompile_hw", type=int, nargs=2, default=None,
+                        metavar=("H", "W"),
+                        help="AOT-compile the fused denoise executable for "
+                             "this resolution BEFORE weights ship, landing "
+                             "them in its input formats (required for the "
+                             "14B fp8 on a 16 GB chip)")
 
 
 def collect_items(args) -> List[Tuple[str, Dict]]:
@@ -129,11 +135,21 @@ def run_items(pipe, args, subset, rank: int, *, num_inference_steps: int,
         print(f"[proc {rank}] wrote {out_path}", file=sys.stderr)
 
 
-def build_pipeline_from_args(args, dtype=None):
+def build_pipeline_from_args(args, dtype=None, num_inference_steps=4,
+                             guidance_scale=1.0):
     import jax.numpy as jnp
     from ..factory import load_pipeline
 
     dtype = dtype or jnp.bfloat16
+    precompile = None
+    if getattr(args, "precompile_hw", None):
+        h, w = args.precompile_hw
+        precompile = dict(height=h, width=w,
+                          source_frames=args.source_frames,
+                          reasoning_frames=args.reasoning_frames,
+                          num_inference_steps=num_inference_steps,
+                          guidance_scale=guidance_scale, shift=args.shift,
+                          sampler=args.sampler)
     loras = []
     for path, mult in ((getattr(args, "acceleration_lora", None), 1.0),
                       (args.lora_path, args.lora_weight),
@@ -151,7 +167,7 @@ def build_pipeline_from_args(args, dtype=None):
                          seed=args.seed,
                          quantize=getattr(args, "quantize", None),
                          offload_t5=getattr(args, "offload_t5", False),
-                         lora_paths=loras)
+                         lora_paths=loras, precompile=precompile)
     for path, _ in loras:
         print(f"merged LoRA: {path}", file=sys.stderr)
     return pipe

@@ -51,7 +51,9 @@ def main():
         args.acceleration_lora = (args.acceleration_lora_path or
                                   os.path.join(args.model_name or "",
                                                FUSIONX_LORA))
-    pipe = build_pipeline_from_args(args)
+    pipe = build_pipeline_from_args(
+        args, num_inference_steps=args.num_inference_steps,
+        guidance_scale=args.guidance_scale)
     run_items(pipe, args, subset, rank,
               num_inference_steps=args.num_inference_steps,
               guidance_scale=args.guidance_scale,

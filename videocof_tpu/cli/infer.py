@@ -42,7 +42,9 @@ def main():
     if not subset:
         return
 
-    pipe = build_pipeline_from_args(args)
+    pipe = build_pipeline_from_args(
+        args, num_inference_steps=args.num_inference_steps,
+        guidance_scale=args.guidance_scale)
     gen_kwargs = {}
     if args.enable_teacache:
         from ..models.teacache import get_teacache_coefficients

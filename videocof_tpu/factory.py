@@ -94,9 +94,12 @@ def load_pipeline(
         elif quantize:
             raise ValueError(f"unknown quantize mode {quantize!r}")
         tokenizer = WanTokenizer(vocab_size=t5_cfg.vocab)
-        return WanPipeline(dit_params, dit_cfg, vae_params, vae_cfg,
+        pipe = WanPipeline(dit_params, dit_cfg, vae_params, vae_cfg,
                            t5_params, t5_cfg, tokenizer, dtype=dtype,
                            attn_backend=attn_backend)
+        if precompile is not None:
+            pipe.precompile_fused(**precompile)
+        return pipe
 
     np_dtype = {jnp.bfloat16: "bfloat16", jnp.float32: "float32"}.get(
         dtype, "float32")
