@@ -113,9 +113,9 @@ def test_cli_fast_infer_e2e(tiny_pipe, test_video, tmp_path, monkeypatch):
     import videocof_tpu.cli.fast_infer as cli
 
     monkeypatch.setattr(common, "build_pipeline_from_args",
-                        lambda args, dtype=None: tiny_pipe)
+                        lambda args, dtype=None, **kw: tiny_pipe)
     monkeypatch.setattr(cli, "build_pipeline_from_args",
-                        lambda args, dtype=None: tiny_pipe)
+                        lambda args, dtype=None, **kw: tiny_pipe)
     out_dir = str(tmp_path / "out")
     monkeypatch.setattr(sys, "argv", [
         "fast_infer", "--video_path", test_video, "--prompt",
