@@ -43,3 +43,19 @@ def test_dispatcher_int8_backend():
     out = attention(q, q, q, backend="int8")
     ref = attention(q, q, q, backend="naive")
     assert _cos_sim(np.asarray(out), np.asarray(ref)) > 0.999
+
+
+def test_int8_kv_mask_in_kernel():
+    """The boolean key mask is applied inside the int8 kernel (previously
+    fell back to xla)."""
+    import jax
+    import jax.numpy as jnp
+    from videocof_tpu.ops.int8_attention import int8_flash_attention
+    B, L, N, D = 1, 64, 2, 128
+    q, k, v = (0.5 * jax.random.normal(jax.random.PRNGKey(i), (B, L, N, D))
+               for i in range(3))
+    mask = jnp.arange(L) < 48
+    mask = jnp.broadcast_to(mask[None], (B, L))
+    got = np.asarray(int8_flash_attention(q, k, v, kv_mask=mask))
+    want = np.asarray(attention(q, k, v, mask=mask, backend="naive"))
+    assert np.abs(got[:, :48] - want[:, :48]).mean() < 0.03  # int8 tolerance

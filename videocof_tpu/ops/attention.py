@@ -95,6 +95,15 @@ def attention(
         except NotImplementedError:
             backend = "xla"  # shape/feature not supported by the kernel yet
 
+    if backend == "int8":
+        # also mask-native; bias is the unsupported case
+        from .int8_attention import int8_flash_attention
+        try:
+            assert bias is None
+            return int8_flash_attention(q, k, v, kv_mask=mask, scale=scale)
+        except (NotImplementedError, AssertionError):
+            backend = "xla"
+
     if mask is not None:
         neg = jnp.finfo(jnp.float32).min
         mbias = jnp.where(mask[:, None, None, :], 0.0, neg).astype(jnp.float32)
@@ -104,14 +113,6 @@ def attention(
 
     if backend == "naive":
         return _naive_attention(q, k, v, bias=bias, scale=scale)
-
-    if backend == "int8":
-        from .int8_attention import int8_flash_attention
-        try:
-            assert bias is None
-            return int8_flash_attention(q, k, v, scale=scale)
-        except (NotImplementedError, AssertionError):
-            backend = "xla"
 
     # xla fused path
     return jax.nn.dot_product_attention(

@@ -35,8 +35,8 @@ def _quant_rows(x):
     return q, scale
 
 
-def _int8_kernel(q_ref, k_ref, v_ref, sq_ref, sk_ref, o_ref, m_scr, l_scr,
-                 acc_scr, *, scale, kv_len, block_k):
+def _int8_kernel(q_ref, k_ref, v_ref, sq_ref, sk_ref, mask_ref, o_ref,
+                 m_scr, l_scr, acc_scr, *, scale, kv_len, block_k):
     kv_i = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -58,6 +58,8 @@ def _int8_kernel(q_ref, k_ref, v_ref, sq_ref, sk_ref, o_ref, m_scr, l_scr,
 
     k_idx = kv_i * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(k_idx < kv_len, s, NEG_INF)
+    if mask_ref is not None:          # boolean key mask block [1, 1, BK]
+        s = jnp.where(mask_ref[0, 0][None, :] != 0, s, NEG_INF)
 
     m_prev = m_scr[:]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -75,10 +77,12 @@ def _int8_kernel(q_ref, k_ref, v_ref, sq_ref, sk_ref, o_ref, m_scr, l_scr,
 
 
 def int8_flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                         kv_mask: Optional[jax.Array] = None,
                          scale: Optional[float] = None,
                          block_q: int = 256, block_k: int = 512,
                          interpret: Optional[bool] = None) -> jax.Array:
-    """[B, L, N, D] attention with int8 QK^T. head_dim multiple of 128."""
+    """[B, L, N, D] attention with int8 QK^T. head_dim multiple of 128.
+    ``kv_mask`` [B, Lk] bool: keys excluded in-kernel (SP padding)."""
     B, Lq, N, D = q.shape
     Lk = k.shape[1]
     if D % 128 != 0:
@@ -111,17 +115,37 @@ def int8_flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
         vt = jnp.pad(vt, ((0, 0), (0, k_pad), (0, 0)))
     Lqp, Lkp = Lq + q_pad, Lk + k_pad
 
+    in_specs = [
+        pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, block_k, 1), lambda b, i, j: (b, j, 0)),
+    ]
+    operands = [qi, ki, vt, sq, sk]
+    has_mask = kv_mask is not None
+    if has_mask:
+        m = jnp.repeat(kv_mask.astype(jnp.int32), N, axis=0)
+        m = jnp.pad(m, ((0, 0), (0, k_pad)))[:, None, :]  # [BN, 1, Lkp]
+        in_specs.append(pl.BlockSpec((1, 1, block_k),
+                                     lambda b, i, j: (b, 0, j)))
+        operands.append(m)
+
+    def kern(*refs):
+        if has_mask:
+            q_r, k_r, v_r, sq_r, sk_r, m_r, o_r = refs[:7]
+            scr = refs[7:]
+        else:
+            q_r, k_r, v_r, sq_r, sk_r, o_r = refs[:6]
+            m_r = None
+            scr = refs[6:]
+        _int8_kernel(q_r, k_r, v_r, sq_r, sk_r, m_r, o_r, *scr,
+                     scale=scale, kv_len=Lk, block_k=block_k)
+
     out = pl.pallas_call(
-        functools.partial(_int8_kernel, scale=scale, kv_len=Lk,
-                          block_k=block_k),
+        kern,
         grid=(B * N, Lqp // block_q, Lkp // block_k),
-        in_specs=[
-            pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_k, 1), lambda b, i, j: (b, j, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((B * N, Lqp, D), v.dtype),
         scratch_shapes=[
@@ -130,7 +154,7 @@ def int8_flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
             pltpu.VMEM((block_q, D), jnp.float32),
         ],
         interpret=interpret,
-    )(qi, ki, vt, sq, sk)
+    )(*operands)
     return out[:, :Lq].reshape(B, N, Lq, D).transpose(0, 2, 1, 3)
 
 
