@@ -4,7 +4,10 @@ FlashAttention-2/3 CUDA dependency (`attention_utils.py:113-146`).
 Online-softmax attention tiled for the MXU: the grid walks (batch*heads,
 q-blocks, kv-blocks) — TPU grids execute sequentially, so the kv dimension
 accumulates running max / sum / weighted values in VMEM scratch and the
-output block is written once at the final kv step. Logits are computed in
+output block is written once at the final kv step. block_q defaults to
+1024: K/V stream from HBM once per q-block, so at the 29.6k-token CoF
+geometry this quarters the dominant KV re-read traffic vs 256 (~0.6 s of
+pure bandwidth per 1.3B step) while staying well inside VMEM. Logits are computed in
 fp32 (preferred_element_type) off bf16 inputs; sequence lengths are padded to
 the block size with -inf key masking.
 
@@ -338,7 +341,7 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                     bias: Optional[jax.Array] = None,
                     kv_mask: Optional[jax.Array] = None,
                     scale: Optional[float] = None,
-                    block_q: int = 256, block_k: int = 512,
+                    block_q: int = 1024, block_k: int = 512,
                     interpret: Optional[bool] = None) -> jax.Array:
     """[B, L, N, D] attention (heads on axis -2), bidirectional,
     differentiable (custom VJP backed by two Pallas backward kernels).
@@ -374,7 +377,7 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
 def flash_attention_with_lse(q: jax.Array, k: jax.Array, v: jax.Array, *,
                              kv_mask: Optional[jax.Array] = None,
                              scale: Optional[float] = None,
-                             block_q: int = 256, block_k: int = 512,
+                             block_q: int = 1024, block_k: int = 512,
                              interpret: Optional[bool] = None):
     """Like `flash_attention` but also returns the log-sum-exp
     [B, Lq, N, 1] (fp32) — the blockwise-combine primitive ring attention
