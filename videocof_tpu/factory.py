@@ -153,6 +153,10 @@ def load_pipeline(
     # and are freed with the call's temporaries — staged residency)
 
     if high_noise_model:
+        if precompile is not None:
+            raise ValueError("precompile is not supported with "
+                             "high_noise_model (the MoE path runs the "
+                             "stepwise sampler, not the fused executable)")
         from .pipeline import Wan22Pipeline
         sd2 = weights.load_state_dict(high_noise_model)
         dit2 = weights.convert_dit_state_dict(sd2, dit_cfg, dtype=npdt)
