@@ -91,6 +91,12 @@ def main():
                          dtype=np.uint8)
     embeds = jnp.zeros((1, dit_cfg.text_len, dit_cfg.text_dim), jnp.bfloat16)
 
+    # the remote worker kills single XLA programs that run for many minutes;
+    # the 50-step fused scan (~5 min in ONE program) trips it — run long
+    # trajectories stepwise (one dispatch per step). BENCH_FUSED overrides.
+    fused = os.environ.get("BENCH_FUSED")
+    fused = (fused == "1") if fused else (steps * (2 if do_cfg else 1) <= 16)
+
     def run():
         return pipe(video, prompt="bench", source_frames=source_frames,
                     reasoning_frames=reasoning_frames,
@@ -98,7 +104,7 @@ def main():
                     negative_prompt="bench-neg" if do_cfg else "",
                     negative_prompt_embeds=embeds if do_cfg else None,
                     shift=3.0, sampler="unipc", repeat_rope=True, cot=True,
-                    prompt_embeds=embeds)
+                    prompt_embeds=embeds, fused_sampling=fused)
 
     t0 = time.time()
     out = run()  # compile + run
@@ -163,9 +169,6 @@ def main():
     Hl, Wl = lat.shape[3], lat.shape[4]
     L_tokens = Tl * (Hl // 2) * (Wl // 2)
 
-    fkey = next(k for k in pipe._jit_cache if isinstance(k, tuple)
-                and k and k[0] == "fused")
-    fused = pipe._jit_cache[fkey]
     full_lat = jnp.concatenate(
         [lat.astype(jnp.float32),
          jnp.zeros((1, lat.shape[1], ground + cond, Hl, Wl), jnp.float32)],
@@ -174,15 +177,31 @@ def main():
     cos, sin = _wd.make_rope_for_geometry(dit_cfg, (Tl, Hl // 2, Wl // 2),
                                           f_src=cond, f_ground=ground)
     ctx_run = jnp.concatenate([embeds, embeds], 0) if do_cfg else embeds
-    lat_out = fused(pipe.dit_params, full_lat, ctx_run, jnp.asarray(cos),
-                    jnp.asarray(sin))
-    jax.block_until_ready(lat_out)   # warm (already compiled by run())
+    fkey = next((k for k in pipe._jit_cache if isinstance(k, tuple)
+                 and k and k[0] == "fused"), None)
+    if fkey is not None:
+        fused_fn = pipe._jit_cache[fkey]
+
+        def denoise_once():
+            out = fused_fn(pipe.dit_params, full_lat, ctx_run,
+                           jnp.asarray(cos), jnp.asarray(sin))
+            jax.block_until_ready(out)
+            return out, steps
+    else:
+        step_fn = pipe._step_fn(do_cfg, guidance, cond)
+
+        def denoise_once():
+            v, _ = step_fn(pipe.dit_params, full_lat, 800.0, ctx_run,
+                           jnp.asarray(cos), jnp.asarray(sin), None)
+            jax.block_until_ready(v)
+            return full_lat, 1  # one step's wall; scale below
+
+    lat_out, n_steps = denoise_once()   # warm (already compiled by run())
     t0 = time.time()
-    lat_out = fused(pipe.dit_params, full_lat, ctx_run, jnp.asarray(cos),
-                    jnp.asarray(sin))
-    jax.block_until_ready(lat_out)
-    t_denoise = time.time() - t0
-    per_step = t_denoise / steps
+    lat_out, n_steps = denoise_once()
+    t_denoise_meas = time.time() - t0
+    per_step = t_denoise_meas / n_steps
+    t_denoise = per_step * steps
 
     t0 = time.time()
     # same segment shapes run() decoded, so the executables are cached
