@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -341,7 +342,8 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                     bias: Optional[jax.Array] = None,
                     kv_mask: Optional[jax.Array] = None,
                     scale: Optional[float] = None,
-                    block_q: int = 1024, block_k: int = 512,
+                    block_q: Optional[int] = None,
+                    block_k: Optional[int] = None,
                     interpret: Optional[bool] = None) -> jax.Array:
     """[B, L, N, D] attention (heads on axis -2), bidirectional,
     differentiable (custom VJP backed by two Pallas backward kernels).
@@ -361,6 +363,10 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     scale = (D ** -0.5) if scale is None else scale
+    if block_q is None:
+        block_q = int(os.environ.get("VIDEOCOF_FLASH_BLOCK_Q", "1024"))
+    if block_k is None:
+        block_k = int(os.environ.get("VIDEOCOF_FLASH_BLOCK_K", "512"))
 
     qt, kt, vt = _to_bnld(q), _to_bnld(k), _to_bnld(v)
     bq = min(block_q, _rup(Lq, 128))
