@@ -4,10 +4,12 @@ FlashAttention-2/3 CUDA dependency (`attention_utils.py:113-146`).
 Online-softmax attention tiled for the MXU: the grid walks (batch*heads,
 q-blocks, kv-blocks) — TPU grids execute sequentially, so the kv dimension
 accumulates running max / sum / weighted values in VMEM scratch and the
-output block is written once at the final kv step. block_q defaults to
-1024: K/V stream from HBM once per q-block, so at the 29.6k-token CoF
-geometry this quarters the dominant KV re-read traffic vs 256 (~0.6 s of
-pure bandwidth per 1.3B step) while staying well inside VMEM. Logits are computed in
+output block is written once at the final kv step. Block defaults
+(q=1024, k=1024, env-overridable via VIDEOCOF_FLASH_BLOCK_Q/K) are
+A/B-measured on v5e at the 29.6k-token CoF geometry: 2.92 s/step
+(256/512) -> 1.83 s/step (1024/1024) for the 1.3B DiT — bigger q-blocks
+quarter the dominant KV re-read traffic and [1024,1024] logit tiles keep
+the MXU fed; 2048-wide K was slightly worse (VMEM pressure). Logits are computed in
 fp32 (preferred_element_type) off bf16 inputs; sequence lengths are padded to
 the block size with -inf key masking.
 
@@ -366,7 +368,7 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     if block_q is None:
         block_q = int(os.environ.get("VIDEOCOF_FLASH_BLOCK_Q", "1024"))
     if block_k is None:
-        block_k = int(os.environ.get("VIDEOCOF_FLASH_BLOCK_K", "512"))
+        block_k = int(os.environ.get("VIDEOCOF_FLASH_BLOCK_K", "1024"))
 
     qt, kt, vt = _to_bnld(q), _to_bnld(k), _to_bnld(v)
     bq = min(block_q, _rup(Lq, 128))
@@ -383,7 +385,7 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
 def flash_attention_with_lse(q: jax.Array, k: jax.Array, v: jax.Array, *,
                              kv_mask: Optional[jax.Array] = None,
                              scale: Optional[float] = None,
-                             block_q: int = 1024, block_k: int = 512,
+                             block_q: int = 1024, block_k: int = 1024,
                              interpret: Optional[bool] = None):
     """Like `flash_attention` but also returns the log-sum-exp
     [B, Lq, N, 1] (fp32) — the blockwise-combine primitive ring attention
