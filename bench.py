@@ -20,6 +20,9 @@ honest per-chip efficiency number is `mfu` (measured DiT FLOP/s over the
 v5e's 197 bf16 TFLOP/s peak).
 
 Variants: BENCH_STEPS=50 BENCH_CFG=1  -> the reference standard path
+          BENCH_TEACACHE=1            -> TeaCache on (the reference 50-step
+                                         CLI default: threshold 0.10, skip
+                                         first 5 steps)
           BENCH_4X=1                  -> 132-frame (4x) length extrapolation
           BENCH_SMALL=1               -> CPU smoke geometry
 """
@@ -52,6 +55,7 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "4"))
     do_cfg = os.environ.get("BENCH_CFG") == "1"
     guidance = 5.0 if do_cfg else 1.0
+    teacache = os.environ.get("BENCH_TEACACHE") == "1"
     if os.environ.get("BENCH_4X") == "1":
         source_frames = 132  # 4x the 33-frame training length
 
@@ -104,7 +108,12 @@ def main():
                     negative_prompt="bench-neg" if do_cfg else "",
                     negative_prompt_embeds=embeds if do_cfg else None,
                     shift=3.0, sampler="unipc", repeat_rope=True, cot=True,
-                    prompt_embeds=embeds, fused_sampling=fused)
+                    prompt_embeds=embeds, fused_sampling=fused,
+                    enable_teacache=teacache,
+                    teacache_coefficients=(
+                        None if not teacache else __import__(
+                            "videocof_tpu.models.teacache", fromlist=["x"]
+                        ).TEACACHE_COEFFICIENTS["wan2.1-t2v-1.3b"]))
 
     t0 = time.time()
     out = run()  # compile + run
@@ -216,10 +225,23 @@ def main():
         f"({per_step:.2f}s/step, {tflops:.1f} TFLOP/s, MFU {mfu:.2f}), "
         f"decode {t_decode:.2f}s; tokens {L_tokens}")
 
+    extra = {}
+    if teacache:
+        from videocof_tpu.models import teacache as _tc
+        from videocof_tpu.schedulers import get_scheduler as _gs
+        sched = _gs("unipc")
+        sched.set_timesteps(steps, shift=3.0)
+        skips = _tc.plan_teacache_skips(
+            pipe.dit_params, dit_cfg, sched.timesteps,
+            _tc.TEACACHE_COEFFICIENTS["wan2.1-t2v-1.3b"], 0.10, 5)
+        extra["teacache_skipped_steps"] = int(sum(skips))
+
     name = f"sec_per_video_{steps}step" + ("_cfg" if do_cfg else "")
+    name += ("_teacache" if teacache else "")
     name += "_480p_1.3b" + ("_4x" if source_frames == 132 else "")
     print(json.dumps({
-        "metric": name if (do_cfg or steps != 4 or source_frames == 132)
+        "metric": name if (do_cfg or steps != 4 or source_frames == 132
+                           or teacache)
         else "sec_per_video_4step_480p_1.3b",
         "value": round(value, 3),
         "unit": "s",
@@ -233,6 +255,7 @@ def main():
         "stages": {"encode_s": round(t_encode, 2),
                    "denoise_s": round(t_denoise, 2),
                    "decode_s": round(t_decode, 2)},
+        **extra,
     }))
 
 

@@ -89,3 +89,22 @@ def test_jit_cache_reuse(pipe, video):
     pipe(video, "remove the hat", source_frames=9, reasoning_frames=4,
          num_inference_steps=2)
     assert len(pipe._jit_cache) == n
+
+
+def test_decode_to_numpy01_streaming_matches_whole(pipe):
+    """The overlapped per-chunk uint8 readback path must produce the same
+    pixels as decoding the whole latent in one pass."""
+    z = np.asarray(jax.random.normal(
+        jax.random.PRNGKey(11), (1, VCFG.z_dim, 5, 4, 4), jnp.float32))
+    streamed = pipe.decode_to_numpy01(jnp.asarray(z))  # 5 > threshold 2
+    thresh = pipe.vae_streaming_threshold_frames
+    pipe.vae_streaming_threshold_frames = 99  # force whole-seq decode
+    try:
+        whole = pipe.decode_to_numpy01(jnp.asarray(z))
+    finally:
+        pipe.vae_streaming_threshold_frames = thresh
+    assert streamed.shape == whole.shape
+    assert streamed.dtype == np.float32
+    # uint8 quantization is part of both paths; decode math matches to
+    # streaming-vs-whole tolerance, so allow at most one 1/255 step
+    assert np.abs(streamed - whole).max() <= (1.0 / 255.0) + 1e-6

@@ -39,6 +39,19 @@ def test_decode_streaming_matches_full(vae, chunk):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_decode_streaming_chunks_generator_matches(vae):
+    """The chunk generator (the overlapped-readback path used by
+    WanPipeline.decode_to_numpy01) concatenates to exactly the
+    decode_streaming result pre-clip."""
+    z = jax.random.normal(jax.random.PRNGKey(7), (1, CFG.z_dim, 5, 2, 2))
+    whole = wan_vae_streaming.decode_streaming(vae, CFG, z, chunk_latent=2)
+    chunks = list(wan_vae_streaming.decode_streaming_chunks(
+        vae, CFG, z, chunk_latent=2))
+    assert len(chunks) == 3  # init(1) + step(2) + step(2)
+    cat = jnp.clip(jnp.concatenate(chunks, axis=2), -1.0, 1.0)
+    np.testing.assert_allclose(np.asarray(cat), np.asarray(whole), atol=1e-6)
+
+
 def test_streaming_jit_cache_reused(vae):
     cache = {}
     z = jax.random.normal(jax.random.PRNGKey(3), (1, CFG.z_dim, 3, 2, 2))

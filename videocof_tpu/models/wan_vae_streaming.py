@@ -116,15 +116,16 @@ def _upsample3d_stream(x, p, tape: _Tape, first: bool):
     return W._spatial_up(y, p["conv"])
 
 
-def decode_streaming(params: Params, cfg: WanVAEConfig, z: jax.Array,
-                     jit_cache: Optional[dict] = None,
-                     chunk_latent: int = 4) -> jax.Array:
-    """Latent [B, z, T', H', W'] -> video, ``chunk_latent`` latent frames per
-    step (bigger chunks amortize dispatch and keep the MXU fed; memory per
-    step grows linearly). Remainder frames run through a smaller final chunk.
+def decode_streaming_chunks(params: Params, cfg: WanVAEConfig, z: jax.Array,
+                            jit_cache: Optional[dict] = None,
+                            chunk_latent: int = 4):
+    """Yield decoded pixel chunks (UNCLIPPED, in decode order) for latent
+    [B, z, T', H', W'], ``chunk_latent`` latent frames per step.
 
-    Pass a dict as ``jit_cache`` to reuse the compiled step functions across
-    calls of the same geometry."""
+    Generator form of :func:`decode_streaming` so the consumer can overlap
+    per-chunk post-processing / device->host readback with the next chunk's
+    decode (the device queue keeps computing while a finished chunk streams
+    back over the transport)."""
     mean, inv_std = W._scale_arrays(cfg, z.dtype)
     z = z / inv_std + mean
 
@@ -151,13 +152,26 @@ def decode_streaming(params: Params, cfg: WanVAEConfig, z: jax.Array,
 
     T = z.shape[2]
     out0, caches = init_fn(z[:, :, :1])
-    outs = [out0]
+    yield out0
     t = 1
     while t < T:
         k = min(chunk_latent, T - t)
         o, caches = step_fn(z[:, :, t:t + k], caches)
-        outs.append(o)
+        yield o
         t += k
+
+
+def decode_streaming(params: Params, cfg: WanVAEConfig, z: jax.Array,
+                     jit_cache: Optional[dict] = None,
+                     chunk_latent: int = 4) -> jax.Array:
+    """Latent [B, z, T', H', W'] -> video, ``chunk_latent`` latent frames per
+    step (bigger chunks amortize dispatch and keep the MXU fed; memory per
+    step grows linearly). Remainder frames run through a smaller final chunk.
+
+    Pass a dict as ``jit_cache`` to reuse the compiled step functions across
+    calls of the same geometry."""
+    outs = list(decode_streaming_chunks(params, cfg, z, jit_cache=jit_cache,
+                                        chunk_latent=chunk_latent))
     return jnp.clip(jnp.concatenate(outs, axis=2), -1.0, 1.0)
 
 

@@ -33,10 +33,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634  # log2(e)
+LN2 = 0.6931471805599453    # ln(2)
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, m_scr,
-                  l_scr, acc_scr, *, scale: float, kv_len: int,
+                  l_scr, acc_scr, *, scale: float, kv_len: Optional[int],
                   block_k: int):
     kv_i = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -47,26 +49,38 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, m_scr,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0]                      # [BQ, D]
+    # exp2-domain softmax: fold log2(e) into the q tile ([BQ, D] — 8x fewer
+    # elements than the [BQ, BK] logit tile), run the online softmax with
+    # exp2, and convert the LSE back to the natural domain at the end. The
+    # emitted probabilities are mathematically identical (2^(x*log2e) ==
+    # e^x); this removes the per-element range-reduction multiply from the
+    # hottest VPU op in the kernel.
+    q = q_ref[0] * jnp.asarray(LOG2E, q_ref.dtype)       # [BQ, D]
     k = k_ref[0]                      # [BK, D]
     v = v_ref[0]                      # [BK, D]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale      # [BQ, BK]
+        preferred_element_type=jnp.float32)              # [BQ, BK], log2 dom
+    if scale != 1.0:
+        # public wrappers fold the scale into q host-side; this tile-wide
+        # multiply only runs for direct callers that pass a custom scale
+        s = s * scale
 
-    # mask padded keys (global kv index >= kv_len)
-    k_idx = kv_i * block_k + jax.lax.broadcasted_iota(
-        jnp.int32, s.shape, dimension=1)
-    s = jnp.where(k_idx < kv_len, s, NEG_INF)
+    if kv_len is not None:
+        # mask padded keys (global kv index >= kv_len); statically skipped
+        # when Lk divides the kv block (then there ARE no padded keys)
+        k_idx = kv_i * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, dimension=1)
+        s = jnp.where(k_idx < kv_len, s, NEG_INF)
     if mask_ref is not None:          # boolean key mask block [1, 1, BK]
         s = jnp.where(mask_ref[0, 0][None, :] != 0, s, NEG_INF)
 
     m_prev = m_scr[:]                                    # [BQ, 1]
     m_cur = jnp.max(s, axis=-1, keepdims=True)           # [BQ, 1]
     m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)                               # [BQ, BK]
-    alpha = jnp.exp(m_prev - m_new)                      # [BQ, 1]
+    p = jnp.exp2(s - m_new)                              # [BQ, BK]
+    alpha = jnp.exp2(m_prev - m_new)                     # [BQ, 1]
 
     l_new = alpha * l_scr[:] + jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
@@ -79,7 +93,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, m_scr,
     def _finish():
         o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
         if lse_ref is not None:
-            lse_ref[0] = m_scr[:] + jnp.log(l_scr[:])
+            # natural-domain LSE (backward kernels / ring combine expect it)
+            lse_ref[0] = m_scr[:] * LN2 + jnp.log(l_scr[:])
 
 
 def _flash_bnld(q, k, v, scale, block_q, block_k, interpret=False,
@@ -152,7 +167,8 @@ def _flash_bnld(q, k, v, scale, block_q, block_k, interpret=False,
             o_ref, lse_ref = rest[0], None
             scr = rest[1:]
         _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *scr,
-                      scale=scale, kv_len=Lk, block_k=block_k)
+                      scale=scale, kv_len=Lk if k_pad else None,
+                      block_k=block_k)
 
     if need_lse:
         out_specs = [o_spec,
@@ -370,15 +386,19 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     if block_k is None:
         block_k = int(os.environ.get("VIDEOCOF_FLASH_BLOCK_K", "1024"))
 
+    # fold the softmax scale into q once (one fused pass over [B,L,N,D])
+    # instead of multiplying every [BQ,BK] logit tile inside the kernel;
+    # the chain rule through this multiply keeps the custom VJP exact
+    q = q * jnp.asarray(scale, q.dtype)
     qt, kt, vt = _to_bnld(q), _to_bnld(k), _to_bnld(v)
     bq = min(block_q, _rup(Lq, 128))
     bk = min(block_k, _rup(Lk, 128))
     if kv_mask is not None:
         m = jnp.repeat(kv_mask, N, axis=0)               # [B*N, Lk]
-        out, _ = _flash_bnld(qt, kt, vt, scale, bq, bk, interpret=interpret,
+        out, _ = _flash_bnld(qt, kt, vt, 1.0, bq, bk, interpret=interpret,
                              need_lse=False, kv_mask=m)
     else:
-        out = _flash_core(qt, kt, vt, scale, bq, bk, interpret)
+        out = _flash_core(qt, kt, vt, 1.0, bq, bk, interpret)
     return out.reshape(B, N, Lq, D).transpose(0, 2, 1, 3)
 
 
@@ -397,9 +417,10 @@ def flash_attention_with_lse(q: jax.Array, k: jax.Array, v: jax.Array, *,
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     scale = (D ** -0.5) if scale is None else scale
+    q = q * jnp.asarray(scale, q.dtype)  # fold scale into q (see above)
     qt, kt, vt = _to_bnld(q), _to_bnld(k), _to_bnld(v)
     m = None if kv_mask is None else jnp.repeat(kv_mask, N, axis=0)
-    out, lse = _flash_bnld(qt, kt, vt, scale,
+    out, lse = _flash_bnld(qt, kt, vt, 1.0,
                            min(block_q, _rup(Lq, 128)),
                            min(block_k, _rup(Lk, 128)),
                            interpret=interpret, need_lse=True, kv_mask=m)

@@ -24,6 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634  # log2(e)
 
 
 def _quant_rows(x):
@@ -52,19 +53,30 @@ def _int8_kernel(q_ref, k_ref, v_ref, sq_ref, sk_ref, mask_ref, o_ref,
     sq = sq_ref[0]          # [BQ, 1] f32
     sk = sk_ref[0]          # [BK, 1] f32
 
+    # precision pinned to DEFAULT: a global jax_default_matmul_precision=
+    # 'highest' (tests pin it for fp32 parity) would stamp an fp32 contract
+    # precision onto this INTEGER matmul, which Mosaic rejects on real TPU
+    # ("Bad lhs type")
     s32 = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.int32)
-    s = s32.astype(jnp.float32) * (sq * sk[:, 0][None, :]) * scale
+                              preferred_element_type=jnp.int32,
+                              precision=jax.lax.Precision.DEFAULT)
+    # exp2-domain softmax (see flash_attention.py): scale & log2(e) fold
+    # into the [BQ,1]/[BK,1] dequant scales, so the [BQ,BK] tile sees ONE
+    # broadcast multiply and exp2 instead of exp
+    s = s32.astype(jnp.float32) * ((sq * (scale * LOG2E)) *
+                                   sk[:, 0][None, :])
 
-    k_idx = kv_i * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(k_idx < kv_len, s, NEG_INF)
+    if kv_len is not None:  # statically skipped when Lk divides the block
+        k_idx = kv_i * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 1)
+        s = jnp.where(k_idx < kv_len, s, NEG_INF)
     if mask_ref is not None:          # boolean key mask block [1, 1, BK]
         s = jnp.where(mask_ref[0, 0][None, :] != 0, s, NEG_INF)
 
     m_prev = m_scr[:]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
     l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -140,7 +152,8 @@ def int8_flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
             m_r = None
             scr = refs[6:]
         _int8_kernel(q_r, k_r, v_r, sq_r, sk_r, m_r, o_r, *scr,
-                     scale=scale, kv_len=Lk, block_k=block_k)
+                     scale=scale, kv_len=Lk if k_pad else None,
+                     block_k=block_k)
 
     out = pl.pallas_call(
         kern,

@@ -184,13 +184,32 @@ class WanPipeline:
         """Decode + map [-1,1] -> [0,1]. The video crosses host<->device as
         uint8 (the tunnel/PCIe traffic is 4x smaller than fp32 and the final
         consumer is an 8-bit codec anyway); fp32 [0,1] is materialized on the
-        HOST."""
-        out = self.vae_decode(z)
+        HOST.
+
+        On the streaming path each decoded chunk is converted to uint8 on
+        device and its host copy starts immediately, overlapping readback
+        with the next chunk's decode (the device queue stays busy while
+        finished chunks stream back over the transport)."""
         if "post_u8" not in self._jit_cache:
             self._jit_cache["post_u8"] = jax.jit(lambda x: jnp.clip(
                 jnp.round(x.astype(jnp.float32) * 127.5 + 127.5), 0, 255
             ).astype(jnp.uint8))
-        host = np.asarray(self._jit_cache["post_u8"](out))
+        post_u8 = self._jit_cache["post_u8"]
+        if z.shape[2] > self.vae_streaming_threshold_frames:
+            u8_chunks = []
+            for chunk in wan_vae_streaming.decode_streaming_chunks(
+                    self.vae_params, self.vae_cfg, z.astype(self.dtype),
+                    jit_cache=self._vae_jit,
+                    chunk_latent=self.vae_decode_chunk):
+                u8 = post_u8(chunk)
+                try:
+                    u8.copy_to_host_async()
+                except Exception:
+                    pass  # backend without async fetch: np.asarray blocks
+                u8_chunks.append(u8)
+            host = np.concatenate([np.asarray(c) for c in u8_chunks], axis=2)
+        else:
+            host = np.asarray(post_u8(self.vae_decode(z)))
         return host.astype(np.float32) / 255.0
 
     def prepare_cot_latents(self, video: jax.Array, ground_latent_count: int,
