@@ -48,6 +48,35 @@ def test_wan22_pipeline_runs():
     assert np.isfinite(out.videos).all()
 
 
+def test_wan22_fused_moe_matches_stepwise():
+    """The two-phase fused MoE scan (high-noise expert prefix + base expert
+    suffix in one program) must reproduce the stepwise expert-routed loop."""
+    p1 = wan_dit.init_wan_dit(jax.random.PRNGKey(0), DCFG)
+    p2 = wan_dit.init_wan_dit(jax.random.PRNGKey(1), DCFG)
+    pipe = Wan22Pipeline(
+        p1, DCFG,
+        wan_vae.init_wan_vae(jax.random.PRNGKey(2), VCFG), VCFG,
+        t5_encoder.init_t5_encoder(jax.random.PRNGKey(3), T5_TINY), T5_TINY,
+        dtype=jnp.float32, dit_params_2=p2, boundary=0.9)
+    video = np.random.default_rng(0).uniform(-1, 1, (1, 3, 9, 32, 32)
+                                             ).astype(np.float32)
+    # shift=5, 4 steps -> t = [999, 937, 833, 624] straddles the 0.9 boundary
+    kw = dict(source_frames=9, num_inference_steps=4, guidance_scale=5.0,
+              guidance_scale_2=3.0, cot=False, seed=3)
+    fused = pipe(video, "make it snow", fused_sampling=True, **kw)
+    stepwise = pipe(video, "make it snow", fused_sampling=False, **kw)
+    # outputs are uint8-quantized; fused-scan float reassociation may flip
+    # a boundary pixel by one 1/255 step
+    np.testing.assert_allclose(fused.videos, stepwise.videos,
+                               atol=(1.0 / 255.0) + 1e-6)
+    # both experts actually used at this boundary
+    from videocof_tpu.schedulers import get_scheduler
+    s = get_scheduler("unipc")
+    s.set_timesteps(4, shift=5.0)
+    n_hi = sum(float(t) >= 0.9 * 1000 for t in s.timesteps)
+    assert 0 < n_hi < 4
+
+
 def test_wan22_uint8_input_matches_float():
     """The Wan2.2 __call__ must honor the base pipeline's uint8 contract
     (ADVICE r1: it used to VAE-encode raw 0..255 values)."""

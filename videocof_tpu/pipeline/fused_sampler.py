@@ -26,15 +26,14 @@ from ..configs import WanDiTConfig
 from ..models import wan_dit
 
 
-def make_fused_sample_fn(dit_cfg: WanDiTConfig, sampler_name: str,
-                         plan: dict, do_cfg: bool, guidance_scale: float,
-                         condition_count: int, dtype,
-                         attn_backend=None, sp=None):
-    """Returns jitted fn(dit_params, latents, context, rope_cos, rope_sin)
-    -> final latents. ``plan`` is scheduler.plan_arrays()."""
-    xs = {k: jnp.asarray(v) for k, v in plan.items()}
+def _sampler_defs(sampler_name: str, dit_cfg: WanDiTConfig, do_cfg: bool,
+                  condition_count: int, dtype, attn_backend, sp):
+    """(body, init_carry, final) for one sampler. ``body`` takes the DiT
+    params and the guidance scale as arguments so multi-phase (MoE expert)
+    trajectories can swap them between scans while threading one carry."""
 
-    def dit_v(dit_params, latents, t_scalar, context, cos, sin):
+    def dit_v(dit_params, guidance_scale, latents, t_scalar, context, cos,
+              sin):
         if do_cfg:
             x = jnp.concatenate([latents, latents], axis=0)
             if sp is not None and sp.cfg_parallel:
@@ -52,9 +51,10 @@ def make_fused_sample_fn(dit_cfg: WanDiTConfig, sampler_name: str,
         return v.at[:, :, :condition_count].set(0.0)
 
     if sampler_name == "euler":
-        def body(carry, x_t, *, dit_params, context, cos, sin):
+        def body(carry, x_t, *, dit_params, gscale, context, cos, sin):
             latents = carry
-            v = dit_v(dit_params, latents, x_t["timestep"], context, cos, sin)
+            v = dit_v(dit_params, gscale, latents, x_t["timestep"], context,
+                      cos, sin)
             return latents + x_t["dt"] * v, None
 
         def init_carry(latents):
@@ -64,9 +64,10 @@ def make_fused_sample_fn(dit_cfg: WanDiTConfig, sampler_name: str,
             return carry
 
     elif sampler_name == "unipc":
-        def body(carry, x_t, *, dit_params, context, cos, sin):
+        def body(carry, x_t, *, dit_params, gscale, context, cos, sin):
             latents, m0, m1, last = carry
-            v = dit_v(dit_params, latents, x_t["timestep"], context, cos, sin)
+            v = dit_v(dit_params, gscale, latents, x_t["timestep"], context,
+                      cos, sin)
             model_t = latents - x_t["sigma"] * v
             corrected = (x_t["c_ratio"] * last + x_t["c_m0"] * m0
                          + x_t["c_d1t"] * (model_t - m0)
@@ -87,9 +88,10 @@ def make_fused_sample_fn(dit_cfg: WanDiTConfig, sampler_name: str,
             return carry[0]
 
     elif sampler_name == "dpm++":
-        def body(carry, x_t, *, dit_params, context, cos, sin):
+        def body(carry, x_t, *, dit_params, gscale, context, cos, sin):
             latents, m_prev = carry
-            v = dit_v(dit_params, latents, x_t["timestep"], context, cos, sin)
+            v = dit_v(dit_params, gscale, latents, x_t["timestep"], context,
+                      cos, sin)
             m0 = latents - x_t["sigma"] * v
             nxt = (x_t["ratio"] * latents + x_t["c_m0"] * m0
                    + jnp.where(x_t["order2"],
@@ -105,13 +107,72 @@ def make_fused_sample_fn(dit_cfg: WanDiTConfig, sampler_name: str,
     else:
         raise ValueError(f"fused sampler: unsupported {sampler_name!r}")
 
+    return body, init_carry, final
+
+
+def make_fused_sample_fn(dit_cfg: WanDiTConfig, sampler_name: str,
+                         plan: dict, do_cfg: bool, guidance_scale: float,
+                         condition_count: int, dtype,
+                         attn_backend=None, sp=None):
+    """Returns jitted fn(dit_params, latents, context, rope_cos, rope_sin)
+    -> final latents. ``plan`` is scheduler.plan_arrays()."""
+    xs = {k: jnp.asarray(v) for k, v in plan.items()}
+    body, init_carry, final = _sampler_defs(
+        sampler_name, dit_cfg, do_cfg, condition_count, dtype, attn_backend,
+        sp)
+
     @jax.jit
     def run(dit_params, latents, context, rope_cos, rope_sin):
         def sbody(carry, x_t):
-            return body(carry, x_t, dit_params=dit_params, context=context,
+            return body(carry, x_t, dit_params=dit_params,
+                        gscale=guidance_scale, context=context,
                         cos=rope_cos, sin=rope_sin)
 
         carry, _ = jax.lax.scan(sbody, init_carry(latents), xs)
+        return final(carry)
+
+    return run
+
+
+def make_fused_sample_fn_moe(dit_cfg: WanDiTConfig, sampler_name: str,
+                             plan: dict, split_idx: int, do_cfg: bool,
+                             guidance_scale: float, guidance_scale_2: float,
+                             condition_count: int, dtype,
+                             attn_backend=None, sp=None):
+    """Dual-expert (Wan2.2 MoE) fused trajectory: the expert boundary is
+    data-INdependent (t >= boundary * num_train_timesteps with a monotone
+    timestep schedule — reference `pipeline_wan2_2.py:533-535`), so the
+    trajectory statically splits into a high-noise prefix handled by
+    ``dit_params_2`` (with ``guidance_scale_2``) and a low-noise suffix
+    handled by the base expert: TWO `lax.scan`s threading one sampler carry,
+    still a single compiled XLA program.
+
+    ``split_idx``: number of leading steps routed to the high-noise expert.
+    Returns jitted fn(dit_params, dit_params_2, latents, context, cos, sin).
+    """
+    n_steps = len(next(iter(plan.values())))
+    if not 0 <= split_idx <= n_steps:
+        raise ValueError(f"split_idx {split_idx} outside [0, {n_steps}]")
+    xs_hi = {k: jnp.asarray(v[:split_idx]) for k, v in plan.items()}
+    xs_lo = {k: jnp.asarray(v[split_idx:]) for k, v in plan.items()}
+    body, init_carry, final = _sampler_defs(
+        sampler_name, dit_cfg, do_cfg, condition_count, dtype, attn_backend,
+        sp)
+
+    @jax.jit
+    def run(dit_params, dit_params_2, latents, context, rope_cos, rope_sin):
+        def phase(carry, xs, params, gscale):
+            def sbody(c, x_t):
+                return body(c, x_t, dit_params=params, gscale=gscale,
+                            context=context, cos=rope_cos, sin=rope_sin)
+            carry, _ = jax.lax.scan(sbody, carry, xs)
+            return carry
+
+        carry = init_carry(latents)
+        if split_idx > 0:
+            carry = phase(carry, xs_hi, dit_params_2, guidance_scale_2)
+        if split_idx < n_steps:
+            carry = phase(carry, xs_lo, dit_params, guidance_scale)
         return final(carry)
 
     return run

@@ -8,8 +8,12 @@ per-expert guidance scales (`:552-553`).
 
 The Wan2.2 *transformer* itself is architecturally the t2v Wan DiT with plain
 cross-attention and no image branch (`wan_transformer3d.py:1302-1399`), so
-both experts reuse `wan_dit`; the expert choice is a per-step host decision —
-static, so each expert's step function compiles once.
+both experts reuse `wan_dit`. The expert choice is data-INdependent (monotone
+timestep schedule vs a fixed boundary), so the default path fuses the whole
+trajectory into one compiled program of two `lax.scan` phases — high-noise
+expert first, base expert after — threading one sampler carry
+(`fused_sampler.make_fused_sample_fn_moe`); ``fused_sampling=False`` falls
+back to one jitted dispatch per step.
 """
 
 from __future__ import annotations
@@ -49,6 +53,7 @@ class Wan22Pipeline(WanPipeline):
                  repeat_rope: bool = True, cot: bool = False, seed: int = 0,
                  max_sequence_length: int = 512,
                  prompt_embeds=None, negative_prompt_embeds=None,
+                 fused_sampling: Optional[bool] = None,
                  **_ignored) -> WanPipelineOutput:
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
         video = self._prepare_video(video, prompts)
@@ -91,14 +96,46 @@ class Wan22Pipeline(WanPipeline):
         sched.set_timesteps(num_inference_steps, shift=shift)
         state = sched.init_state(latents)
 
-        for i in range(num_inference_steps):
-            t_i = float(sched.timesteps[i])
-            expert = self.expert_for_timestep(t_i)
-            high = expert is self.dit_params_2
-            g = g2 if high else guidance_scale
-            step = self._step_fn(do_cfg, g, condition_count)
-            v, _ = step(expert, latents, t_i, context, cos, sin, None)
-            latents, state = sched.step(v, i, latents, state)
+        # leading steps routed to the high-noise expert — a host-side static
+        # count (monotone decreasing schedule, data-independent boundary)
+        split_idx = 0
+        if self.dit_params_2 is not None:
+            thr = self.boundary * self.num_train_timesteps
+            split_idx = int(sum(float(t) >= thr for t in sched.timesteps))
+
+        if fused_sampling is None or fused_sampling:
+            # whole trajectory (both expert phases) as ONE compiled program
+            fkey = ("fused22", sampler, num_inference_steps, float(shift),
+                    do_cfg, float(guidance_scale), float(g2), split_idx,
+                    condition_count, self.attn_backend)
+            if fkey not in self._jit_cache:
+                from .fused_sampler import make_fused_sample_fn_moe
+                sp = getattr(self, "sp_ctx", None)
+                if (sp is not None and do_cfg
+                        and getattr(self, "cfg_parallel", False)):
+                    sp = sp.with_cfg_parallel()
+                self._jit_cache[fkey] = make_fused_sample_fn_moe(
+                    self.dit_cfg, sampler, sched.plan_arrays(), split_idx,
+                    do_cfg, guidance_scale, g2, condition_count, self.dtype,
+                    attn_backend=self.attn_backend, sp=sp)
+            params_2 = (self.dit_params_2 if self.dit_params_2 is not None
+                        else self.dit_params)
+            latents = self._jit_cache[fkey](self.dit_params, params_2,
+                                            latents, context, cos, sin)
+        else:
+            sched_key = ("sched", sampler, num_inference_steps, float(shift))
+            if sched_key not in self._jit_cache:
+                self._jit_cache[sched_key] = jax.jit(
+                    sched.step, static_argnums=(1,))
+            sched_step = self._jit_cache[sched_key]
+            for i in range(num_inference_steps):
+                t_i = float(sched.timesteps[i])
+                high = i < split_idx
+                expert = self.dit_params_2 if high else self.dit_params
+                g = g2 if high else guidance_scale
+                step = self._step_fn(do_cfg, g, condition_count)
+                v, _ = step(expert, latents, t_i, context, cos, sin, None)
+                latents, state = sched_step(v, i, latents, state)
 
         dec = self.decode_to_numpy01
 
