@@ -91,9 +91,10 @@ def test_jit_cache_reuse(pipe, video):
     assert len(pipe._jit_cache) == n
 
 
-def test_decode_to_numpy01_streaming_matches_whole(pipe):
-    """The overlapped per-chunk uint8 readback path must produce the same
-    pixels as decoding the whole latent in one pass."""
+def test_decode_to_numpy01_streaming_matches_whole(pipe, monkeypatch):
+    """The overlapped per-chunk uint8 readback path (VIDEOCOF_DECODE_OVERLAP)
+    must produce the same pixels as decoding the whole latent in one pass."""
+    monkeypatch.setenv("VIDEOCOF_DECODE_OVERLAP", "1")
     z = np.asarray(jax.random.normal(
         jax.random.PRNGKey(11), (1, VCFG.z_dim, 5, 4, 4), jnp.float32))
     streamed = pipe.decode_to_numpy01(jnp.asarray(z))  # 5 > threshold 2

@@ -186,16 +186,21 @@ class WanPipeline:
         consumer is an 8-bit codec anyway); fp32 [0,1] is materialized on the
         HOST.
 
-        On the streaming path each decoded chunk is converted to uint8 on
-        device and its host copy starts immediately, overlapping readback
-        with the next chunk's decode (the device queue stays busy while
-        finished chunks stream back over the transport)."""
+        ``VIDEOCOF_DECODE_OVERLAP=1``: on the streaming path, convert each
+        decoded chunk to uint8 on device and start its host copy while the
+        next chunk decodes. Wins on a local PCIe-attached chip; the DEFAULT
+        is one whole-array fetch, because transports with per-transfer
+        latency (the axon tunnel here: ~32 MB/s, ~0.5 s/fetch floor) lose
+        more to N small round-trips than overlap recovers (A/B: 7.2 s ->
+        9.1 s decode stage at 480p)."""
         if "post_u8" not in self._jit_cache:
             self._jit_cache["post_u8"] = jax.jit(lambda x: jnp.clip(
                 jnp.round(x.astype(jnp.float32) * 127.5 + 127.5), 0, 255
             ).astype(jnp.uint8))
         post_u8 = self._jit_cache["post_u8"]
-        if z.shape[2] > self.vae_streaming_threshold_frames:
+        import os as _os
+        overlap = _os.environ.get("VIDEOCOF_DECODE_OVERLAP") == "1"
+        if overlap and z.shape[2] > self.vae_streaming_threshold_frames:
             u8_chunks = []
             for chunk in wan_vae_streaming.decode_streaming_chunks(
                     self.vae_params, self.vae_cfg, z.astype(self.dtype),
