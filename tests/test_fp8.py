@@ -170,3 +170,48 @@ def test_precompile_fused_then_ship(tmp_path):
     # fp8 weights: compare within quantization tolerance
     assert np.isfinite(got.videos).all()
     assert np.abs(got.videos - want.videos).mean() < 0.1
+
+
+def test_precompile_fused_moe_then_ship():
+    """Dual-expert AOT precompile: the two-phase fused executable compiled
+    from abstract shapes + both experts shipped into its input formats must
+    match the jit MoE path."""
+    from videocof_tpu.configs import T5_TINY, VAE_TINY
+    from videocof_tpu.models import t5_encoder, wan_vae
+    from videocof_tpu.pipeline import Wan22Pipeline
+    from videocof_tpu.utils.layouts import ship_tree_into
+
+    cfg = WAN_TINY.replace(in_dim=VAE_TINY.z_dim, out_dim=VAE_TINY.z_dim,
+                           text_dim=T5_TINY.dim)
+    dit1 = wan_dit.init_wan_dit(jax.random.PRNGKey(0), cfg)
+    dit2 = wan_dit.init_wan_dit(jax.random.PRNGKey(7), cfg)
+    vae = wan_vae.init_wan_vae(jax.random.PRNGKey(1), VAE_TINY)
+    t5 = t5_encoder.init_t5_encoder(jax.random.PRNGKey(2), T5_TINY)
+    video = np.random.default_rng(0).uniform(
+        -1, 1, (1, 3, 9, 32, 32)).astype(np.float32)
+    kw = dict(source_frames=9, num_inference_steps=4, guidance_scale=5.0,
+              guidance_scale_2=2.0, cot=False, seed=5, shift=5.0)
+
+    ref_pipe = Wan22Pipeline(dit1, cfg, vae, VAE_TINY, t5, T5_TINY,
+                             dtype=jnp.float32, dit_params_2=dit2,
+                             boundary=0.9)
+    want = ref_pipe(video, "make it snow", **kw)
+
+    host1 = jax.tree.map(np.asarray, dit1)
+    host2 = jax.tree.map(np.asarray, dit2)
+    pipe = Wan22Pipeline(host1, cfg, vae, VAE_TINY, t5, T5_TINY,
+                         dtype=jnp.float32, dit_params_2=host2,
+                         boundary=0.9)
+    f1, f2 = pipe.precompile_fused(
+        height=32, width=32, source_frames=9, num_inference_steps=4,
+        guidance_scale=5.0, guidance_scale_2=2.0, shift=5.0, cot=False,
+        dit_param_abstract=jax.eval_shape(lambda p: p, host1),
+        dit_param_2_abstract=jax.eval_shape(lambda p: p, host2))
+    pipe.dit_params = ship_tree_into(host1, f1)
+    pipe.dit_params_2 = ship_tree_into(host2, f2)
+    got = pipe(video, "make it snow", **kw)
+    # the AOT executable was reused, not recompiled under a new key
+    assert len([k for k in pipe._jit_cache
+                if isinstance(k, tuple) and k and k[0] == "fused22"]) == 1
+    np.testing.assert_allclose(got.videos, want.videos,
+                               atol=(1.0 / 255.0) + 1e-6)

@@ -153,18 +153,32 @@ def load_pipeline(
     # and are freed with the call's temporaries — staged residency)
 
     if high_noise_model:
-        if precompile is not None:
-            raise ValueError("precompile is not supported with "
-                             "high_noise_model (the MoE path runs the "
-                             "stepwise sampler, not the fused executable)")
         from .pipeline import Wan22Pipeline
         sd2 = weights.load_state_dict(high_noise_model)
         dit2 = weights.convert_dit_state_dict(sd2, dit_cfg, dtype=npdt)
-        dit2 = jax.tree.map(jnp.asarray, dit2)
-        return Wan22Pipeline(dit_params, dit_cfg, vae_params, vae_cfg,
+        if quantize == "fp8":
+            from .utils.fp8 import quantize_params_fp8
+            dit2 = quantize_params_fp8(dit2)
+        if precompile is None:
+            dit2 = jax.tree.map(jnp.asarray, dit2)
+        pipe = Wan22Pipeline(dit_params, dit_cfg, vae_params, vae_cfg,
                              t5_params, t5_cfg, tokenizer, dtype=dtype,
                              attn_backend=attn_backend, dit_params_2=dit2,
                              boundary=boundary)
+        if precompile is not None:
+            # dual-expert AOT: compile the two-phase fused executable from
+            # abstract shapes, then create BOTH experts' weights directly in
+            # its input formats (see utils/layouts.py)
+            from .utils.layouts import ship_tree_into
+            fmts1, fmts2 = pipe.precompile_fused(
+                **precompile,
+                dit_param_abstract=jax.eval_shape(lambda p: p,
+                                                  pipe.dit_params),
+                dit_param_2_abstract=jax.eval_shape(lambda p: p,
+                                                    pipe.dit_params_2))
+            pipe.dit_params = ship_tree_into(pipe.dit_params, fmts1)
+            pipe.dit_params_2 = ship_tree_into(pipe.dit_params_2, fmts2)
+        return pipe
     pipe = WanPipeline(dit_params, dit_cfg, vae_params, vae_cfg, t5_params,
                        t5_cfg, tokenizer, dtype=dtype,
                        attn_backend=attn_backend)

@@ -37,6 +37,84 @@ class Wan22Pipeline(WanPipeline):
         self.boundary = boundary
         self.num_train_timesteps = num_train_timesteps
 
+    def _split_idx(self, sched) -> int:
+        """Leading steps routed to the high-noise expert (host-side static:
+        monotone decreasing schedule vs the fixed boundary)."""
+        if self.dit_params_2 is None:
+            return 0
+        thr = self.boundary * self.num_train_timesteps
+        return int(sum(float(t) >= thr for t in sched.timesteps))
+
+    def precompile_fused(self, *, height: int, width: int,
+                         source_frames: int = 33, reasoning_frames: int = 4,
+                         num_inference_steps: int = 50,
+                         guidance_scale: float = 5.0,
+                         guidance_scale_2: Optional[float] = None,
+                         shift: float = 5.0, sampler: str = "unipc",
+                         batch: int = 1, max_sequence_length: int = 512,
+                         cot: bool = False,
+                         dit_param_abstract=None, dit_param_2_abstract=None):
+        """AOT-compile the dual-expert fused executable for one geometry and
+        return (base_expert_formats, high_noise_expert_formats) — the MoE
+        analogue of `WanPipeline.precompile_fused` (see utils/layouts.py for
+        why weights must be created in the consumer's input formats)."""
+        from .fused_sampler import make_fused_sample_fn_moe
+        from ..models import wan_dit as _wd
+        from ..schedulers import get_scheduler as _gs
+
+        do_cfg = guidance_scale > 1.0
+        g2 = guidance_scale if guidance_scale_2 is None else guidance_scale_2
+        tc = self.vae_cfg.temporal_compression_ratio
+        sc = self.vae_cfg.spatial_compression_ratio
+        cond = latent_frame_count(source_frames, tc)
+        ground = latent_frame_count(reasoning_frames, tc) if cot else 0
+        Tl = cond + ground + cond
+        Hl, Wl = height // sc, width // sc
+        ph, pw = self.dit_cfg.patch_size[1:]
+        grid = (Tl, Hl // ph, Wl // pw)
+
+        cos, sin = _wd.make_rope_for_geometry(
+            self.dit_cfg, grid, f_src=cond, f_ground=ground)
+        cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+
+        sched = _gs(sampler)
+        sched.set_timesteps(num_inference_steps, shift=shift)
+        split_idx = self._split_idx(sched)
+        sp = getattr(self, "sp_ctx", None)
+        if sp is not None and do_cfg and getattr(self, "cfg_parallel", False):
+            sp = sp.with_cfg_parallel()
+        fn = make_fused_sample_fn_moe(
+            self.dit_cfg, sampler, sched.plan_arrays(), split_idx, do_cfg,
+            guidance_scale, g2, cond, self.dtype,
+            attn_backend=self.attn_backend, sp=sp)
+
+        p_abs = (dit_param_abstract if dit_param_abstract is not None
+                 else jax.eval_shape(lambda p: p, self.dit_params))
+        p2_src = (self.dit_params_2 if self.dit_params_2 is not None
+                  else self.dit_params)
+        p2_abs = (dit_param_2_abstract if dit_param_2_abstract is not None
+                  else jax.eval_shape(lambda p: p, p2_src))
+        lat_abs = jax.ShapeDtypeStruct(
+            (batch, self.vae_cfg.z_dim, Tl, Hl, Wl), jnp.float32)
+        ctx_abs = jax.ShapeDtypeStruct(
+            (batch * (2 if do_cfg else 1), max_sequence_length,
+             self.dit_cfg.text_dim), self.dtype)
+        compiled = fn.lower(p_abs, p2_abs, lat_abs, ctx_abs, cos,
+                            sin).compile()
+        fmts = compiled.input_formats[0]
+
+        def runner(p, p2, lat, ctx, rc, rs):
+            return compiled(p, p2, jax.device_put(lat, fmts[2]),
+                            jax.device_put(ctx, fmts[3]),
+                            jax.device_put(rc, fmts[4]),
+                            jax.device_put(rs, fmts[5]))
+
+        fkey = ("fused22", sampler, num_inference_steps, float(shift),
+                do_cfg, float(guidance_scale), float(g2), split_idx,
+                cond, self.attn_backend)
+        self._jit_cache[fkey] = runner
+        return fmts[0], fmts[1]
+
     def expert_for_timestep(self, t: float):
         """High-noise expert above the boundary, base expert below
         (`pipeline_wan2_2.py:533-535`)."""
@@ -98,10 +176,7 @@ class Wan22Pipeline(WanPipeline):
 
         # leading steps routed to the high-noise expert — a host-side static
         # count (monotone decreasing schedule, data-independent boundary)
-        split_idx = 0
-        if self.dit_params_2 is not None:
-            thr = self.boundary * self.num_train_timesteps
-            split_idx = int(sum(float(t) >= thr for t in sched.timesteps))
+        split_idx = self._split_idx(sched)
 
         if fused_sampling is None or fused_sampling:
             # whole trajectory (both expert phases) as ONE compiled program
