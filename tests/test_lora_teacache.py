@@ -128,3 +128,37 @@ def test_teacache_skip_reuses_residual(params):
     # same x and same residual => identical output (cache exactness)
     np.testing.assert_allclose(np.asarray(full), np.asarray(skipped),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fused_teacache_matches_stepwise():
+    """A precomputed TeaCache schedule riding the fused scan (traced
+    skip + carried residual) must match the stepwise TeaCache loop."""
+    import jax.numpy as jnp
+    from videocof_tpu.configs import T5_TINY, VAE_TINY, WAN_TINY
+    from videocof_tpu.models import t5_encoder, wan_vae
+    from videocof_tpu.pipeline import WanPipeline
+
+    vcfg = VAE_TINY
+    dcfg = WAN_TINY.replace(in_dim=vcfg.z_dim, out_dim=vcfg.z_dim,
+                            text_dim=T5_TINY.dim)
+    pipe = WanPipeline(
+        wan_dit.init_wan_dit(jax.random.PRNGKey(0), dcfg), dcfg,
+        wan_vae.init_wan_vae(jax.random.PRNGKey(1), vcfg), vcfg,
+        t5_encoder.init_t5_encoder(jax.random.PRNGKey(2), T5_TINY), T5_TINY,
+        dtype=jnp.float32)
+    video = np.random.default_rng(0).uniform(-1, 1, (1, 3, 9, 32, 32)
+                                             ).astype(np.float32)
+    # huge threshold + start=2 -> steps [F, F, T, T]: both branches exercised
+    kw = dict(source_frames=9, reasoning_frames=4, num_inference_steps=4,
+              seed=9, enable_teacache=True, teacache_threshold=1e9,
+              teacache_skip_start_steps=2)
+    stepwise = pipe(video, "remove the bird", fused_sampling=False, **kw)
+    fused = pipe(video, "remove the bird", fused_sampling=True, **kw)
+    np.testing.assert_allclose(fused.videos, stepwise.videos,
+                               atol=(1.0 / 255.0) + 1e-6)
+    # and the schedule actually skipped: fused differs from the no-teacache
+    # trajectory
+    plain = pipe(video, "remove the bird", fused_sampling=True,
+                 source_frames=9, reasoning_frames=4, num_inference_steps=4,
+                 seed=9)
+    assert np.abs(fused.videos - plain.videos).max() > 1e-4

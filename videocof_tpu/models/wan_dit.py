@@ -348,7 +348,7 @@ def wan_dit_forward_with_residual(
     attn_backend: Optional[str] = None,
     remat_blocks: bool = False,
     residual: Optional[jax.Array] = None,
-    skip_blocks: bool = False,
+    skip_blocks=False,  # bool (static) or jax scalar (traced, needs residual)
     clip_fea: Optional[jax.Array] = None,   # [B, 257, 1280] i2v CLIP feats
     y: Optional[jax.Array] = None,          # i2v conditioning, channel-concat
     y_camera: Optional[jax.Array] = None,   # [B, D, F, H', W'] camera feats
@@ -357,7 +357,10 @@ def wan_dit_forward_with_residual(
     """Forward that exposes the TeaCache token-stream residual: returns
     (velocity, residual). With ``skip_blocks=True`` the block stack is
     bypassed and ``residual`` (from a previous compute step) is re-added to
-    the embedded stream (`wan_transformer3d.py:981-1031`).
+    the embedded stream (`wan_transformer3d.py:981-1031`). ``skip_blocks``
+    may also be a traced boolean scalar (then ``residual`` must be provided
+    every call): the choice becomes an in-graph `lax.cond`, which is what
+    lets a precomputed TeaCache schedule ride a single fused scan.
 
     Params may carry fp8 weight storage (`utils/fp8.quantize_params_fp8`):
     matmul kernels arrive as {"fp8", "scale"} dicts and are dequantized
@@ -455,24 +458,40 @@ def wan_dit_forward_with_residual(
     rope_cs = (rope_cos, rope_sin)
     stream0 = hseq.astype(jnp.dtype(cfg.stream_dtype))
 
-    if skip_blocks:
-        assert residual is not None, "skip_blocks needs a cached residual"
-        stream = stream0 + residual
-        residual_out = residual
+    def block_fn(bp, carry):
+        return wan_block_apply(bp, cfg, carry, e0, ctx, rope_cs,
+                               seq_mask=seq_mask,
+                               context_mask=context_mask,
+                               attn_backend=attn_backend)
+
+    body_fn = jax.checkpoint(block_fn) if remat_blocks else block_fn
+
+    def body(carry, bp):
+        return body_fn(bp, carry), None
+
+    if isinstance(skip_blocks, bool):
+        if skip_blocks:
+            assert residual is not None, "skip_blocks needs a cached residual"
+            stream = stream0 + residual
+            residual_out = residual
+        else:
+            stream, _ = jax.lax.scan(body, stream0, params["blocks"])
+            residual_out = stream - stream0
     else:
-        def block_fn(bp, carry):
-            return wan_block_apply(bp, cfg, carry, e0, ctx, rope_cs,
-                                   seq_mask=seq_mask,
-                                   context_mask=context_mask,
-                                   attn_backend=attn_backend)
+        # traced skip flag (the fused TeaCache trajectory: the skip plan is
+        # data-independent, so the whole schedule rides one compiled scan
+        # with a per-step cond — only the taken branch executes on TPU)
+        assert residual is not None, "traced skip needs a residual operand"
 
-        body_fn = jax.checkpoint(block_fn) if remat_blocks else block_fn
+        def run_blocks(_):
+            stream, _ = jax.lax.scan(body, stream0, params["blocks"])
+            return stream, stream - stream0
 
-        def body(carry, bp):
-            return body_fn(bp, carry), None
+        def use_cached(_):
+            return stream0 + residual, residual
 
-        stream, _ = jax.lax.scan(body, stream0, params["blocks"])
-        residual_out = stream - stream0
+        stream, residual_out = jax.lax.cond(skip_blocks, use_cached,
+                                            run_blocks, None)
 
     # head with 2-way modulation (`wan_transformer3d.py:518-548`; per-token
     # branch at `:541-543`)

@@ -8,10 +8,14 @@ corrector becomes a `where`-blend (its coefficients are zero-passing when
 unused), so one scan body serves every step with no retraces and XLA overlaps
 everything.
 
-Covers the UniPC/Euler/DPM++ paths with or without CFG; TeaCache and cfg-skip
-change shapes mid-trajectory and stay on the stepwise path (note the
-reference's 4-step fast config never actually skips: num_skip_start_steps=5
->= 4 steps — `fast_infer.py:158-160`).
+Covers the UniPC/Euler/DPM++ paths with or without CFG. A precomputed
+TeaCache schedule (`skip_mask`) also fuses: the skip decision is
+data-independent (it depends only on the timestep schedule — see
+models/teacache.py), so the scan body carries the token-stream residual and
+`lax.cond`s between the block stack and the cached-residual path; only the
+taken branch executes on TPU. cfg-skip changes shapes mid-trajectory and
+stays on the stepwise path. (Note the reference's 4-step fast config never
+actually skips: num_skip_start_steps=5 >= 4 steps — `fast_infer.py:158-160`.)
 """
 
 from __future__ import annotations
@@ -26,36 +30,16 @@ from ..configs import WanDiTConfig
 from ..models import wan_dit
 
 
-def _sampler_defs(sampler_name: str, dit_cfg: WanDiTConfig, do_cfg: bool,
-                  condition_count: int, dtype, attn_backend, sp):
-    """(body, init_carry, final) for one sampler. ``body`` takes the DiT
-    params and the guidance scale as arguments so multi-phase (MoE expert)
-    trajectories can swap them between scans while threading one carry."""
-
-    def dit_v(dit_params, guidance_scale, latents, t_scalar, context, cos,
-              sin):
-        if do_cfg:
-            x = jnp.concatenate([latents, latents], axis=0)
-            if sp is not None and sp.cfg_parallel:
-                x = sp.shard_batch(x)
-                context = sp.shard_batch(context)
-        else:
-            x = latents
-        t = jnp.full((x.shape[0],), t_scalar, jnp.float32)
-        v = wan_dit.wan_dit_forward(
-            dit_params, dit_cfg, x.astype(dtype), t, context, cos, sin,
-            attn_backend=attn_backend, sp=sp)
-        if do_cfg:
-            vu, vc = jnp.split(v, 2, axis=0)
-            v = vu + guidance_scale * (vc - vu)
-        return v.at[:, :, :condition_count].set(0.0)
+def _sampler_defs(sampler_name: str):
+    """(latents_of, update, init_carry, final) for one sampler — pure update
+    rules over the sampler carry; the scan body owns the DiT call."""
 
     if sampler_name == "euler":
-        def body(carry, x_t, *, dit_params, gscale, context, cos, sin):
-            latents = carry
-            v = dit_v(dit_params, gscale, latents, x_t["timestep"], context,
-                      cos, sin)
-            return latents + x_t["dt"] * v, None
+        def latents_of(carry):
+            return carry
+
+        def update(carry, x_t, v):
+            return carry + x_t["dt"] * v
 
         def init_carry(latents):
             return latents
@@ -64,10 +48,11 @@ def _sampler_defs(sampler_name: str, dit_cfg: WanDiTConfig, do_cfg: bool,
             return carry
 
     elif sampler_name == "unipc":
-        def body(carry, x_t, *, dit_params, gscale, context, cos, sin):
+        def latents_of(carry):
+            return carry[0]
+
+        def update(carry, x_t, v):
             latents, m0, m1, last = carry
-            v = dit_v(dit_params, gscale, latents, x_t["timestep"], context,
-                      cos, sin)
             model_t = latents - x_t["sigma"] * v
             corrected = (x_t["c_ratio"] * last + x_t["c_m0"] * m0
                          + x_t["c_d1t"] * (model_t - m0)
@@ -78,7 +63,7 @@ def _sampler_defs(sampler_name: str, dit_cfg: WanDiTConfig, do_cfg: bool,
                    + jnp.where(x_t["p_order2"],
                                x_t["p_d1"] * ((m1n - m0n) * x_t["p_r0inv"]),
                                0.0))
-            return (nxt, m0n, m1n, sample), None
+            return (nxt, m0n, m1n, sample)
 
         def init_carry(latents):
             z = jnp.zeros_like(latents)
@@ -88,16 +73,17 @@ def _sampler_defs(sampler_name: str, dit_cfg: WanDiTConfig, do_cfg: bool,
             return carry[0]
 
     elif sampler_name == "dpm++":
-        def body(carry, x_t, *, dit_params, gscale, context, cos, sin):
+        def latents_of(carry):
+            return carry[0]
+
+        def update(carry, x_t, v):
             latents, m_prev = carry
-            v = dit_v(dit_params, gscale, latents, x_t["timestep"], context,
-                      cos, sin)
             m0 = latents - x_t["sigma"] * v
             nxt = (x_t["ratio"] * latents + x_t["c_m0"] * m0
                    + jnp.where(x_t["order2"],
                                x_t["c_d1"] * ((m0 - m_prev) * x_t["r0inv"]),
                                0.0))
-            return (nxt, m0), None
+            return (nxt, m0)
 
         def init_carry(latents):
             return (latents, jnp.zeros_like(latents))
@@ -107,28 +93,84 @@ def _sampler_defs(sampler_name: str, dit_cfg: WanDiTConfig, do_cfg: bool,
     else:
         raise ValueError(f"fused sampler: unsupported {sampler_name!r}")
 
-    return body, init_carry, final
+    return latents_of, update, init_carry, final
+
+
+def _make_dit_v(dit_cfg: WanDiTConfig, do_cfg: bool, condition_count: int,
+                dtype, attn_backend, sp):
+    """(dit_params, gscale, latents, t, context, cos, sin, residual, skip)
+    -> (frozen-source velocity, residual). ``residual``/``skip`` may be
+    None (no TeaCache threading) or a carried array + traced flag."""
+
+    def dit_v(dit_params, gscale, latents, t_scalar, context, cos, sin,
+              residual=None, skip=None):
+        if do_cfg:
+            x = jnp.concatenate([latents, latents], axis=0)
+            if sp is not None and sp.cfg_parallel:
+                x = sp.shard_batch(x)
+                context = sp.shard_batch(context)
+        else:
+            x = latents
+        t = jnp.full((x.shape[0],), t_scalar, jnp.float32)
+        v, res = wan_dit.wan_dit_forward_with_residual(
+            dit_params, dit_cfg, x.astype(dtype), t, context, cos, sin,
+            attn_backend=attn_backend, sp=sp, residual=residual,
+            skip_blocks=(False if skip is None else skip))
+        if do_cfg:
+            vu, vc = jnp.split(v, 2, axis=0)
+            v = vu + gscale * (vc - vu)
+        return v.at[:, :, :condition_count].set(0.0), res
+
+    return dit_v
 
 
 def make_fused_sample_fn(dit_cfg: WanDiTConfig, sampler_name: str,
                          plan: dict, do_cfg: bool, guidance_scale: float,
                          condition_count: int, dtype,
-                         attn_backend=None, sp=None):
+                         attn_backend=None, sp=None,
+                         skip_mask=None):
     """Returns jitted fn(dit_params, latents, context, rope_cos, rope_sin)
-    -> final latents. ``plan`` is scheduler.plan_arrays()."""
+    -> final latents. ``plan`` is scheduler.plan_arrays().
+
+    ``skip_mask`` (optional bool array, one per step, first False): a
+    precomputed TeaCache schedule; skip steps replay the carried block-stack
+    residual instead of running the blocks (in-graph `lax.cond`)."""
     xs = {k: jnp.asarray(v) for k, v in plan.items()}
-    body, init_carry, final = _sampler_defs(
-        sampler_name, dit_cfg, do_cfg, condition_count, dtype, attn_backend,
-        sp)
+    thread_residual = skip_mask is not None
+    if thread_residual:
+        skip_mask = np.asarray(skip_mask, bool)
+        if skip_mask[0]:
+            raise ValueError("skip_mask[0] must be False: the first step "
+                             "has no residual to replay")
+        xs["skip"] = jnp.asarray(skip_mask)
+    latents_of, update, init_carry, final = _sampler_defs(sampler_name)
+    dit_v = _make_dit_v(dit_cfg, do_cfg, condition_count, dtype,
+                        attn_backend, sp)
 
     @jax.jit
     def run(dit_params, latents, context, rope_cos, rope_sin):
-        def sbody(carry, x_t):
-            return body(carry, x_t, dit_params=dit_params,
-                        gscale=guidance_scale, context=context,
-                        cos=rope_cos, sin=rope_sin)
+        if thread_residual:
+            res_abs = jax.eval_shape(
+                lambda l: dit_v(dit_params, guidance_scale, l, 999.0,
+                                context, rope_cos, rope_sin)[1], latents)
+            res0 = jnp.zeros(res_abs.shape, res_abs.dtype)
 
-        carry, _ = jax.lax.scan(sbody, init_carry(latents), xs)
+            def sbody(carry, x_t):
+                samp, res = carry
+                v, res = dit_v(dit_params, guidance_scale, latents_of(samp),
+                               x_t["timestep"], context, rope_cos, rope_sin,
+                               residual=res, skip=x_t["skip"])
+                return (update(samp, x_t, v), res), None
+
+            (carry, _), _ = jax.lax.scan(sbody, (init_carry(latents), res0),
+                                         xs)
+        else:
+            def sbody(carry, x_t):
+                v, _ = dit_v(dit_params, guidance_scale, latents_of(carry),
+                             x_t["timestep"], context, rope_cos, rope_sin)
+                return update(carry, x_t, v), None
+
+            carry, _ = jax.lax.scan(sbody, init_carry(latents), xs)
         return final(carry)
 
     return run
@@ -155,16 +197,17 @@ def make_fused_sample_fn_moe(dit_cfg: WanDiTConfig, sampler_name: str,
         raise ValueError(f"split_idx {split_idx} outside [0, {n_steps}]")
     xs_hi = {k: jnp.asarray(v[:split_idx]) for k, v in plan.items()}
     xs_lo = {k: jnp.asarray(v[split_idx:]) for k, v in plan.items()}
-    body, init_carry, final = _sampler_defs(
-        sampler_name, dit_cfg, do_cfg, condition_count, dtype, attn_backend,
-        sp)
+    latents_of, update, init_carry, final = _sampler_defs(sampler_name)
+    dit_v = _make_dit_v(dit_cfg, do_cfg, condition_count, dtype,
+                        attn_backend, sp)
 
     @jax.jit
     def run(dit_params, dit_params_2, latents, context, rope_cos, rope_sin):
         def phase(carry, xs, params, gscale):
             def sbody(c, x_t):
-                return body(c, x_t, dit_params=params, gscale=gscale,
-                            context=context, cos=rope_cos, sin=rope_sin)
+                v, _ = dit_v(params, gscale, latents_of(c), x_t["timestep"],
+                             context, rope_cos, rope_sin)
+                return update(c, x_t, v), None
             carry, _ = jax.lax.scan(sbody, carry, xs)
             return carry
 

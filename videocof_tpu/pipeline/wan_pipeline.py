@@ -299,7 +299,8 @@ class WanPipeline:
                             jax.device_put(rs, fmts[4]))
 
         fkey = ("fused", sampler, num_inference_steps, float(shift),
-                do_cfg, float(guidance_scale), cond, self.attn_backend)
+                do_cfg, float(guidance_scale), cond, None,
+                self.attn_backend)
         self._jit_cache[fkey] = runner
         return fmts[0]
 
@@ -462,14 +463,25 @@ class WanPipeline:
         sched.set_timesteps(num_inference_steps, shift=shift)
         state = sched.init_state(latents)
 
-        # ---- fused path: the whole trajectory as one compiled scan (default
-        # whenever nothing changes shapes mid-run)
+        # ---- fused path: the whole trajectory as one compiled scan.
+        # Default whenever nothing changes shapes mid-run; a TeaCache
+        # schedule ALSO fuses (pass fused_sampling=True) since the skip plan
+        # is data-independent — the scan carries the residual and conds per
+        # step. cfg-skip changes shapes mid-run: stepwise only.
         if fused_sampling is None:
             fused_sampling = (not enable_teacache and cfg_skip_ratio == 0.0)
-        if fused_sampling and not enable_teacache and cfg_skip_ratio == 0.0:
+        if fused_sampling and cfg_skip_ratio == 0.0:
+            skip_mask = None
+            if enable_teacache:
+                from ..models import teacache as tcache
+                coeffs = (teacache_coefficients or
+                          tcache.TEACACHE_COEFFICIENTS["wan2.1-t2v-14b"])
+                skip_mask = tuple(tcache.plan_teacache_skips(
+                    self.dit_params, self.dit_cfg, sched.timesteps, coeffs,
+                    teacache_threshold, teacache_skip_start_steps))
             fkey = ("fused", sampler, num_inference_steps, float(shift),
                     do_cfg, float(guidance_scale), condition_count,
-                    self.attn_backend)
+                    skip_mask, self.attn_backend)
             if fkey not in self._jit_cache:
                 from .fused_sampler import make_fused_sample_fn
                 sp = getattr(self, "sp_ctx", None)
@@ -479,7 +491,8 @@ class WanPipeline:
                 self._jit_cache[fkey] = make_fused_sample_fn(
                     self.dit_cfg, sampler, sched.plan_arrays(), do_cfg,
                     guidance_scale, condition_count, self.dtype,
-                    attn_backend=self.attn_backend, sp=sp)
+                    attn_backend=self.attn_backend, sp=sp,
+                    skip_mask=skip_mask)
             latents = self._jit_cache[fkey](self.dit_params, latents,
                                             context, cos, sin)
             _tick("denoise(fused)", latents)
