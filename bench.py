@@ -23,7 +23,7 @@ Variants: BENCH_STEPS=50 BENCH_CFG=1  -> the reference standard path
           BENCH_TEACACHE=1            -> TeaCache on (the reference 50-step
                                          CLI default: threshold 0.10, skip
                                          first 5 steps)
-          BENCH_4X=1                  -> 132-frame (4x) length extrapolation
+          BENCH_4X=1                  -> 133-frame (4x) length extrapolation
           BENCH_SMALL=1               -> CPU smoke geometry
 """
 
@@ -57,7 +57,8 @@ def main():
     guidance = 5.0 if do_cfg else 1.0
     teacache = os.environ.get("BENCH_TEACACHE") == "1"
     if os.environ.get("BENCH_4X") == "1":
-        source_frames = 132  # 4x the 33-frame training length
+        # 4x the 33-frame training length; the causal VAE needs T = 1 mod 4
+        source_frames = 133
 
     # bf16 residual stream (the reference's autocast blocks keep x bf16 too;
     # closeness-tested vs fp32) + kernel-aligned token padding: both cut HBM
@@ -238,9 +239,9 @@ def main():
 
     name = f"sec_per_video_{steps}step" + ("_cfg" if do_cfg else "")
     name += ("_teacache" if teacache else "")
-    name += "_480p_1.3b" + ("_4x" if source_frames == 132 else "")
+    name += "_480p_1.3b" + ("_4x" if source_frames == 133 else "")
     print(json.dumps({
-        "metric": name if (do_cfg or steps != 4 or source_frames == 132
+        "metric": name if (do_cfg or steps != 4 or source_frames == 133
                            or teacache)
         else "sec_per_video_4step_480p_1.3b",
         "value": round(value, 3),

@@ -55,3 +55,19 @@ def test_uint8_input_matches_float(pipe):
     a = pipe(f32, "remove the box", **kw)
     b = pipe(u8, "remove the box", **kw)
     np.testing.assert_allclose(a.videos, b.videos, atol=2e-2)
+
+
+def test_fused_cfg_skip_matches_stepwise(pipe, video):
+    """cfg-skip fuses as a static two-phase split (CFG steps then cond-only
+    steps); it must match the stepwise cfg-skip loop."""
+    kw = dict(source_frames=9, reasoning_frames=4, num_inference_steps=4,
+              guidance_scale=4.0, negative_prompt="blurry", seed=6,
+              cfg_skip_ratio=0.5)  # steps 0-1 CFG, steps 2-3 cond-only
+    a = pipe(video, "add a hat", fused_sampling=False, **kw)
+    b = pipe(video, "add a hat", fused_sampling=True, **kw)
+    np.testing.assert_allclose(b.videos, a.videos, rtol=2e-3, atol=5e-3)
+    # and cfg-skip genuinely changes the trajectory vs full CFG
+    full = pipe(video, "add a hat", fused_sampling=True,
+                source_frames=9, reasoning_frames=4, num_inference_steps=4,
+                guidance_scale=4.0, negative_prompt="blurry", seed=6)
+    assert np.abs(b.videos - full.videos).max() > 1e-4

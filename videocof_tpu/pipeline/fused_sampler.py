@@ -128,16 +128,29 @@ def make_fused_sample_fn(dit_cfg: WanDiTConfig, sampler_name: str,
                          plan: dict, do_cfg: bool, guidance_scale: float,
                          condition_count: int, dtype,
                          attn_backend=None, sp=None,
-                         skip_mask=None):
+                         skip_mask=None, cfg_off_after: Optional[int] = None):
     """Returns jitted fn(dit_params, latents, context, rope_cos, rope_sin)
     -> final latents. ``plan`` is scheduler.plan_arrays().
 
     ``skip_mask`` (optional bool array, one per step, first False): a
     precomputed TeaCache schedule; skip steps replay the carried block-stack
-    residual instead of running the blocks (in-graph `lax.cond`)."""
+    residual instead of running the blocks (in-graph `lax.cond`).
+
+    ``cfg_off_after`` (optional, CFG runs only): cfg-skip — steps at index
+    >= this run WITHOUT the uncond branch (cond half of the context, single
+    batch), the reference's `@cfg_skip` (`utils/cfg_optimization.py:7-37`).
+    The sampler carry keeps its shape across the split, so both phases ride
+    the same compiled program as two scans."""
     xs = {k: jnp.asarray(v) for k, v in plan.items()}
+    n_steps = len(next(iter(plan.values())))
+    split = n_steps
+    if do_cfg and cfg_off_after is not None:
+        split = max(0, min(int(cfg_off_after), n_steps))
     thread_residual = skip_mask is not None
     if thread_residual:
+        if split < n_steps:
+            raise ValueError("TeaCache + cfg-skip: residual shapes differ "
+                             "across the cfg split; use the stepwise path")
         skip_mask = np.asarray(skip_mask, bool)
         if skip_mask[0]:
             raise ValueError("skip_mask[0] must be False: the first step "
@@ -146,6 +159,8 @@ def make_fused_sample_fn(dit_cfg: WanDiTConfig, sampler_name: str,
     latents_of, update, init_carry, final = _sampler_defs(sampler_name)
     dit_v = _make_dit_v(dit_cfg, do_cfg, condition_count, dtype,
                         attn_backend, sp)
+    dit_v_plain = _make_dit_v(dit_cfg, False, condition_count, dtype,
+                              attn_backend, sp)
 
     @jax.jit
     def run(dit_params, latents, context, rope_cos, rope_sin):
@@ -164,13 +179,26 @@ def make_fused_sample_fn(dit_cfg: WanDiTConfig, sampler_name: str,
 
             (carry, _), _ = jax.lax.scan(sbody, (init_carry(latents), res0),
                                          xs)
-        else:
-            def sbody(carry, x_t):
-                v, _ = dit_v(dit_params, guidance_scale, latents_of(carry),
-                             x_t["timestep"], context, rope_cos, rope_sin)
-                return update(carry, x_t, v), None
+            return final(carry)
 
-            carry, _ = jax.lax.scan(sbody, init_carry(latents), xs)
+        def phase(carry, pxs, dv, ctx):
+            def sbody(c, x_t):
+                v, _ = dv(dit_params, guidance_scale, latents_of(c),
+                          x_t["timestep"], ctx, rope_cos, rope_sin)
+                return update(c, x_t, v), None
+            carry, _ = jax.lax.scan(sbody, carry, pxs)
+            return carry
+
+        carry = init_carry(latents)
+        if split == n_steps:
+            carry = phase(carry, xs, dit_v, context)
+        else:
+            xs_a = {k: v[:split] for k, v in xs.items()}
+            xs_b = {k: v[split:] for k, v in xs.items()}
+            ctx_cond = context[context.shape[0] // 2:]  # cond rows
+            if split > 0:
+                carry = phase(carry, xs_a, dit_v, context)
+            carry = phase(carry, xs_b, dit_v_plain, ctx_cond)
         return final(carry)
 
     return run

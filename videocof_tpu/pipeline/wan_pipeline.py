@@ -299,7 +299,7 @@ class WanPipeline:
                             jax.device_put(rs, fmts[4]))
 
         fkey = ("fused", sampler, num_inference_steps, float(shift),
-                do_cfg, float(guidance_scale), cond, None,
+                do_cfg, float(guidance_scale), cond, None, None,
                 self.attn_backend)
         self._jit_cache[fkey] = runner
         return fmts[0]
@@ -464,13 +464,18 @@ class WanPipeline:
         state = sched.init_state(latents)
 
         # ---- fused path: the whole trajectory as one compiled scan.
-        # Default whenever nothing changes shapes mid-run; a TeaCache
-        # schedule ALSO fuses (pass fused_sampling=True) since the skip plan
-        # is data-independent — the scan carries the residual and conds per
-        # step. cfg-skip changes shapes mid-run: stepwise only.
+        # Default for everything except TeaCache+cfg-skip COMBINED (their
+        # residual shapes disagree across the cfg split): a TeaCache
+        # schedule fuses via a carried residual + per-step cond (the plan is
+        # data-independent), and cfg-skip fuses as a static two-phase split
+        # (CFG steps, then cond-only steps — carry shape is unchanged).
+        cfg_off = None
+        if do_cfg and cfg_skip_ratio > 0.0:
+            cfg_off = num_inference_steps - int(
+                round(num_inference_steps * cfg_skip_ratio))
         if fused_sampling is None:
-            fused_sampling = (not enable_teacache and cfg_skip_ratio == 0.0)
-        if fused_sampling and cfg_skip_ratio == 0.0:
+            fused_sampling = not (enable_teacache and cfg_off is not None)
+        if fused_sampling and not (enable_teacache and cfg_off is not None):
             skip_mask = None
             if enable_teacache:
                 from ..models import teacache as tcache
@@ -481,7 +486,7 @@ class WanPipeline:
                     teacache_threshold, teacache_skip_start_steps))
             fkey = ("fused", sampler, num_inference_steps, float(shift),
                     do_cfg, float(guidance_scale), condition_count,
-                    skip_mask, self.attn_backend)
+                    skip_mask, cfg_off, self.attn_backend)
             if fkey not in self._jit_cache:
                 from .fused_sampler import make_fused_sample_fn
                 sp = getattr(self, "sp_ctx", None)
@@ -492,7 +497,7 @@ class WanPipeline:
                     self.dit_cfg, sampler, sched.plan_arrays(), do_cfg,
                     guidance_scale, condition_count, self.dtype,
                     attn_backend=self.attn_backend, sp=sp,
-                    skip_mask=skip_mask)
+                    skip_mask=skip_mask, cfg_off_after=cfg_off)
             latents = self._jit_cache[fkey](self.dit_params, latents,
                                             context, cos, sin)
             _tick("denoise(fused)", latents)
