@@ -97,10 +97,15 @@ def main():
     embeds = jnp.zeros((1, dit_cfg.text_len, dit_cfg.text_dim), jnp.bfloat16)
 
     # the remote worker kills single XLA programs that run for many minutes;
-    # the 50-step fused scan (~5 min in ONE program) trips it — run long
-    # trajectories stepwise (one dispatch per step). BENCH_FUSED overrides.
+    # the 50-step fused scan (~5 min in ONE program) trips it, and so does
+    # the 4-step fused scan at the 4x geometry (107k tokens, ~13x the
+    # attention FLOPs) — run long/large trajectories stepwise (one dispatch
+    # per step). BENCH_FUSED overrides.
+    est_tokens = (((source_frames - 1) // 4 + 1) * 2 + 1) * \
+        (height // 16) * (width // 16)
     fused = os.environ.get("BENCH_FUSED")
-    fused = (fused == "1") if fused else (steps * (2 if do_cfg else 1) <= 16)
+    fused = ((fused == "1") if fused else
+             (steps * (2 if do_cfg else 1) <= 16 and est_tokens <= 40_000))
 
     def run():
         return pipe(video, prompt="bench", source_frames=source_frames,
