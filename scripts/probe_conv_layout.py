@@ -44,16 +44,20 @@ def main():
         ("stage01_qres_384", 384, 384, ((T + 1) // 2, 120, 208)),
     ]
 
-    def bench(fn, *xs, reps=3):
-        y = fn(*xs)
-        jax.block_until_ready(y)  # compile + warm
+    INNER = 10
+
+    def bench(fn, *xs, reps=2):
+        # One whole program scanning the conv INNER times -> one scalar
+        # fetch as the barrier: block_until_ready on this tunnel neither
+        # blocks nor surfaces remote errors (CLAUDE.md), and per-dispatch
+        # timing is async garbage.
+        float(fn(*xs))  # compile + warm
         ts = []
         for _ in range(reps):
             t0 = time.time()
-            y = fn(*xs)
-            jax.block_until_ready(y)
+            float(fn(*xs))
             ts.append(time.time() - t0)
-        return min(ts)
+        return min(ts) / INNER
 
     report = {}
     for label, cin, cout, (t, h, w) in cases:
@@ -69,9 +73,13 @@ def main():
 
         @jax.jit
         def conv_ncdhw(x, kern):
-            return jax.lax.conv_general_dilated(
-                x, kern, (1, 1, 1), ((2, 0), (1, 1), (1, 1)),
-                dimension_numbers=("NCDHW", "OIDHW", "NCDHW"))
+            def body(c, _):
+                y = jax.lax.conv_general_dilated(
+                    c, kern, (1, 1, 1), ((2, 0), (1, 1), (1, 1)),
+                    dimension_numbers=("NCDHW", "OIDHW", "NCDHW"))
+                return y, jnp.sum(y, dtype=jnp.float32)
+            _, sums = jax.lax.scan(body, x, None, length=INNER)
+            return jnp.sum(sums)
 
         dt = bench(conv_ncdhw, x, kern)
         row["ncdhw_s"] = round(dt, 4)
@@ -86,9 +94,13 @@ def main():
 
         @jax.jit
         def conv_ndhwc(x, kern):
-            return jax.lax.conv_general_dilated(
-                x, kern, (1, 1, 1), ((2, 0), (1, 1), (1, 1)),
-                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            def body(c, _):
+                y = jax.lax.conv_general_dilated(
+                    c, kern, (1, 1, 1), ((2, 0), (1, 1), (1, 1)),
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+                return y, jnp.sum(y, dtype=jnp.float32)
+            _, sums = jax.lax.scan(body, x, None, length=INNER)
+            return jnp.sum(sums)
 
         dt = bench(conv_ndhwc, xl, kernl)
         row["ndhwc_s"] = round(dt, 4)

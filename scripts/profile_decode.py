@@ -72,12 +72,18 @@ def main():
         row = {}
         try:
             # compile + warm both executables
-            outs = list(wan_vae_streaming.decode_streaming_chunks(
-                vae_params, vae_cfg, z, jit_cache=jit_cache,
-                chunk_latent=chunk))
-            jax.block_until_ready(outs)
-            del outs
-            # timed pass: per-dispatch walls
+            for o in wan_vae_streaming.decode_streaming_chunks(
+                    vae_params, vae_cfg, z, jit_cache=jit_cache,
+                    chunk_latent=chunk):
+                float(jnp.sum(o, dtype=jnp.float32))
+            # timed pass: per-dispatch walls. block_until_ready is NOT a
+            # reliable barrier on the axon tunnel (reports ~0 for real work)
+            # — force a scalar fetch per chunk (~50 ms round-trip, reported
+            # separately so it can be subtracted).
+            t0 = time.time()
+            float(jnp.sum(z[:1, :1, :1, :1, :1], dtype=jnp.float32))
+            rtt = time.time() - t0
+            row["fetch_rtt_s"] = round(rtt, 3)
             t_disp = []
             gen = wan_vae_streaming.decode_streaming_chunks(
                 vae_params, vae_cfg, z, jit_cache=jit_cache,
@@ -85,7 +91,7 @@ def main():
             t0 = time.time()
             chunks_out = []
             for o in gen:
-                jax.block_until_ready(o)
+                float(jnp.sum(o, dtype=jnp.float32))
                 t_disp.append(time.time() - t0)
                 chunks_out.append(o)
                 t0 = time.time()
@@ -95,7 +101,7 @@ def main():
                 jnp.round((jnp.concatenate(xs, axis=2).astype(jnp.float32)
                            * 127.5 + 127.5)), 0, 255).astype(jnp.uint8)
             )(chunks_out)
-            jax.block_until_ready(u8)
+            float(jnp.sum(u8[:1, :1, :1, :1, :1], dtype=jnp.float32))
             row["tail_jit_s"] = round(time.time() - t0, 3)
             t0 = time.time()
             host = np.asarray(u8)

@@ -91,6 +91,34 @@ def test_jit_cache_reuse(pipe, video):
     assert len(pipe._jit_cache) == n
 
 
+def test_decode_outputs_fused_matches_generator(pipe, video, monkeypatch):
+    """The opt-in one-program fused decode (`_decode_outputs_fused`,
+    VIDEOCOF_DECODE_FUSED=1) must match the default per-chunk generator
+    path for both CoT (ground+edit) and non-CoT outputs. Same math, but
+    XLA fuses the scanned vs unrolled programs differently, so allow one
+    uint8 quantization step at rounding boundaries (like the
+    streaming-vs-whole test below)."""
+    step = 1.0 / 255.0 + 1e-6
+    monkeypatch.setenv("VIDEOCOF_DECODE_FUSED", "1")
+    a = pipe(video, "remove the dog", source_frames=9, reasoning_frames=4,
+             num_inference_steps=2, seed=3)
+    monkeypatch.setenv("VIDEOCOF_DECODE_FUSED", "0")
+    b = pipe(video, "remove the dog", source_frames=9, reasoning_frames=4,
+             num_inference_steps=2, seed=3)
+    assert a.videos.shape == b.videos.shape
+    assert np.abs(a.videos - b.videos).max() <= step
+    assert np.abs(a.ground_videos - b.ground_videos).max() <= step
+    assert np.abs(a.edit_videos - b.edit_videos).max() <= step
+    monkeypatch.setenv("VIDEOCOF_DECODE_FUSED", "1")
+    c = pipe(video, "remove the dog", source_frames=9, reasoning_frames=4,
+             num_inference_steps=2, seed=3, cot=False)
+    monkeypatch.setenv("VIDEOCOF_DECODE_FUSED", "0")
+    d = pipe(video, "remove the dog", source_frames=9, reasoning_frames=4,
+             num_inference_steps=2, seed=3, cot=False)
+    assert np.abs(c.videos - d.videos).max() <= step
+    assert c.ground_videos is None
+
+
 def test_decode_to_numpy01_streaming_matches_whole(pipe, monkeypatch):
     """The overlapped per-chunk uint8 readback path (VIDEOCOF_DECODE_OVERLAP)
     must produce the same pixels as decoding the whole latent in one pass."""

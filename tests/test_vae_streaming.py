@@ -52,6 +52,32 @@ def test_decode_streaming_chunks_generator_matches(vae):
     np.testing.assert_allclose(np.asarray(cat), np.asarray(whole), atol=1e-6)
 
 
+@pytest.mark.parametrize("T,chunk", [(1, 2), (5, 2), (6, 2), (5, 3)])
+def test_fused_decode_matches_streaming_u8(vae, T, chunk):
+    """The one-program fused decode (init + scan + remainder + uint8) must
+    equal the generator path followed by the pipeline's uint8 conversion
+    EXACTLY — same chunking, same math, only fewer dispatches."""
+    z = jax.random.normal(jax.random.PRNGKey(11), (1, CFG.z_dim, T, 2, 2))
+    ref = wan_vae_streaming.decode_streaming(vae, CFG, z, chunk_latent=chunk)
+    ref_u8 = np.asarray(jnp.clip(
+        jnp.round(ref.astype(jnp.float32) * 127.5 + 127.5), 0, 255
+    ).astype(jnp.uint8))
+    fn = wan_vae_streaming.make_fused_decode_fn(CFG, T, chunk_latent=chunk)
+    got = np.asarray(jax.jit(fn)(vae, z))
+    assert got.dtype == np.uint8 and got.shape == ref_u8.shape
+    np.testing.assert_array_equal(got, ref_u8)
+
+
+def test_fused_decode_pixel_mode_matches_full(vae):
+    z = jax.random.normal(jax.random.PRNGKey(12), (1, CFG.z_dim, 5, 2, 2))
+    fn = wan_vae_streaming.make_fused_decode_fn(CFG, 5, chunk_latent=2,
+                                                to_uint8=False)
+    got = jax.jit(fn)(vae, z)
+    full = wan_vae.decode(vae, CFG, z)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(full),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_streaming_jit_cache_reused(vae):
     cache = {}
     z = jax.random.normal(jax.random.PRNGKey(3), (1, CFG.z_dim, 3, 2, 2))

@@ -560,7 +560,26 @@ class WanPipeline:
 
     def _decode_outputs(self, latents, cot: bool, condition_count: int,
                         ground_latent_count: int) -> WanPipelineOutput:
-        """Segment-wise decode (`pipeline_wan.py:757-786`)."""
+        """Segment-wise decode (`pipeline_wan.py:757-786`).
+
+        ``VIDEOCOF_DECODE_FUSED=1`` opts into the one-program-per-segment
+        scan decode (`wan_vae_streaming.make_fused_decode_fn`) with a single
+        combined uint8 fetch. In ISOLATION that path wins (A/B on v5e:
+        3.96 s vs 4.64 s for ground+edit at 480p), but through the axon
+        remote worker it LOSES in the full pipeline (19.5 s vs 16.8 s
+        e2e) — interleaving the DiT trajectory executable with the large
+        fused-decode executables penalizes every dispatch, where the
+        generator's small dec_init/dec_step programs do not. Default is
+        therefore the per-chunk generator path; revisit the default on
+        locally attached chips. (`VIDEOCOF_DECODE_OVERLAP=1` selects the
+        overlapped-readback generator variant.)
+        """
+        import os as _os
+        fused_ok = (_os.environ.get("VIDEOCOF_DECODE_FUSED", "0") == "1"
+                    and _os.environ.get("VIDEOCOF_DECODE_OVERLAP") != "1")
+        if fused_ok:
+            return self._decode_outputs_fused(latents, cot, condition_count,
+                                              ground_latent_count)
         dec = self.decode_to_numpy01
         if cot:
             g0, g1 = condition_count, condition_count + ground_latent_count
@@ -572,3 +591,42 @@ class WanPipeline:
                                      edit_videos=edit_video)
         edit_video = dec(latents[:, :, condition_count:])
         return WanPipelineOutput(videos=edit_video, edit_videos=edit_video)
+
+    def _decode_outputs_fused(self, latents, cot: bool, condition_count: int,
+                              ground_latent_count: int) -> WanPipelineOutput:
+        g0 = condition_count
+        g1 = condition_count + (ground_latent_count if cot else 0)
+        Tg = g1 - g0
+        Te = latents.shape[2] - g1
+        # One fused program PER SEGMENT (not one for both): keeps each
+        # program's peak footprint at a single streaming step, which matters
+        # when the DiT + trajectory executables are resident; the segments'
+        # uint8 outputs concat on device so the host still pays ONE fetch.
+        key = ("fused_dec", latents.shape, g0, g1, self.vae_decode_chunk)
+        if key not in self._jit_cache:
+            fn_e = wan_vae_streaming.make_fused_decode_fn(
+                self.vae_cfg, Te, chunk_latent=self.vae_decode_chunk)
+            fe = jax.jit(lambda p, lat: fn_e(p, lat[:, :, g1:].astype(
+                self.dtype)))
+            if Tg > 0:
+                fn_g = wan_vae_streaming.make_fused_decode_fn(
+                    self.vae_cfg, Tg, chunk_latent=self.vae_decode_chunk)
+                fg = jax.jit(lambda p, lat: fn_g(p, lat[:, :, g0:g1].astype(
+                    self.dtype)))
+                cat = jax.jit(lambda g, e: jnp.concatenate([g, e], axis=2))
+                self._jit_cache[key] = (
+                    lambda p, lat: cat(fg(p, lat), fe(p, lat)))
+            else:
+                self._jit_cache[key] = fe
+        u8 = self._jit_cache[key](self.vae_params, latents)
+        host = np.asarray(u8)  # ONE uint8 fetch for the whole output
+        video01 = host.astype(np.float32) / 255.0
+        tc = self.vae_cfg.temporal_compression_ratio
+        if Tg > 0:
+            ground_frames = 1 + (Tg - 1) * tc
+            ground_video = video01[:, :, :ground_frames]
+            edit_video = video01[:, :, ground_frames:]
+            return WanPipelineOutput(videos=video01,
+                                     ground_videos=ground_video,
+                                     edit_videos=edit_video)
+        return WanPipelineOutput(videos=video01, edit_videos=video01)
