@@ -194,6 +194,8 @@ def main():
     ctx_run = jnp.concatenate([embeds, embeds], 0) if do_cfg else embeds
     fkey = next((k for k in pipe._jit_cache if isinstance(k, tuple)
                  and k and k[0] == "fused"), None)
+    skey = next((k for k in pipe._jit_cache if isinstance(k, tuple)
+                 and k and k[0] == "seg"), None)
     if fkey is not None:
         fused_fn = pipe._jit_cache[fkey]
 
@@ -202,6 +204,21 @@ def main():
                            jnp.asarray(cos), jnp.asarray(sin))
             jax.block_until_ready(out)
             return out, steps
+    elif (skey is not None and not pipe._jit_cache[skey].thread_residual
+          and pipe._jit_cache[skey].split > 0):
+        # time one compiled segment of the segmented trajectory (the
+        # production path for long runs) — no extra executable to compile
+        seg_run = pipe._jit_cache[skey]
+        k = min(seg_run.segment_steps, seg_run.split)
+        xs_seg = {k2: v[:k] for k2, v in seg_run.xs_host.items()}
+        carry0 = seg_run.init_carry(full_lat)
+
+        def denoise_once():
+            carry, _ = seg_run.seg_cfg(pipe.dit_params, carry0, None,
+                                       xs_seg, ctx_run, jnp.asarray(cos),
+                                       jnp.asarray(sin))
+            jax.block_until_ready(carry)
+            return full_lat, k
     else:
         step_fn = pipe._step_fn(do_cfg, guidance, cond)
 

@@ -57,6 +57,50 @@ def test_uint8_input_matches_float(pipe):
     np.testing.assert_allclose(a.videos, b.videos, atol=2e-2)
 
 
+@pytest.mark.parametrize("seg", [1, 2, 3])
+def test_segmented_matches_stepwise(pipe, video, seg, monkeypatch):
+    """The segmented trajectory (K steps per dispatch, sampler update fused
+    into the segment program) must match the per-step loop for every segment
+    length, including non-dividing ones (seg=3 over 4 steps)."""
+    kw = dict(source_frames=9, reasoning_frames=4, num_inference_steps=4,
+              guidance_scale=4.0, negative_prompt="blurry", seed=9)
+    monkeypatch.setenv("VIDEOCOF_STEPWISE", "1")
+    a = pipe(video, "add a hat", fused_sampling=False, **kw)
+    monkeypatch.delenv("VIDEOCOF_STEPWISE")
+    monkeypatch.setenv("VIDEOCOF_SEG_STEPS", str(seg))
+    b = pipe(video, "add a hat", fused_sampling=False, **kw)
+    np.testing.assert_allclose(b.videos, a.videos, rtol=2e-3, atol=5e-3)
+
+
+def test_segmented_teacache_cfg_skip_matches_stepwise(pipe, video,
+                                                      monkeypatch):
+    """TeaCache + cfg-skip COMBINED cannot ride the one-program fused path
+    (residual batch changes at the split) but the segmented path slices the
+    residual between segments, exactly like the stepwise loop."""
+    kw = dict(source_frames=9, reasoning_frames=4, num_inference_steps=6,
+              guidance_scale=4.0, negative_prompt="blurry", seed=10,
+              cfg_skip_ratio=0.5, enable_teacache=True,
+              teacache_threshold=1e9,  # force skips after warmup
+              teacache_skip_start_steps=2)
+    monkeypatch.setenv("VIDEOCOF_STEPWISE", "1")
+    a = pipe(video, "add a hat", **kw)
+    monkeypatch.delenv("VIDEOCOF_STEPWISE")
+    monkeypatch.setenv("VIDEOCOF_SEG_STEPS", "2")
+    b = pipe(video, "add a hat", **kw)
+    np.testing.assert_allclose(b.videos, a.videos, rtol=2e-3, atol=5e-3)
+
+
+def test_auto_segment_steps_bounds():
+    from videocof_tpu.pipeline.fused_sampler import (auto_segment_steps,
+                                                     estimate_step_seconds)
+    # headline geometry: ~1.8 s/step -> many steps per segment
+    assert auto_segment_steps(29640, False) == 8
+    # 4x geometry with CFG: ~37 s/step -> one step per segment
+    assert auto_segment_steps(107640, True) == 1
+    # the wall model reproduces the measured 4x per-step time
+    assert abs(estimate_step_seconds(107640, False) - 18.1) < 1.5
+
+
 def test_fused_cfg_skip_matches_stepwise(pipe, video):
     """cfg-skip fuses as a static two-phase split (CFG steps then cond-only
     steps); it must match the stepwise cfg-skip loop."""

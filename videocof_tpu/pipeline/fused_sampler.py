@@ -204,6 +204,153 @@ def make_fused_sample_fn(dit_cfg: WanDiTConfig, sampler_name: str,
     return run
 
 
+def estimate_step_seconds(n_tokens: int, do_cfg: bool,
+                          base_s: float = 1.8, base_tokens: int = 29640,
+                          attn_frac: float = 0.7) -> float:
+    """Rough per-step wall model for the 1.3B-class DiT on one v5e: linear
+    term for projections/FFN, quadratic for attention (~70% of step FLOPs at
+    the 29.6k-token headline). Validated: predicts 18.6 s at 107,640 tokens
+    vs 18.1 s measured. Used only to pick a safe trajectory segment length."""
+    r = n_tokens / base_tokens
+    return base_s * ((1 - attn_frac) * r + attn_frac * r * r) * \
+        (2 if do_cfg else 1)
+
+
+def auto_segment_steps(n_tokens: int, do_cfg: bool,
+                       max_segment_seconds: float = 45.0) -> int:
+    """Steps per segmented-trajectory dispatch: as many as fit under
+    ``max_segment_seconds`` of estimated wall (the axon remote worker kills
+    single XLA programs running multi-minute; segments must stay well
+    clear), at least 1, at most 8 (diminishing returns past that)."""
+    est = estimate_step_seconds(n_tokens, do_cfg)
+    return max(1, min(8, int(max_segment_seconds / max(est, 1e-6))))
+
+
+def make_segmented_sample_fn(dit_cfg: WanDiTConfig, sampler_name: str,
+                             plan: dict, do_cfg: bool, guidance_scale: float,
+                             condition_count: int, dtype,
+                             attn_backend=None, sp=None,
+                             skip_mask=None,
+                             cfg_off_after: Optional[int] = None,
+                             segment_steps: int = 4):
+    """Segmented fused trajectory: the same scan body as
+    :func:`make_fused_sample_fn`, but dispatched as ceil(n/K)-step segments
+    so no single XLA program runs long enough to trip the remote worker's
+    watchdog, while the per-step Python loop's two-dispatches-per-step
+    overhead (DiT step + sampler update, ~0.2 s/step over the axon tunnel)
+    collapses into one dispatch per K steps.
+
+    All segments of the same (phase, length) share ONE executable: the
+    per-step coefficient arrays are traced arguments sliced per segment, not
+    baked constants. The sampler carry (and the TeaCache residual, when
+    ``skip_mask`` is given) threads across segments as device arrays — no
+    host round-trips. Unlike the one-program fused path, TeaCache composes
+    with cfg-skip here: the residual's batch slice at the phase boundary
+    happens between segments (reference `utils/cfg_optimization.py:7-37`
+    keeps the cond rows, `[-B:]`).
+
+    Returns fn(dit_params, latents, context, rope_cos, rope_sin) -> latents.
+    """
+    # Host-side (numpy) plan: per-segment slices must NOT be device-array
+    # slices — each would be its own tunnel dispatch. Numpy slices are free
+    # and the per-segment coefficients (a few floats per step) ride the
+    # segment dispatch as tiny uploads.
+    xs_host = {k: np.asarray(v) for k, v in plan.items()}
+    n_steps = len(next(iter(plan.values())))
+    split = n_steps
+    if do_cfg and cfg_off_after is not None:
+        split = max(0, min(int(cfg_off_after), n_steps))
+    thread_residual = skip_mask is not None
+    if thread_residual:
+        skip_mask = np.asarray(skip_mask, bool)
+        if skip_mask[0]:
+            raise ValueError("skip_mask[0] must be False: the first step "
+                             "has no residual to replay")
+        xs_host["skip"] = skip_mask
+    latents_of, update, init_carry, final = _sampler_defs(sampler_name)
+    dit_v_cfg = _make_dit_v(dit_cfg, do_cfg, condition_count, dtype,
+                            attn_backend, sp)
+    dit_v_plain = _make_dit_v(dit_cfg, False, condition_count, dtype,
+                              attn_backend, sp)
+
+    def make_seg(dv, gscale):
+        if thread_residual:
+            @jax.jit
+            def seg(dit_params, carry, res, xs_seg, context, cos, sin):
+                def sbody(c, x_t):
+                    samp, r = c
+                    v, r = dv(dit_params, gscale, latents_of(samp),
+                              x_t["timestep"], context, cos, sin,
+                              residual=r, skip=x_t["skip"])
+                    return (update(samp, x_t, v), r), None
+                (carry, res), _ = jax.lax.scan(sbody, (carry, res), xs_seg)
+                return carry, res
+            return seg
+
+        @jax.jit
+        def seg(dit_params, carry, res, xs_seg, context, cos, sin):
+            def sbody(c, x_t):
+                v, _ = dv(dit_params, gscale, latents_of(c),
+                          x_t["timestep"], context, cos, sin)
+                return update(c, x_t, v), None
+            carry, _ = jax.lax.scan(sbody, carry, xs_seg)
+            return carry, res
+        return seg
+
+    seg_cfg = make_seg(dit_v_cfg, guidance_scale)
+    seg_plain = make_seg(dit_v_plain, guidance_scale) if split < n_steps \
+        else None
+
+    def run(dit_params, latents, context, rope_cos, rope_sin):
+        carry = init_carry(latents)
+        res = None
+        if thread_residual:
+            res_abs = jax.eval_shape(
+                lambda l: dit_v_cfg(dit_params, guidance_scale, l, 999.0,
+                                    context, rope_cos, rope_sin)[1], latents)
+            res = jnp.zeros(res_abs.shape, res_abs.dtype)
+
+        def drive(seg_fn, xs_all, lo, hi, carry, res):
+            i = lo
+            while i < hi:
+                k = min(segment_steps, hi - i)
+                xs_seg = {k2: v[i:i + k] for k2, v in xs_all.items()}
+                carry, res = seg_fn(dit_params, carry, res, xs_seg,
+                                    context, rope_cos, rope_sin)
+                i += k
+            return carry, res
+
+        if split > 0:
+            carry, res = drive(seg_cfg, xs_host, 0, split, carry, res)
+        if split < n_steps:
+            ctx_cond = context[context.shape[0] // 2:]
+            if thread_residual and res is not None:
+                res = res[-latents.shape[0]:]  # keep cond rows (ref [-B:])
+
+            def drive_plain(carry, res):
+                i = split
+                while i < n_steps:
+                    k = min(segment_steps, n_steps - i)
+                    xs_seg = {k2: v[i:i + k] for k2, v in xs_host.items()}
+                    carry, res = seg_plain(dit_params, carry, res, xs_seg,
+                                           ctx_cond, rope_cos, rope_sin)
+                    i += k
+                return carry, res
+            carry, res = drive_plain(carry, res)
+        return final(carry)
+
+    # introspection for benchmarking: dispatch one segment directly
+    run.seg_cfg = seg_cfg
+    run.seg_plain = seg_plain
+    run.segment_steps = segment_steps
+    run.xs_host = xs_host
+    run.n_steps = n_steps
+    run.split = split
+    run.thread_residual = thread_residual
+    run.init_carry = init_carry
+    return run
+
+
 def make_fused_sample_fn_moe(dit_cfg: WanDiTConfig, sampler_name: str,
                              plan: dict, split_idx: int, do_cfg: bool,
                              guidance_scale: float, guidance_scale_2: float,

@@ -522,6 +522,51 @@ class WanPipeline:
         cfg_off_after = num_inference_steps - int(
             round(num_inference_steps * cfg_skip_ratio))
 
+        # ---- segmented fused trajectory (default when the one-program
+        # fused path was declined): K steps per dispatch — recovers the
+        # fused scan's one-dispatch-per-K efficiency (the per-step loop
+        # below pays TWO tunnel dispatches per step) while every segment
+        # stays far below the remote worker's multi-minute program killer.
+        # Composes with TeaCache AND cfg-skip (the residual's batch slice
+        # at the phase boundary happens between segments).
+        import os as _os
+        use_seg = (_os.environ.get("VIDEOCOF_STEPWISE") != "1"
+                   and sampler in ("unipc", "dpm++", "euler")
+                   and not (enable_teacache and skips[0]))
+        if use_seg:
+            from .fused_sampler import (auto_segment_steps,
+                                        make_segmented_sample_fn)
+            L_tok = (latents.shape[2] * (latents.shape[3] // 2)
+                     * (latents.shape[4] // 2))
+            seg_env = _os.environ.get("VIDEOCOF_SEG_STEPS")
+            seg_n = int(seg_env) if seg_env else auto_segment_steps(
+                L_tok, do_cfg)
+            skey = ("seg", sampler, num_inference_steps, float(shift),
+                    do_cfg, float(guidance_scale), condition_count,
+                    tuple(skips) if enable_teacache else None,
+                    cfg_off_after if cfg_skip_ratio > 0.0 else None,
+                    self.attn_backend, seg_n)
+            if skey not in self._jit_cache:
+                sp = getattr(self, "sp_ctx", None)
+                if (sp is not None and do_cfg
+                        and getattr(self, "cfg_parallel", False)):
+                    sp = sp.with_cfg_parallel()
+                self._jit_cache[skey] = make_segmented_sample_fn(
+                    self.dit_cfg, sampler, sched.plan_arrays(), do_cfg,
+                    guidance_scale, condition_count, self.dtype,
+                    attn_backend=self.attn_backend, sp=sp,
+                    skip_mask=(tuple(skips) if enable_teacache else None),
+                    cfg_off_after=(cfg_off_after if cfg_skip_ratio > 0.0
+                                   else None),
+                    segment_steps=seg_n)
+            latents = self._jit_cache[skey](self.dit_params, latents,
+                                            context, cos, sin)
+            _tick("denoise(segmented)", latents)
+            out = self._decode_outputs(latents, cot, condition_count,
+                                       ground_latent_count)
+            _tick("decode")
+            return out
+
         # jit the sampler update per step index (the per-step coefficients
         # are host floats baked in as constants; eager elementwise updates
         # would each round-trip the device transport)
