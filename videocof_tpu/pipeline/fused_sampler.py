@@ -128,7 +128,8 @@ def make_fused_sample_fn(dit_cfg: WanDiTConfig, sampler_name: str,
                          plan: dict, do_cfg: bool, guidance_scale: float,
                          condition_count: int, dtype,
                          attn_backend=None, sp=None,
-                         skip_mask=None, cfg_off_after: Optional[int] = None):
+                         skip_mask=None, cfg_off_after: Optional[int] = None,
+                         scan_unroll: int = 1):
     """Returns jitted fn(dit_params, latents, context, rope_cos, rope_sin)
     -> final latents. ``plan`` is scheduler.plan_arrays().
 
@@ -178,7 +179,7 @@ def make_fused_sample_fn(dit_cfg: WanDiTConfig, sampler_name: str,
                 return (update(samp, x_t, v), res), None
 
             (carry, _), _ = jax.lax.scan(sbody, (init_carry(latents), res0),
-                                         xs)
+                                         xs, unroll=scan_unroll)
             return final(carry)
 
         def phase(carry, pxs, dv, ctx):
@@ -186,7 +187,7 @@ def make_fused_sample_fn(dit_cfg: WanDiTConfig, sampler_name: str,
                 v, _ = dv(dit_params, guidance_scale, latents_of(c),
                           x_t["timestep"], ctx, rope_cos, rope_sin)
                 return update(c, x_t, v), None
-            carry, _ = jax.lax.scan(sbody, carry, pxs)
+            carry, _ = jax.lax.scan(sbody, carry, pxs, unroll=scan_unroll)
             return carry
 
         carry = init_carry(latents)

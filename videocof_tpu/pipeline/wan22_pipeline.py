@@ -99,8 +99,13 @@ class Wan22Pipeline(WanPipeline):
         ctx_abs = jax.ShapeDtypeStruct(
             (batch * (2 if do_cfg else 1), max_sequence_length,
              self.dit_cfg.text_dim), self.dtype)
-        compiled = fn.lower(p_abs, p2_abs, lat_abs, ctx_abs, cos,
-                            sin).compile()
+        # AUTO input layouts: without them the dual-expert trajectory hoists
+        # full relayout copies of multi-use weight stacks as HLO temps (see
+        # WanPipeline.precompile_fused memory notes — fatal at 14B scale)
+        from jax.experimental.layout import Format, Layout
+        fn_auto = jax.jit(fn, in_shardings=Format(Layout.AUTO))
+        compiled = fn_auto.lower(p_abs, p2_abs, lat_abs, ctx_abs, cos,
+                                 sin).compile()
         fmts = compiled.input_formats[0]
 
         def runner(p, p2, lat, ctx, rc, rs):

@@ -241,9 +241,21 @@ class WanPipeline:
                          guidance_scale: float = 1.0, shift: float = 3.0,
                          sampler: str = "unipc", batch: int = 1,
                          max_sequence_length: int = 512,
-                         dit_param_abstract=None):
+                         dit_param_abstract=None, scan_unroll: int = 1):
         """AOT-compile the fused denoise executable for one geometry and
         return the DiT params' expected input Formats.
+
+        Inputs are lowered with AUTO layouts: with default layouts, a
+        trajectory program (scanned OR unrolled) makes XLA hoist full
+        relayout COPIES of multi-use stacked weight leaves as temps (2x
+        1000 MB for the 14B's attention V stacks), OOMing a 16 GB chip
+        that holds 13.86 GiB of fp8 arguments; with AUTO, the argument
+        layout IS the compute-preferred one, the copies vanish (measured:
+        temp 3.6 -> 2.0 GiB), and the returned formats tell the caller to
+        create the weights directly in that layout.
+
+        ``scan_unroll``: unroll factor for the scan over steps (kept for
+        experimentation; AUTO layouts are what makes the 14B fit).
 
         The point (see utils/layouts.py): weights that cross executables in
         the wrong layout get relayout-COPIED at dispatch — fatal for a
@@ -279,7 +291,7 @@ class WanPipeline:
         fn = make_fused_sample_fn(
             self.dit_cfg, sampler, sched.plan_arrays(), do_cfg,
             guidance_scale, cond, self.dtype,
-            attn_backend=self.attn_backend, sp=sp)
+            attn_backend=self.attn_backend, sp=sp, scan_unroll=scan_unroll)
 
         p_abs = (dit_param_abstract if dit_param_abstract is not None
                  else jax.eval_shape(lambda p: p, self.dit_params))
@@ -288,7 +300,10 @@ class WanPipeline:
         ctx_abs = jax.ShapeDtypeStruct(
             (batch * (2 if do_cfg else 1), max_sequence_length,
              self.dit_cfg.text_dim), self.dtype)
-        compiled = fn.lower(p_abs, lat_abs, ctx_abs, cos, sin).compile()
+        from jax.experimental.layout import Format, Layout
+        fn_auto = jax.jit(fn, in_shardings=Format(Layout.AUTO))
+        compiled = fn_auto.lower(p_abs, lat_abs, ctx_abs, cos,
+                                 sin).compile()
         fmts = compiled.input_formats[0]
 
         def runner(p, lat, ctx, rc, rs):
