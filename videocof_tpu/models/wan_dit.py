@@ -275,11 +275,25 @@ def wan_block_apply(p: Params, cfg: WanDiTConfig, x, e0, context,
                       backend=xattn_backend)
     x = (x.astype(jnp.float32) + y.astype(jnp.float32)).astype(sdt)
 
-    # gated FFN
+    # gated FFN (optionally in sequential token chunks — bounds the
+    # [L, ffn_dim] intermediate to 1/N, exact same math; see
+    # configs.WanDiTConfig.ffn_chunks)
     tx = _layer_norm(x, eps) * (1.0 + e_[4]) + e_[3]
-    h = _linear(tx.astype(context.dtype), p["ffn"]["fc1"])
-    h = _gelu_tanh(h)
-    h = _linear(h, p["ffn"]["fc2"])
+    txc = tx.astype(context.dtype)
+    nch = getattr(cfg, "ffn_chunks", 1)
+    if nch > 1 and txc.shape[1] % nch == 0:
+        B, L, D = txc.shape
+
+        def _ffn_chunk(seg):
+            hh = _gelu_tanh(_linear(seg, p["ffn"]["fc1"]))
+            return _linear(hh, p["ffn"]["fc2"])
+
+        segs = txc.reshape(B, nch, L // nch, D).transpose(1, 0, 2, 3)
+        h = jax.lax.map(_ffn_chunk, segs)
+        h = h.transpose(1, 0, 2, 3).reshape(B, L, D)
+    else:
+        h = _gelu_tanh(_linear(txc, p["ffn"]["fc1"]))
+        h = _linear(h, p["ffn"]["fc2"])
     x = (x.astype(jnp.float32) + h.astype(jnp.float32) * e_[5]).astype(sdt)
     return x
 
