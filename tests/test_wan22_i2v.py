@@ -77,6 +77,34 @@ def test_wan22_fused_moe_matches_stepwise():
     assert 0 < n_hi < 4
 
 
+def test_wan22_segmented_moe_matches_stepwise(monkeypatch):
+    """The segmented dual-expert trajectory (K steps/dispatch, one shared
+    segment executable for both experts) must match the stepwise
+    expert-routed loop, including a segment length that straddles the
+    expert boundary mid-segment... it cannot: phase boundaries are also
+    segment boundaries. seg=3 over a 4-step run with split at 2 exercises
+    the remainder path in both phases."""
+    p1 = wan_dit.init_wan_dit(jax.random.PRNGKey(0), DCFG)
+    p2 = wan_dit.init_wan_dit(jax.random.PRNGKey(1), DCFG)
+    pipe = Wan22Pipeline(
+        p1, DCFG,
+        wan_vae.init_wan_vae(jax.random.PRNGKey(2), VCFG), VCFG,
+        t5_encoder.init_t5_encoder(jax.random.PRNGKey(3), T5_TINY), T5_TINY,
+        dtype=jnp.float32, dit_params_2=p2, boundary=0.9)
+    video = np.random.default_rng(0).uniform(-1, 1, (1, 3, 9, 32, 32)
+                                             ).astype(np.float32)
+    kw = dict(source_frames=9, num_inference_steps=4, guidance_scale=5.0,
+              guidance_scale_2=3.0, cot=False, seed=3)
+    monkeypatch.setenv("VIDEOCOF_STEPWISE", "1")
+    stepwise = pipe(video, "make it snow", fused_sampling=False, **kw)
+    monkeypatch.delenv("VIDEOCOF_STEPWISE")
+    for seg in (1, 3):
+        monkeypatch.setenv("VIDEOCOF_SEG_STEPS", str(seg))
+        got = pipe(video, "make it snow", fused_sampling=False, **kw)
+        np.testing.assert_allclose(got.videos, stepwise.videos,
+                                   atol=(1.0 / 255.0) + 1e-6)
+
+
 def test_wan22_uint8_input_matches_float():
     """The Wan2.2 __call__ must honor the base pipeline's uint8 contract
     (ADVICE r1: it used to VAE-encode raw 0..255 values)."""

@@ -352,6 +352,69 @@ def make_segmented_sample_fn(dit_cfg: WanDiTConfig, sampler_name: str,
     return run
 
 
+def make_segmented_sample_fn_moe(dit_cfg: WanDiTConfig, sampler_name: str,
+                                 plan: dict, split_idx: int, do_cfg: bool,
+                                 guidance_scale: float,
+                                 guidance_scale_2: float,
+                                 condition_count: int, dtype,
+                                 attn_backend=None, sp=None,
+                                 segment_steps: int = 4):
+    """Segmented dual-expert (Wan2.2 MoE) trajectory: the MoE analogue of
+    :func:`make_segmented_sample_fn` for trajectories too long to run as
+    one program on watchdog-limited workers. ONE compiled segment
+    executable serves BOTH experts — the expert params and its guidance
+    scale are traced arguments, and both experts share the pytree
+    structure (`wan_transformer3d.py:1302-1399`: same architecture).
+
+    Returns fn(dit_params, dit_params_2, latents, context, cos, sin).
+    """
+    xs_host = {k: np.asarray(v) for k, v in plan.items()}
+    n_steps = len(next(iter(plan.values())))
+    if not 0 <= split_idx <= n_steps:
+        raise ValueError(f"split_idx {split_idx} outside [0, {n_steps}]")
+    latents_of, update, init_carry, final = _sampler_defs(sampler_name)
+    dit_v = _make_dit_v(dit_cfg, do_cfg, condition_count, dtype,
+                        attn_backend, sp)
+
+    @jax.jit
+    def seg(params, gscale, carry, xs_seg, context, cos, sin):
+        def sbody(c, x_t):
+            v, _ = dit_v(params, gscale, latents_of(c), x_t["timestep"],
+                         context, cos, sin)
+            return update(c, x_t, v), None
+        carry, _ = jax.lax.scan(sbody, carry, xs_seg)
+        return carry
+
+    def run(dit_params, dit_params_2, latents, context, cos, sin):
+        carry = init_carry(latents)
+
+        def drive(lo, hi, params, g, carry):
+            g = jnp.float32(g)
+            i = lo
+            while i < hi:
+                k = min(segment_steps, hi - i)
+                xs_seg = {k2: v[i:i + k] for k2, v in xs_host.items()}
+                carry = seg(params, g, carry, xs_seg, context, cos, sin)
+                i += k
+            return carry
+
+        if split_idx > 0:
+            carry = drive(0, split_idx, dit_params_2, guidance_scale_2,
+                          carry)
+        if split_idx < n_steps:
+            carry = drive(split_idx, n_steps, dit_params, guidance_scale,
+                          carry)
+        return final(carry)
+
+    run.seg = seg
+    run.segment_steps = segment_steps
+    run.xs_host = xs_host
+    run.n_steps = n_steps
+    run.split_idx = split_idx
+    run.init_carry = init_carry
+    return run
+
+
 def make_fused_sample_fn_moe(dit_cfg: WanDiTConfig, sampler_name: str,
                              plan: dict, split_idx: int, do_cfg: bool,
                              guidance_scale: float, guidance_scale_2: float,

@@ -203,19 +203,54 @@ class Wan22Pipeline(WanPipeline):
             latents = self._jit_cache[fkey](self.dit_params, params_2,
                                             latents, context, cos, sin)
         else:
-            sched_key = ("sched", sampler, num_inference_steps, float(shift))
-            if sched_key not in self._jit_cache:
-                self._jit_cache[sched_key] = jax.jit(
-                    sched.step, static_argnums=(1,))
-            sched_step = self._jit_cache[sched_key]
-            for i in range(num_inference_steps):
-                t_i = float(sched.timesteps[i])
-                high = i < split_idx
-                expert = self.dit_params_2 if high else self.dit_params
-                g = g2 if high else guidance_scale
-                step = self._step_fn(do_cfg, g, condition_count)
-                v, _ = step(expert, latents, t_i, context, cos, sin, None)
-                latents, state = sched_step(v, i, latents, state)
+            import os as _os
+            if (_os.environ.get("VIDEOCOF_STEPWISE") != "1"
+                    and sampler in ("unipc", "dpm++", "euler")):
+                # segmented dual-expert trajectory: K steps per dispatch,
+                # one shared segment executable for both experts (see
+                # fused_sampler.make_segmented_sample_fn_moe) — the MoE
+                # path for trajectories too long for one program
+                from .fused_sampler import (auto_segment_steps,
+                                            make_segmented_sample_fn_moe)
+                L_tok = Tl * (Hl // ph) * (Wl // pw)
+                seg_env = _os.environ.get("VIDEOCOF_SEG_STEPS")
+                seg_n = int(seg_env) if seg_env else auto_segment_steps(
+                    L_tok, do_cfg)
+                skey = ("seg22", sampler, num_inference_steps, float(shift),
+                        do_cfg, float(guidance_scale), float(g2), split_idx,
+                        condition_count, self.attn_backend, seg_n)
+                if skey not in self._jit_cache:
+                    sp = getattr(self, "sp_ctx", None)
+                    if (sp is not None and do_cfg
+                            and getattr(self, "cfg_parallel", False)):
+                        sp = sp.with_cfg_parallel()
+                    self._jit_cache[skey] = make_segmented_sample_fn_moe(
+                        self.dit_cfg, sampler, sched.plan_arrays(),
+                        split_idx, do_cfg, guidance_scale, g2,
+                        condition_count, self.dtype,
+                        attn_backend=self.attn_backend, sp=sp,
+                        segment_steps=seg_n)
+                params_2 = (self.dit_params_2
+                            if self.dit_params_2 is not None
+                            else self.dit_params)
+                latents = self._jit_cache[skey](self.dit_params, params_2,
+                                                latents, context, cos, sin)
+            else:
+                sched_key = ("sched", sampler, num_inference_steps,
+                             float(shift))
+                if sched_key not in self._jit_cache:
+                    self._jit_cache[sched_key] = jax.jit(
+                        sched.step, static_argnums=(1,))
+                sched_step = self._jit_cache[sched_key]
+                for i in range(num_inference_steps):
+                    t_i = float(sched.timesteps[i])
+                    high = i < split_idx
+                    expert = self.dit_params_2 if high else self.dit_params
+                    g = g2 if high else guidance_scale
+                    step = self._step_fn(do_cfg, g, condition_count)
+                    v, _ = step(expert, latents, t_i, context, cos, sin,
+                                None)
+                    latents, state = sched_step(v, i, latents, state)
 
         dec = self.decode_to_numpy01
 
