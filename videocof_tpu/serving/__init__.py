@@ -1,3 +1,3 @@
-from .controller import VideoCoFController
+from .controller import VideoCoFClient, VideoCoFController
 
-__all__ = ["VideoCoFController"]
+__all__ = ["VideoCoFController", "VideoCoFClient"]

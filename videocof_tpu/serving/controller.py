@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import base64
 import io
+import json
 import os
 import tempfile
 from dataclasses import dataclass, field
@@ -95,3 +96,50 @@ class VideoCoFController:
             save_video(video, path, fps=fps)
             with open(path, "rb") as f:
                 return base64.b64encode(f.read()).decode()
+
+
+@dataclass
+class VideoCoFClient:
+    """Remote-host client mode — the twin of the reference's
+    `Fun_Controller_Client.post_to_host` (`videox_fun/ui/controller.py:345-513`):
+    the UI/CLI runs here, generation runs on a remote `serving.api` host.
+    stdlib-only (urllib); auth token goes in the Authorization header like
+    the reference's EAS_TOKEN."""
+
+    url: str                       # e.g. "http://host:8188"
+    token: Optional[str] = None
+    timeout: float = 300.0
+
+    def post_to_host(self, prompt: str,
+                     video_path: Optional[str] = None,
+                     video_b64: Optional[str] = None,
+                     save_path: Optional[str] = None,
+                     **params) -> Dict[str, Any]:
+        """POST one generation. ``params`` are forwarded using the reference
+        field names (seed_textbox, sample_step_slider, cfg_scale_slider,
+        source_frames, reasoning_frames). Returns the response dict with the
+        decoded mp4 under ``video_bytes`` (also written to ``save_path``)."""
+        import urllib.request
+        if video_b64 is None:
+            if not video_path:
+                raise ValueError("provide video_path or video_b64")
+            with open(video_path, "rb") as f:
+                video_b64 = base64.b64encode(f.read()).decode()
+        payload = {"prompt_textbox": prompt, "source_video": video_b64}
+        payload.update(params)
+        from .api import ENDPOINT
+        req = urllib.request.Request(
+            self.url.rstrip("/") + ENDPOINT,
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json",
+                     **({"Authorization": self.token} if self.token else {})},
+            method="POST")
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            out = json.loads(resp.read())
+        if out.get("base64_encoding"):
+            out["video_bytes"] = base64.b64decode(out["base64_encoding"])
+            if save_path:
+                os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+                with open(save_path, "wb") as f:
+                    f.write(out["video_bytes"])
+        return out

@@ -97,3 +97,80 @@ def save_side_by_side(input_video: np.ndarray, sample: np.ndarray, path: str,
     w = min(a.shape[3], b.shape[3])
     combined = np.concatenate([a[:, :t, :h, :w], b[:, :t, :h, :w]], axis=3)
     save_video(combined, path, fps)
+
+
+def color_transfer(src: np.ndarray, ref: np.ndarray) -> np.ndarray:
+    """Match ``src``'s LAB channel statistics to ``ref``'s (both uint8 RGB
+    [H, W, 3]): per-channel ``(x - mu_s) * (sigma_r / sigma_s) + mu_r``
+    in LAB space (reference `videox_fun/utils/utils.py:31-57`). Used to pin
+    per-frame color drift to the first frame when saving."""
+    import cv2
+    s = cv2.cvtColor(src, cv2.COLOR_RGB2LAB).astype(np.float64)
+    r = cv2.cvtColor(ref, cv2.COLOR_RGB2LAB).astype(np.float64)
+    s_mean = s.reshape(-1, 3).mean(0)
+    s_std = np.maximum(s.reshape(-1, 3).std(0), 1e-6)
+    r_mean = r.reshape(-1, 3).mean(0)
+    r_std = r.reshape(-1, 3).std(0)
+    out = (s - s_mean) * (r_std / s_std) + r_mean
+    out = np.clip(np.round(out), 0, 255).astype(np.uint8)
+    return cv2.cvtColor(out, cv2.COLOR_LAB2RGB)
+
+
+def save_videos_grid(videos: np.ndarray, path: str, rescale: bool = False,
+                     n_rows: int = 6, fps: int = 12,
+                     color_transfer_post_process: bool = False) -> None:
+    """[B, C, T, H, W] batch -> one tiled video, ``n_rows`` items per grid
+    row (reference `save_videos_grid`, `utils.py:59-83`). ``rescale`` maps
+    [-1,1] -> [0,1]; ``color_transfer_post_process`` pins every frame's LAB
+    statistics to frame 0's."""
+    v = np.asarray(videos)
+    if v.ndim == 4:
+        v = v[None]
+    if rescale:
+        v = (v + 1.0) / 2.0
+    v = np.clip(v, 0.0, 1.0)
+    B, C, T, H, W = v.shape
+    cols = min(n_rows, B)
+    rows = -(-B // cols)
+    pad = rows * cols - B
+    if pad:
+        v = np.concatenate([v, np.zeros((pad, C, T, H, W), v.dtype)])
+    # [rows, cols, C, T, H, W] -> [C, T, rows*H, cols*W]
+    grid = (v.reshape(rows, cols, C, T, H, W)
+            .transpose(2, 3, 0, 4, 1, 5)
+            .reshape(C, T, rows * H, cols * W))
+    if color_transfer_post_process and T > 1:
+        u8 = (grid * 255).astype(np.uint8).transpose(1, 2, 3, 0)  # [T,H,W,C]
+        ref = u8[0]
+        u8 = np.stack([ref] + [color_transfer(f, ref) for f in u8[1:]])
+        grid = u8.transpose(3, 0, 1, 2).astype(np.float32) / 255.0
+    save_video(grid, path, fps)
+
+
+def merge_video_audio(video_path: str, audio_path: str) -> None:
+    """Mux ``audio_path`` onto ``video_path`` in place, duration clipped to
+    the shorter stream (reference `merge_video_audio`, `utils.py:85-143`:
+    ffmpeg, video stream copied, AAC audio, ``-shortest``)."""
+    import shutil
+    import subprocess
+    if not os.path.exists(video_path):
+        raise FileNotFoundError(f"video file {video_path} does not exist")
+    if not os.path.exists(audio_path):
+        raise FileNotFoundError(f"audio file {audio_path} does not exist")
+    ffmpeg = shutil.which("ffmpeg")
+    if ffmpeg is None:
+        raise RuntimeError("merge_video_audio needs ffmpeg on PATH")
+    base, ext = os.path.splitext(video_path)
+    temp_output = f"{base}_temp{ext}"
+    try:
+        result = subprocess.run(
+            [ffmpeg, "-y", "-i", video_path, "-i", audio_path,
+             "-c:v", "copy", "-c:a", "aac", "-b:a", "192k",
+             "-map", "0:v:0", "-map", "1:a:0", "-shortest", temp_output],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        if result.returncode != 0:
+            raise RuntimeError(f"ffmpeg failed: {result.stderr}")
+        shutil.move(temp_output, video_path)
+    finally:
+        if os.path.exists(temp_output):
+            os.remove(temp_output)
