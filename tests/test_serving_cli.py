@@ -153,3 +153,31 @@ def test_lora_merge_state_tracking(controller):
         restored = np.asarray(
             controller.pipeline.dit_params["blocks"]["self_attn"]["q"]["kernel"])
         np.testing.assert_allclose(restored, before, atol=1e-6)
+
+
+def test_comfyui_nodes(tiny_pipe):
+    """The ComfyUI hook registers duck-typed nodes and runs an edit
+    end-to-end on the tiny pipe (the reference's comfyui import is a
+    dangling stub; ours is real)."""
+    from videocof_tpu.comfyui import (NODE_CLASS_MAPPINGS,
+                                      NODE_DISPLAY_NAME_MAPPINGS)
+    assert set(NODE_CLASS_MAPPINGS) == set(NODE_DISPLAY_NAME_MAPPINGS)
+    edit_cls = NODE_CLASS_MAPPINGS["VideoCoFEdit"]
+    # node contract fields ComfyUI introspects
+    assert edit_cls.RETURN_TYPES == ("IMAGE",)
+    assert callable(getattr(edit_cls, edit_cls.FUNCTION))
+    spec = edit_cls.INPUT_TYPES()
+    assert "frames" in spec["required"] and "prompt" in spec["required"]
+
+    rng = np.random.default_rng(0)
+    frames = rng.uniform(0, 1, (9, 32, 32, 3)).astype(np.float32)
+    (out,) = edit_cls().edit(tiny_pipe, frames, "remove the dog",
+                             steps=1, guidance_scale=1.0, seed=3,
+                             reasoning_frames=4)
+    out = np.asarray(out)
+    assert out.ndim == 4 and out.shape[-1] == 3
+    assert out.shape[0] == 9            # edit segment matches source length
+    assert 0.0 <= out.min() and out.max() <= 1.0
+
+    loader = NODE_CLASS_MAPPINGS["VideoCoFModelLoader"]
+    assert "quantize" in loader.INPUT_TYPES()["required"]
