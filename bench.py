@@ -41,6 +41,13 @@ def log(*a):
 
 def main():
     import jax
+
+    if os.environ.get("BENCH_SMALL") == "1":
+        # CPU smoke: the axon sitecustomize force-selects the TPU tunnel
+        # regardless of JAX_PLATFORMS env — the config knob after import is
+        # what actually wins (CLAUDE.md / tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from videocof_tpu.configs import (WAN21_T2V_1_3B, WanVAEConfig, T5Config)
