@@ -137,3 +137,24 @@ def test_decode_to_numpy01_streaming_matches_whole(pipe, monkeypatch):
     # uint8 quantization is part of both paths; decode math matches to
     # streaming-vs-whole tolerance, so allow at most one 1/255 step
     assert np.abs(streamed - whole).max() <= (1.0 / 255.0) + 1e-6
+
+
+def test_decode_single_fetch_matches_two_fetch(pipe, monkeypatch):
+    """The default single-fetch decode (segments -> device u8 -> one host
+    copy) must be bit-identical to the per-segment two-fetch path, cot and
+    non-cot, including the ground/edit split points."""
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.normal(size=(1, VAE_TINY.z_dim, 7, 4, 4))
+                    .astype(np.float32))
+    for cot, cc, glc in ((True, 3, 1), (True, 3, 0), (False, 3, 0)):
+        monkeypatch.setenv("VIDEOCOF_DECODE_SINGLE_FETCH", "0")
+        ref = pipe._decode_outputs(z, cot, cc, glc)
+        monkeypatch.setenv("VIDEOCOF_DECODE_SINGLE_FETCH", "1")
+        got = pipe._decode_outputs(z, cot, cc, glc)
+        np.testing.assert_array_equal(got.videos, ref.videos)
+        if ref.ground_videos is None:
+            assert got.ground_videos is None
+        else:
+            np.testing.assert_array_equal(got.ground_videos,
+                                          ref.ground_videos)
+        np.testing.assert_array_equal(got.edit_videos, ref.edit_videos)

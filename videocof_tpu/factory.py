@@ -71,6 +71,9 @@ def load_pipeline(
     weights land directly in its expected input formats — mandatory for
     the 14B fp8 on a 16 GB chip, where a dispatch-time relayout copy of
     the 13.8 GiB tree would exhaust HBM (see utils/layouts.py)."""
+    from .utils.jit_cache import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
+
     vae_cfg = vae_cfg or WanVAEConfig()
     t5_cfg = t5_cfg or T5Config()
 

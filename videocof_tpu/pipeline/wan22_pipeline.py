@@ -252,15 +252,7 @@ class Wan22Pipeline(WanPipeline):
                                 None)
                     latents, state = sched_step(v, i, latents, state)
 
-        dec = self.decode_to_numpy01
-
-        if cot:
-            g0, g1 = condition_count, condition_count + ground_latent_count
-            ground_video = dec(latents[:, :, g0:g1]) if g1 > g0 else None
-            edit_video = dec(latents[:, :, g1:])
-            parts = [p for p in (ground_video, edit_video) if p is not None]
-            return WanPipelineOutput(videos=np.concatenate(parts, axis=2),
-                                     ground_videos=ground_video,
-                                     edit_videos=edit_video)
-        edit_video = dec(latents[:, :, condition_count:])
-        return WanPipelineOutput(videos=edit_video, edit_videos=edit_video)
+        # segment-wise decode shared with the base pipeline (single-fetch
+        # device-u8 path by default)
+        return self._decode_outputs(latents, cot, condition_count,
+                                    ground_latent_count)

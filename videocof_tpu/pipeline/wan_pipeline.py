@@ -180,6 +180,30 @@ class WanPipeline:
         return wan_vae.decode(self.vae_params, self.vae_cfg,
                               z.astype(self.dtype))
 
+    def _post_u8(self):
+        if "post_u8" not in self._jit_cache:
+            self._jit_cache["post_u8"] = jax.jit(lambda x: jnp.clip(
+                jnp.round(x.astype(jnp.float32) * 127.5 + 127.5), 0, 255
+            ).astype(jnp.uint8))
+        return self._jit_cache["post_u8"]
+
+    def decode_to_u8_device(self, z: jax.Array) -> jax.Array:
+        """Decode to DEVICE-resident uint8 [0, 255] — no host fetch. The
+        streaming path converts each chunk to uint8 on device and
+        concatenates there, so multiple segments can share ONE host fetch
+        (`_decode_outputs`): on transports with a per-transfer latency floor
+        (the axon tunnel: ~0.5 s/fetch) every avoided fetch is wall-clock."""
+        post_u8 = self._post_u8()
+        if z.shape[2] > self.vae_streaming_threshold_frames:
+            chunks = [post_u8(c) for c in
+                      wan_vae_streaming.decode_streaming_chunks(
+                          self.vae_params, self.vae_cfg,
+                          z.astype(self.dtype), jit_cache=self._vae_jit,
+                          chunk_latent=self.vae_decode_chunk)]
+            return (chunks[0] if len(chunks) == 1
+                    else jnp.concatenate(chunks, axis=2))
+        return post_u8(self.vae_decode(z))
+
     def decode_to_numpy01(self, z: jax.Array) -> np.ndarray:
         """Decode + map [-1,1] -> [0,1]. The video crosses host<->device as
         uint8 (the tunnel/PCIe traffic is 4x smaller than fp32 and the final
@@ -193,11 +217,7 @@ class WanPipeline:
         latency (the axon tunnel here: ~32 MB/s, ~0.5 s/fetch floor) lose
         more to N small round-trips than overlap recovers (A/B: 7.2 s ->
         9.1 s decode stage at 480p)."""
-        if "post_u8" not in self._jit_cache:
-            self._jit_cache["post_u8"] = jax.jit(lambda x: jnp.clip(
-                jnp.round(x.astype(jnp.float32) * 127.5 + 127.5), 0, 255
-            ).astype(jnp.uint8))
-        post_u8 = self._jit_cache["post_u8"]
+        post_u8 = self._post_u8()
         import os as _os
         overlap = _os.environ.get("VIDEOCOF_DECODE_OVERLAP") == "1"
         if overlap and z.shape[2] > self.vae_streaming_threshold_frames:
@@ -640,9 +660,30 @@ class WanPipeline:
         if fused_ok:
             return self._decode_outputs_fused(latents, cot, condition_count,
                                               ground_latent_count)
+        single = (_os.environ.get("VIDEOCOF_DECODE_SINGLE_FETCH", "1") == "1"
+                  and _os.environ.get("VIDEOCOF_DECODE_OVERLAP") != "1")
+        g0, g1 = condition_count, condition_count + (ground_latent_count
+                                                     if cot else 0)
+        if single:
+            # decode each segment to device uint8, concat ON DEVICE, pay ONE
+            # host fetch for the whole output (each segment fetch has a
+            # ~0.5 s transport floor on the axon tunnel)
+            parts = []
+            if g1 > g0:
+                parts.append(self.decode_to_u8_device(latents[:, :, g0:g1]))
+            parts.append(self.decode_to_u8_device(latents[:, :, g1:]))
+            u8 = (parts[0] if len(parts) == 1
+                  else jnp.concatenate(parts, axis=2))
+            host = np.asarray(u8).astype(np.float32) / 255.0
+            if g1 > g0:
+                tc = self.vae_cfg.temporal_compression_ratio
+                gf = 1 + (g1 - g0 - 1) * tc
+                return WanPipelineOutput(videos=host,
+                                         ground_videos=host[:, :, :gf],
+                                         edit_videos=host[:, :, gf:])
+            return WanPipelineOutput(videos=host, edit_videos=host)
         dec = self.decode_to_numpy01
         if cot:
-            g0, g1 = condition_count, condition_count + ground_latent_count
             ground_video = dec(latents[:, :, g0:g1]) if g1 > g0 else None
             edit_video = dec(latents[:, :, g1:])
             parts = [p for p in (ground_video, edit_video) if p is not None]

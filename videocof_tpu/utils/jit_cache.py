@@ -1,0 +1,43 @@
+"""Persistent XLA compilation cache.
+
+Compiles of the production-size DiT graphs take 8-20 minutes through this
+environment's remote compile service; the persistent cache turns every
+process restart from a recompile into a ~seconds deserialize. The reference
+has no analogue (torch eager + CUDA kernels don't pay a compile); under
+XLA's compile-once model this is the difference between a usable CLI and a
+20-minute cold start.
+
+Called from `factory.load_pipeline` and `bench.py`; tests configure the same
+directory themselves (`tests/conftest.py:26-28`).
+"""
+
+from __future__ import annotations
+
+import os
+
+_enabled = False
+
+
+def enable_persistent_compilation_cache(path: str | None = None) -> str:
+    """Idempotent. Default dir: `$VIDEOCOF_JIT_CACHE` or `<repo>/.jax_cache`
+    (falling back to `~/.cache/videocof_tpu/jax` outside a checkout)."""
+    global _enabled
+    import jax
+    if path is None:
+        path = os.environ.get("VIDEOCOF_JIT_CACHE")
+    if path is None:
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        path = (os.path.join(repo, ".jax_cache")
+                if os.path.isdir(os.path.join(repo, ".git"))
+                else os.path.join(os.path.expanduser("~"), ".cache",
+                                  "videocof_tpu", "jax"))
+    path = os.path.abspath(path)
+    if _enabled:
+        return path
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # only big graphs are worth the disk: sub-10s compiles recompile fine
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    _enabled = True
+    return path
