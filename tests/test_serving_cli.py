@@ -181,3 +181,39 @@ def test_comfyui_nodes(tiny_pipe):
 
     loader = NODE_CLASS_MAPPINGS["VideoCoFModelLoader"]
     assert "quantize" in loader.INPUT_TYPES()["required"]
+
+
+def test_cli_teaser_batch_mode(tiny_pipe, test_video, tmp_path, monkeypatch):
+    """--test_json batch mode (the reference's teaser eval flow,
+    `scripts/parallel_infer.sh`): per-item outputs named
+    gen_{task}_{id}.mp4, idempotent re-run skips completed items."""
+    import videocof_tpu.cli._common as common
+    import videocof_tpu.cli.fast_infer as cli
+
+    items = [
+        {"task_type": "obj_rem", "sample_id": 1,
+         "source_video_path": test_video,
+         "edit_instruction": "remove the red ball"},
+        {"task_type": "local_style", "sample_id": 2,
+         "source_video_path": test_video,
+         "edit_instruction": "make the scene look like a watercolor"},
+    ]
+    tj = str(tmp_path / "teaser.json")
+    json.dump(items, open(tj, "w"))
+    monkeypatch.setattr(common, "build_pipeline_from_args",
+                        lambda args, dtype=None, **kw: tiny_pipe)
+    monkeypatch.setattr(cli, "build_pipeline_from_args",
+                        lambda args, dtype=None, **kw: tiny_pipe)
+    out_dir = str(tmp_path / "out")
+    monkeypatch.setattr(sys, "argv", [
+        "fast_infer", "--test_json", tj, "--output_dir", out_dir,
+        "--source_frames", "9", "--reasoning_frames", "4", "--repeat_rope",
+        "--random_init", "--num_inference_steps", "1"])
+    cli.main()
+    files = set(os.listdir(out_dir))
+    assert {"gen_obj_rem_1.mp4", "gen_local_style_2.mp4"} <= files
+    # idempotent batch re-run: nothing new is generated
+    mtimes = {f: os.path.getmtime(os.path.join(out_dir, f)) for f in files}
+    cli.main()
+    for f, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(out_dir, f)) == m
