@@ -46,6 +46,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from videocof_tpu.utils.jit_cache import (
+        enable_persistent_compilation_cache)
+    enable_persistent_compilation_cache()
+
     from videocof_tpu.configs import WAN21_T2V_14B, WanVAEConfig, T5Config
     from videocof_tpu.models import wan_dit, wan_vae
     from videocof_tpu.pipeline import WanPipeline

@@ -21,6 +21,9 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+from videocof_tpu.utils.jit_cache import enable_persistent_compilation_cache
+enable_persistent_compilation_cache()
+
 from videocof_tpu.configs import WAN21_T2V_14B
 from videocof_tpu.models import wan_dit
 from videocof_tpu.utils.fp8 import fp8_bytes, quantize_params_fp8
