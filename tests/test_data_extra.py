@@ -163,7 +163,8 @@ def test_control_dataset_camera_and_video(media_root, tmp_path):
                                   enable_camera_info=True,
                                   text_drop_ratio=0.0)
     cam = ds[0]
-    # pose txt -> Plücker [T, 6, H, W], resampled from 6 poses to 4 frames
+    # pose txt -> Plücker [T, 6, H, W], interpolated over the full clip then
+    # picked at the SAME sampled indices as the main frames
     assert cam["control_camera_values"].shape == (4, 6, 24, 24)
     assert np.isfinite(cam["control_camera_values"]).all()
     assert (cam["control_pixel_values"] == 0).all()
@@ -171,6 +172,18 @@ def test_control_dataset_camera_and_video(media_root, tmp_path):
     assert vid["control_camera_values"] is None
     assert vid["control_pixel_values"].shape == (3, 4, 24, 24)
     assert np.abs(vid["control_pixel_values"]).max() > 0
+    # alignment: the control stream must be read at the main clip's sampled
+    # frame indices (reference reads both at one shared batch_index,
+    # dataset_image_video.py:1834,1843-1845)
+    from videocof_tpu.data.buckets import resize_center_crop
+    from videocof_tpu.data.dataset import _read_frames_at
+    idx = list(vid["frame_indices"])
+    expect = resize_center_crop(
+        _read_frames_at(media_root["clip_b"], idx), 24, 24)
+    expect = expect.transpose(3, 0, 1, 2).astype(np.float32) \
+        * (2.0 / 255.0) - 1.0
+    np.testing.assert_allclose(vid["control_pixel_values"], expect,
+                               atol=1e-6)
 
 
 def test_video_edit_dataset(media_root, tmp_path):

@@ -45,7 +45,11 @@ class VideoCoFModelLoader:
     """Builds (and caches) the pipeline. quantize='fp8' is the 14B-on-16GB
     path (`factory.load_pipeline`)."""
 
-    _cache: Dict[tuple, Any] = {}
+    # single-entry cache: one pipeline's weights can be most of HBM (the
+    # fp8 14B is 13.8 GiB of 16), so switching models/quantize must FREE the
+    # old pipeline before building the new one, not accumulate
+    _cache_key: tuple = ()
+    _cache_pipe: Any = None
 
     @classmethod
     def INPUT_TYPES(cls):
@@ -62,13 +66,16 @@ class VideoCoFModelLoader:
 
     def load(self, model_name: str, quantize: str = "none",
              random_init: bool = False):
+        cls = type(self)
         key = (model_name, quantize, random_init)
-        if key not in self._cache:
+        if cls._cache_key != key or cls._cache_pipe is None:
+            cls._cache_pipe = None          # drop the old weights first
             from ..factory import load_pipeline
-            self._cache[key] = load_pipeline(
+            cls._cache_pipe = load_pipeline(
                 model_name, random_init=random_init,
                 quantize=None if quantize == "none" else quantize)
-        return (self._cache[key],)
+            cls._cache_key = key
+        return (cls._cache_pipe,)
 
 
 class VideoCoFEdit:

@@ -70,7 +70,28 @@ def _window_indices(total: int, n_frames: int, stride: int,
     return [min(start + i * stride, hi - 1) for i in range(n_frames)]
 
 
-class ImageVideoDataset:
+class _RetryDataset:
+    """Shared loader plumbing: ``data_root`` path join and the reference's
+    retry-with-random-resample ``__getitem__``
+    (`dataset_image_video.py:1617-1650`). Subclasses set ``items``,
+    ``data_root``, ``rng``, ``max_retries`` and implement ``_load_one``."""
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def _path(self, p: str) -> str:
+        return os.path.join(self.data_root, p) if self.data_root else p
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        for _ in range(self.max_retries):
+            try:
+                return self._load_one(idx)
+            except Exception:
+                idx = int(self.rng.integers(0, len(self.items)))
+        raise RuntimeError("dataset: too many consecutive load failures")
+
+
+class ImageVideoDataset(_RetryDataset):
     """Generic t2v/i2v loader: each item is ``{file_path, text, type}`` with
     ``type`` 'video' or 'image'."""
 
@@ -105,12 +126,6 @@ class ImageVideoDataset:
         self.rng = np.random.default_rng(seed)
         self.max_retries = max_retries
 
-    def __len__(self) -> int:
-        return len(self.items)
-
-    def _path(self, p: str) -> str:
-        return os.path.join(self.data_root, p) if self.data_root else p
-
     def _read_image(self, path: str) -> np.ndarray:
         import cv2
         img = cv2.imread(path, cv2.IMREAD_COLOR)
@@ -131,22 +146,19 @@ class ImageVideoDataset:
             frames = _read_frames_at(path, indices)
             h, w = self.video_sample_size
         else:
+            total, indices = 1, [0]
             frames = self._read_image(path)
             h, w = self.image_sample_size
         frames = resize_center_crop(frames, h, w)
         text = item.get("text", item.get("caption", ""))
         if self.rng.random() < self.text_drop_ratio:
             text = ""
+        # frame_indices/total_frames let subclasses sample paired streams at
+        # the SAME moments (reference reads main and control video at one
+        # shared batch_index — `dataset_image_video.py:1834,1843-1845`)
         return {"pixel_values": _norm_chw(frames), "text": text,
-                "type": kind, "idx": idx}
-
-    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        for _ in range(self.max_retries):
-            try:
-                return self._load_one(idx)
-            except Exception:
-                idx = int(self.rng.integers(0, len(self.items)))
-        raise RuntimeError("dataset: too many consecutive load failures")
+                "type": kind, "idx": idx, "frame_indices": indices,
+                "total_frames": total}
 
 
 def _resample_time(arr: np.ndarray, new_t: int) -> np.ndarray:
@@ -174,27 +186,30 @@ class ImageVideoControlDataset(ImageVideoDataset):
         sample = super()._load_one(idx)
         item = self.items[sample.pop("idx")]
         ctrl = self._path(item.get("control_file_path", ""))
-        T = sample["pixel_values"].shape[1]
         h, w = sample["pixel_values"].shape[2:]
+        # the control stream must pair frame-for-frame with the sampled main
+        # frames: reference reads both videos at ONE shared batch_index
+        # (`dataset_image_video.py:1834,1843-1845`), so reuse the indices
+        indices = list(sample["frame_indices"])
         if self.enable_camera_info and ctrl.lower().endswith(".txt"):
-            # pose txt -> [T0, H, W, 6] Plücker map, resampled to the clip
-            # length (reference `:1822-1828`); control video zeroed
+            # pose txt -> [T0, H, W, 6] Plücker map, interpolated to the
+            # FULL clip length then picked at the sampled indices
+            # (reference `:1822-1828`); control video zeroed
             emb = process_pose_file(ctrl, width=w, height=h)
-            sample["control_camera_values"] = _resample_time(
-                emb, T).transpose(0, 3, 1, 2)                 # [T, 6, H, W]
+            emb = _resample_time(emb, sample["total_frames"])[indices]
+            sample["control_camera_values"] = emb.transpose(0, 3, 1, 2)
             sample["control_pixel_values"] = np.zeros_like(
                 sample["pixel_values"])
         else:
             total = _frame_count(ctrl)
-            indices = np.linspace(0, max(0, total - 1), T).astype(int)
-            frames = resize_center_crop(_read_frames_at(ctrl, list(indices)),
-                                        h, w)
+            clamped = [min(i, total - 1) for i in indices]
+            frames = resize_center_crop(_read_frames_at(ctrl, clamped), h, w)
             sample["control_pixel_values"] = _norm_chw(frames)
             sample["control_camera_values"] = None
         return sample
 
 
-class VideoEditDataset:
+class VideoEditDataset(_RetryDataset):
     """(source, edited) video-pair loader with the two-part instruction
     template (reference `:375-543`)."""
 
@@ -215,12 +230,6 @@ class VideoEditDataset:
         self.text_drop_ratio = text_drop_ratio
         self.rng = np.random.default_rng(seed)
         self.max_retries = max_retries
-
-    def __len__(self) -> int:
-        return len(self.items)
-
-    def _path(self, p: str) -> str:
-        return os.path.join(self.data_root, p) if self.data_root else p
 
     def _load_one(self, idx: int) -> Dict[str, np.ndarray]:
         item = self.items[idx]
@@ -243,14 +252,6 @@ class VideoEditDataset:
         return {"pixel_src": _norm_chw(read(src, src_idx)),
                 "pixel_tgt": _norm_chw(read(edt, edt_idx)),
                 "text": text, "edit_instruction": instruction}
-
-    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        for _ in range(self.max_retries):
-            try:
-                return self._load_one(idx)
-            except Exception:
-                idx = int(self.rng.integers(0, len(self.items)))
-        raise RuntimeError("dataset: too many consecutive load failures")
 
 
 class VideoEditReasoningDataset(CoTTripletDataset):

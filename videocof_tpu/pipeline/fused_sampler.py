@@ -227,6 +227,19 @@ def auto_segment_steps(n_tokens: int, do_cfg: bool,
     return max(1, min(8, int(max_segment_seconds / max(est, 1e-6))))
 
 
+def _drive_segments(step_seg, xs_host, lo, hi, segment_steps, carry):
+    """Dispatch ``step_seg(carry, xs_seg)`` over plan steps [lo, hi) in
+    chunks of ``segment_steps`` (host-side numpy slices of the precomputed
+    plan — each segment is one device dispatch)."""
+    i = lo
+    while i < hi:
+        k = min(segment_steps, hi - i)
+        carry = step_seg(carry, {k2: v[i:i + k]
+                                 for k2, v in xs_host.items()})
+        i += k
+    return carry
+
+
 def make_segmented_sample_fn(dit_cfg: WanDiTConfig, sampler_name: str,
                              plan: dict, do_cfg: bool, guidance_scale: float,
                              condition_count: int, dtype,
@@ -256,6 +269,7 @@ def make_segmented_sample_fn(dit_cfg: WanDiTConfig, sampler_name: str,
     # slices — each would be its own tunnel dispatch. Numpy slices are free
     # and the per-segment coefficients (a few floats per step) ride the
     # segment dispatch as tiny uploads.
+    segment_steps = max(1, int(segment_steps))
     xs_host = {k: np.asarray(v) for k, v in plan.items()}
     n_steps = len(next(iter(plan.values())))
     split = n_steps
@@ -311,33 +325,19 @@ def make_segmented_sample_fn(dit_cfg: WanDiTConfig, sampler_name: str,
                                     context, rope_cos, rope_sin)[1], latents)
             res = jnp.zeros(res_abs.shape, res_abs.dtype)
 
-        def drive(seg_fn, xs_all, lo, hi, carry, res):
-            i = lo
-            while i < hi:
-                k = min(segment_steps, hi - i)
-                xs_seg = {k2: v[i:i + k] for k2, v in xs_all.items()}
-                carry, res = seg_fn(dit_params, carry, res, xs_seg,
-                                    context, rope_cos, rope_sin)
-                i += k
-            return carry, res
-
         if split > 0:
-            carry, res = drive(seg_cfg, xs_host, 0, split, carry, res)
+            carry, res = _drive_segments(
+                lambda cr, xs: seg_cfg(dit_params, cr[0], cr[1], xs,
+                                       context, rope_cos, rope_sin),
+                xs_host, 0, split, segment_steps, (carry, res))
         if split < n_steps:
             ctx_cond = context[context.shape[0] // 2:]
             if thread_residual and res is not None:
                 res = res[-latents.shape[0]:]  # keep cond rows (ref [-B:])
-
-            def drive_plain(carry, res):
-                i = split
-                while i < n_steps:
-                    k = min(segment_steps, n_steps - i)
-                    xs_seg = {k2: v[i:i + k] for k2, v in xs_host.items()}
-                    carry, res = seg_plain(dit_params, carry, res, xs_seg,
-                                           ctx_cond, rope_cos, rope_sin)
-                    i += k
-                return carry, res
-            carry, res = drive_plain(carry, res)
+            carry, res = _drive_segments(
+                lambda cr, xs: seg_plain(dit_params, cr[0], cr[1], xs,
+                                         ctx_cond, rope_cos, rope_sin),
+                xs_host, split, n_steps, segment_steps, (carry, res))
         return final(carry)
 
     # introspection for benchmarking: dispatch one segment directly
@@ -368,6 +368,7 @@ def make_segmented_sample_fn_moe(dit_cfg: WanDiTConfig, sampler_name: str,
 
     Returns fn(dit_params, dit_params_2, latents, context, cos, sin).
     """
+    segment_steps = max(1, int(segment_steps))
     xs_host = {k: np.asarray(v) for k, v in plan.items()}
     n_steps = len(next(iter(plan.values())))
     if not 0 <= split_idx <= n_steps:
@@ -388,21 +389,17 @@ def make_segmented_sample_fn_moe(dit_cfg: WanDiTConfig, sampler_name: str,
     def run(dit_params, dit_params_2, latents, context, cos, sin):
         carry = init_carry(latents)
 
-        def drive(lo, hi, params, g, carry):
+        def phase(lo, hi, params, g, carry):
             g = jnp.float32(g)
-            i = lo
-            while i < hi:
-                k = min(segment_steps, hi - i)
-                xs_seg = {k2: v[i:i + k] for k2, v in xs_host.items()}
-                carry = seg(params, g, carry, xs_seg, context, cos, sin)
-                i += k
-            return carry
+            return _drive_segments(
+                lambda c, xs: seg(params, g, c, xs, context, cos, sin),
+                xs_host, lo, hi, segment_steps, carry)
 
         if split_idx > 0:
-            carry = drive(0, split_idx, dit_params_2, guidance_scale_2,
+            carry = phase(0, split_idx, dit_params_2, guidance_scale_2,
                           carry)
         if split_idx < n_steps:
-            carry = drive(split_idx, n_steps, dit_params, guidance_scale,
+            carry = phase(split_idx, n_steps, dit_params, guidance_scale,
                           carry)
         return final(carry)
 

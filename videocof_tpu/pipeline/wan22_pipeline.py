@@ -12,8 +12,11 @@ both experts reuse `wan_dit`. The expert choice is data-INdependent (monotone
 timestep schedule vs a fixed boundary), so the default path fuses the whole
 trajectory into one compiled program of two `lax.scan` phases — high-noise
 expert first, base expert after — threading one sampler carry
-(`fused_sampler.make_fused_sample_fn_moe`); ``fused_sampling=False`` falls
-back to one jitted dispatch per step.
+(`fused_sampler.make_fused_sample_fn_moe`). ``fused_sampling=False`` selects
+the SEGMENTED dual-expert trajectory (K steps per dispatch, one shared
+segment executable for both experts — for trajectories too long to run as
+one program on watchdog-limited workers); set ``VIDEOCOF_STEPWISE=1`` for
+the true one-dispatch-per-step loop (per-step debugging).
 """
 
 from __future__ import annotations
@@ -80,9 +83,7 @@ class Wan22Pipeline(WanPipeline):
         sched = _gs(sampler)
         sched.set_timesteps(num_inference_steps, shift=shift)
         split_idx = self._split_idx(sched)
-        sp = getattr(self, "sp_ctx", None)
-        if sp is not None and do_cfg and getattr(self, "cfg_parallel", False):
-            sp = sp.with_cfg_parallel()
+        sp = self._sp_for(do_cfg)
         fn = make_fused_sample_fn_moe(
             self.dit_cfg, sampler, sched.plan_arrays(), split_idx, do_cfg,
             guidance_scale, g2, cond, self.dtype,
@@ -190,10 +191,7 @@ class Wan22Pipeline(WanPipeline):
                     condition_count, self.attn_backend)
             if fkey not in self._jit_cache:
                 from .fused_sampler import make_fused_sample_fn_moe
-                sp = getattr(self, "sp_ctx", None)
-                if (sp is not None and do_cfg
-                        and getattr(self, "cfg_parallel", False)):
-                    sp = sp.with_cfg_parallel()
+                sp = self._sp_for(do_cfg)
                 self._jit_cache[fkey] = make_fused_sample_fn_moe(
                     self.dit_cfg, sampler, sched.plan_arrays(), split_idx,
                     do_cfg, guidance_scale, g2, condition_count, self.dtype,
@@ -214,16 +212,13 @@ class Wan22Pipeline(WanPipeline):
                                             make_segmented_sample_fn_moe)
                 L_tok = Tl * (Hl // ph) * (Wl // pw)
                 seg_env = _os.environ.get("VIDEOCOF_SEG_STEPS")
-                seg_n = int(seg_env) if seg_env else auto_segment_steps(
-                    L_tok, do_cfg)
+                seg_n = max(1, int(seg_env)) if seg_env else (
+                    auto_segment_steps(L_tok, do_cfg))
                 skey = ("seg22", sampler, num_inference_steps, float(shift),
                         do_cfg, float(guidance_scale), float(g2), split_idx,
                         condition_count, self.attn_backend, seg_n)
                 if skey not in self._jit_cache:
-                    sp = getattr(self, "sp_ctx", None)
-                    if (sp is not None and do_cfg
-                            and getattr(self, "cfg_parallel", False)):
-                        sp = sp.with_cfg_parallel()
+                    sp = self._sp_for(do_cfg)
                     self._jit_cache[skey] = make_segmented_sample_fn_moe(
                         self.dit_cfg, sampler, sched.plan_arrays(),
                         split_idx, do_cfg, guidance_scale, g2,

@@ -180,6 +180,15 @@ class WanPipeline:
         return wan_vae.decode(self.vae_params, self.vae_cfg,
                               z.astype(self.dtype))
 
+    def _sp_for(self, do_cfg: bool):
+        """SPContext for a trajectory: the cfg-parallel variant when CFG is
+        on and the pipeline was configured with cfg_parallel (cond/uncond
+        rows sharded over the data axis)."""
+        sp = getattr(self, "sp_ctx", None)
+        if sp is not None and do_cfg and getattr(self, "cfg_parallel", False):
+            sp = sp.with_cfg_parallel()
+        return sp
+
     def _post_u8(self):
         if "post_u8" not in self._jit_cache:
             self._jit_cache["post_u8"] = jax.jit(lambda x: jnp.clip(
@@ -305,9 +314,7 @@ class WanPipeline:
 
         sched = get_scheduler(sampler)
         sched.set_timesteps(num_inference_steps, shift=shift)
-        sp = getattr(self, "sp_ctx", None)
-        if sp is not None and do_cfg and getattr(self, "cfg_parallel", False):
-            sp = sp.with_cfg_parallel()
+        sp = self._sp_for(do_cfg)
         fn = make_fused_sample_fn(
             self.dit_cfg, sampler, sched.plan_arrays(), do_cfg,
             guidance_scale, cond, self.dtype,
@@ -352,9 +359,7 @@ class WanPipeline:
 
         dit_cfg = self.dit_cfg
         backend = self.attn_backend
-        sp = getattr(self, "sp_ctx", None)
-        if sp is not None and do_cfg and getattr(self, "cfg_parallel", False):
-            sp = sp.with_cfg_parallel()
+        sp = self._sp_for(do_cfg)
 
         @jax.jit
         def step(dit_params, latents, t_scalar, context, rope_cos, rope_sin,
@@ -524,10 +529,7 @@ class WanPipeline:
                     skip_mask, cfg_off, self.attn_backend)
             if fkey not in self._jit_cache:
                 from .fused_sampler import make_fused_sample_fn
-                sp = getattr(self, "sp_ctx", None)
-                if (sp is not None and do_cfg
-                        and getattr(self, "cfg_parallel", False)):
-                    sp = sp.with_cfg_parallel()
+                sp = self._sp_for(do_cfg)
                 self._jit_cache[fkey] = make_fused_sample_fn(
                     self.dit_cfg, sampler, sched.plan_arrays(), do_cfg,
                     guidance_scale, condition_count, self.dtype,
@@ -582,10 +584,7 @@ class WanPipeline:
                     cfg_off_after if cfg_skip_ratio > 0.0 else None,
                     self.attn_backend, seg_n)
             if skey not in self._jit_cache:
-                sp = getattr(self, "sp_ctx", None)
-                if (sp is not None and do_cfg
-                        and getattr(self, "cfg_parallel", False)):
-                    sp = sp.with_cfg_parallel()
+                sp = self._sp_for(do_cfg)
                 self._jit_cache[skey] = make_segmented_sample_fn(
                     self.dit_cfg, sampler, sched.plan_arrays(), do_cfg,
                     guidance_scale, condition_count, self.dtype,

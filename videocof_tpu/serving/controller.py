@@ -142,4 +142,9 @@ class VideoCoFClient:
                 os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
                 with open(save_path, "wb") as f:
                     f.write(out["video_bytes"])
+        elif save_path:
+            # fail fast: the caller asked for a file; don't return an error
+            # dict they may never inspect
+            raise RuntimeError(f"server returned no video: "
+                               f"{out.get('message', out)}")
         return out

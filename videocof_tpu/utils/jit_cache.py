@@ -15,29 +15,33 @@ from __future__ import annotations
 
 import os
 
-_enabled = False
+_enabled_path: str | None = None
 
 
 def enable_persistent_compilation_cache(path: str | None = None) -> str:
-    """Idempotent. Default dir: `$VIDEOCOF_JIT_CACHE` or `<repo>/.jax_cache`
-    (falling back to `~/.cache/videocof_tpu/jax` outside a checkout)."""
-    global _enabled
+    """Idempotent; returns the ACTIVE cache dir. Default:
+    `$VIDEOCOF_JIT_CACHE` or `<repo>/.jax_cache` (falling back to
+    `~/.cache/videocof_tpu/jax` outside a checkout). A later call with a
+    DIFFERENT explicit path reconfigures JAX to it (last writer wins) so the
+    returned path is always the one in effect."""
+    global _enabled_path
     import jax
     if path is None:
         path = os.environ.get("VIDEOCOF_JIT_CACHE")
     if path is None:
         repo = os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))))
+        # .git is a FILE in worktrees — existence, not isdir, marks a checkout
         path = (os.path.join(repo, ".jax_cache")
-                if os.path.isdir(os.path.join(repo, ".git"))
+                if os.path.exists(os.path.join(repo, ".git"))
                 else os.path.join(os.path.expanduser("~"), ".cache",
                                   "videocof_tpu", "jax"))
     path = os.path.abspath(path)
-    if _enabled:
+    if _enabled_path == path:
         return path
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     # only big graphs are worth the disk: sub-10s compiles recompile fine
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-    _enabled = True
+    _enabled_path = path
     return path
