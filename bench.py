@@ -86,6 +86,8 @@ def main():
         dit_cfg = dit_cfg.replace(num_layers=2, dim=384, ffn_dim=1024,
                                   num_heads=3)
 
+    moe = os.environ.get("BENCH_MOE") == "1"  # Wan2.2 dual-expert variant
+
     t0 = time.time()
     # one jitted dispatch per model: eager init is hundreds of tunnel
     # round-trips on the axon transport
@@ -96,10 +98,21 @@ def main():
         lambda k: wan_vae.init_wan_vae(k, vae_cfg, dtype=jnp.bfloat16)
     )(jax.random.PRNGKey(1))
     n_params = sum(x.size for x in jax.tree.leaves(dit_params))
-    log(f"init: {time.time()-t0:.1f}s; DiT params {n_params/1e9:.2f}B")
+    log(f"init: {time.time()-t0:.1f}s; DiT params {n_params/1e9:.2f}B"
+        + (" x2 experts (MoE)" if moe else ""))
 
-    pipe = WanPipeline(dit_params, dit_cfg, vae_params, vae_cfg,
-                       t5_params=None, t5_cfg=t5_cfg, dtype=jnp.bfloat16)
+    if moe:
+        from videocof_tpu.pipeline import Wan22Pipeline
+        dit_params_2 = jax.jit(
+            lambda k: wan_dit.init_wan_dit(k, dit_cfg, dtype=jnp.bfloat16)
+        )(jax.random.PRNGKey(7))
+        pipe = Wan22Pipeline(dit_params, dit_cfg, vae_params, vae_cfg,
+                             t5_params=None, t5_cfg=t5_cfg,
+                             dtype=jnp.bfloat16, dit_params_2=dit_params_2,
+                             boundary=0.875)
+    else:
+        pipe = WanPipeline(dit_params, dit_cfg, vae_params, vae_cfg,
+                           t5_params=None, t5_cfg=t5_cfg, dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
     # uint8 input like a real decoded clip (4x less host->device traffic)
@@ -118,6 +131,13 @@ def main():
     fused = ((fused == "1") if fused else
              (steps * (2 if do_cfg else 1) <= 16 and est_tokens <= 40_000))
 
+    moe_kw = ({"guidance_scale_2": max(1.0, guidance - 1.5)} if moe else
+              {"enable_teacache": teacache,
+               "teacache_coefficients": (
+                   None if not teacache else __import__(
+                       "videocof_tpu.models.teacache", fromlist=["x"]
+                   ).TEACACHE_COEFFICIENTS["wan2.1-t2v-1.3b"])})
+
     def run():
         return pipe(video, prompt="bench", source_frames=source_frames,
                     reasoning_frames=reasoning_frames,
@@ -125,12 +145,7 @@ def main():
                     negative_prompt="bench-neg" if do_cfg else "",
                     negative_prompt_embeds=embeds if do_cfg else None,
                     shift=3.0, sampler="unipc", repeat_rope=True, cot=True,
-                    prompt_embeds=embeds, fused_sampling=fused,
-                    enable_teacache=teacache,
-                    teacache_coefficients=(
-                        None if not teacache else __import__(
-                            "videocof_tpu.models.teacache", fromlist=["x"]
-                        ).TEACACHE_COEFFICIENTS["wan2.1-t2v-1.3b"]))
+                    prompt_embeds=embeds, fused_sampling=fused, **moe_kw)
 
     t0 = time.time()
     out = run()  # compile + run
@@ -272,16 +287,20 @@ def main():
 
     name = f"sec_per_video_{steps}step" + ("_cfg" if do_cfg else "")
     name += ("_teacache" if teacache else "")
-    name += "_480p_1.3b" + ("_4x" if source_frames == 133 else "")
+    name += "_480p_1.3b" + ("_moe" if moe else "") \
+        + ("_4x" if source_frames == 133 else "")
     print(json.dumps({
         "metric": name if (do_cfg or steps != 4 or source_frames == 133
-                           or teacache)
+                           or teacache or moe)
         else "sec_per_video_4step_480p_1.3b",
         "value": round(value, 3),
         "unit": "s",
         "vs_baseline": round(value / 30.0, 4),
-        "model": "wan2.1-t2v-1.3b bf16 on 1x v5e (reference baseline: "
-                 "14B on H100 — ~10x more FLOPs per video)",
+        "model": ("wan2.2-style dual-expert MoE, 2x 1.3B bf16 on 1x v5e "
+                  "(boundary-routed experts; reference: Wan2.2-A14B on GPU)"
+                  if moe else
+                  "wan2.1-t2v-1.3b bf16 on 1x v5e (reference baseline: "
+                  "14B on H100 — ~10x more FLOPs per video)"),
         "tokens": L_tokens,
         "per_step_s": round(per_step, 3),
         "dit_tflops_per_s": round(tflops, 1),
