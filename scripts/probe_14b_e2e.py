@@ -41,6 +41,16 @@ def main():
                     help="latent frames per streaming VAE step (1 fits "
                          "beside the resident 14B; 2 is the 1.3B default)")
     ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--ffn-chunks", type=int, default=0,
+                    help="chunk the FFN matmuls to cut DiT step temps "
+                         "(~0.14 GiB per doubling at 29.6k tokens); needed "
+                         "for --keep-decoder headroom")
+    ap.add_argument("--keep-decoder", action="store_true",
+                    help="keep the VAE decoder (0.13 GiB) resident through "
+                         "the denoise stage so decode needs NO re-ship — "
+                         "the full-VAE co-residency is infeasible "
+                         "(probe_vae_memory: enc/dec chunk programs need "
+                         "~4-5 GiB incl. streaming caches vs ~1.6 free)")
     args = ap.parse_args()
 
     import jax
@@ -61,6 +71,8 @@ def main():
     cfg = WAN21_T2V_14B.replace(stream_dtype="bfloat16",
                                 rope_dtype="bfloat16",
                                 token_pad_multiple=128)
+    if args.ffn_chunks:
+        cfg = cfg.replace(ffn_chunks=args.ffn_chunks)
     vae_cfg = WanVAEConfig()
     height, width, source_frames, reasoning_frames = 480, 832, 33, 4
 
@@ -117,7 +129,14 @@ def main():
     in_fmts = step_compiled.input_formats[0]
     fmts = in_fmts[0]
     t_compile = time.time() - t0
-    print(f"step AOT compile: {t_compile:.1f}s", file=sys.stderr)
+    try:
+        ma = step_compiled.memory_analysis()
+        print(f"step AOT compile: {t_compile:.1f}s; temps "
+              f"{ma.temp_size_in_bytes/2**30:.2f} GiB, args "
+              f"{ma.argument_size_in_bytes/2**30:.2f} GiB, out "
+              f"{ma.output_size_in_bytes/2**30:.2f} GiB", file=sys.stderr)
+    except Exception:
+        print(f"step AOT compile: {t_compile:.1f}s", file=sys.stderr)
 
     # 2) weights created IN the executable's formats. Device-side
     # init+quantize OOMs at the tail (fp8 total 13.83 GiB + the last 2 GiB
@@ -153,7 +172,8 @@ def main():
             else:
                 host = (0.02 * rng2.standard_normal(a.shape).astype(
                     np.float32)).astype(a.dtype)
-            shipped.append(jax.device_put(host, fmt))
+            from videocof_tpu.utils.layouts import device_put_into
+            shipped.append(device_put_into(host, fmt))
             del host
         jax.block_until_ready(shipped)
         params = jax.tree.unflatten(tdef, shipped)
@@ -199,17 +219,32 @@ def main():
     print(f"encode (pre-weights): {t_encode:.1f}s -> {latents.shape}",
           file=sys.stderr)
 
-    # Full staging: the 13.83 GiB trajectory runs with ~1.9 GiB of HLO
-    # temps — every non-essential buffer must be off the chip. Keep a host
-    # copy of the VAE (0.24 GiB, ~8 s to re-ship) and free it for the
-    # denoise stage.
-    vae_leaves, vae_tdef = jax.tree.flatten(pipe.vae_params)
-    vae_host = [np.asarray(x) for x in vae_leaves]
-    for x in vae_leaves:
-        x.delete()
-    pipe.vae_params = None
-    del vae_leaves
+    # Staging: the 13.83 GiB trajectory runs with ~1.5 GiB of HLO temps —
+    # every non-essential buffer must be off the chip.
+    #
+    # --keep-decoder: free only the ENCODER half (done for this video) and
+    # keep the decoder + post_quant_conv (0.13 GiB) resident, so the decode
+    # stage starts the moment the DiT is freed — no re-ship. Needs the
+    # --ffn-chunks step-temp headroom.
+    # Default: free the whole VAE, keep a host copy (0.24 GiB, ~8 s to
+    # re-ship before decode).
     import gc
+    vae_tdef = vae_host = None
+    if args.keep_decoder:
+        vp = pipe.vae_params
+        dec_keep = {"decoder": vp["decoder"],
+                    "post_quant_conv": vp["post_quant_conv"]}
+        for x in jax.tree.leaves({"encoder": vp["encoder"],
+                                  "quant_conv": vp["quant_conv"]}):
+            x.delete()
+        pipe.vae_params = dec_keep
+    else:
+        vae_leaves, vae_tdef = jax.tree.flatten(pipe.vae_params)
+        vae_host = [np.asarray(x) for x in vae_leaves]
+        for x in vae_leaves:
+            x.delete()
+        pipe.vae_params = None
+        del vae_leaves
     jax.clear_caches()  # drop encode executables (their device constants too)
     gc.collect()
 
@@ -264,19 +299,23 @@ def main():
     print(f"denoise ({args.steps} AOT steps): "
           f"{[f'{t:.2f}' for t in times]}", file=sys.stderr)
 
-    # decode stage: free the DiT, re-ship the VAE (t_vae_ship counts
-    # toward the e2e wall — it is the staging cost, ~8 s for 0.24 GiB)
+    # decode stage: free the DiT, then either decode straight away on the
+    # resident decoder (--keep-decoder) or re-ship the VAE (t_vae_ship
+    # counts toward the e2e wall — the staging cost, ~8 s for 0.24 GiB)
     lat_host = np.asarray(lat_out)  # keep the result across the staging
     pipe.dit_params = None
     for leaf in jax.tree.leaves(params):
         leaf.delete()
     del params, lat_out
     gc.collect()
-    t0 = time.time()
-    pipe.vae_params = jax.tree.unflatten(
-        vae_tdef, [jax.device_put(x) for x in vae_host])
-    jax.block_until_ready(jax.tree.leaves(pipe.vae_params))
-    t_vae_ship = time.time() - t0
+    if args.keep_decoder:
+        t_vae_ship = 0.0
+    else:
+        t0 = time.time()
+        pipe.vae_params = jax.tree.unflatten(
+            vae_tdef, [jax.device_put(x) for x in vae_host])
+        jax.block_until_ready(jax.tree.leaves(pipe.vae_params))
+        t_vae_ship = time.time() - t0
     lat_dev = jnp.asarray(lat_host)
     decode_staged = True
     pipe._decode_outputs(lat_dev, True, cond, ground)  # compile + warm
@@ -303,6 +342,8 @@ def main():
                  "14B bf16 + CPU offload on H100 80GB, ~30 s/video)",
         "params_gib": round(state["pbytes"] / 2**30, 2),
         "vae_chunk": args.vae_chunk,
+        "ffn_chunks": args.ffn_chunks or cfg.ffn_chunks,
+        "resident_decoder": bool(args.keep_decoder),
         "compile_s": round(t_compile, 1),
         "init_s": round(state["t_init"], 1),
         "stages": {"encode_s": round(t_encode, 2),

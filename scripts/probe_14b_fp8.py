@@ -129,7 +129,8 @@ def main():
             else:
                 host = (0.02 * rng.standard_normal(a.shape).astype(
                     np.float32)).astype(a.dtype)
-            out.append(jax.device_put(host, fmt))
+            from videocof_tpu.utils.layouts import device_put_into
+            out.append(device_put_into(host, fmt))
             del host
         jax.block_until_ready(out)
         return jax.tree.unflatten(tdef, out)

@@ -178,7 +178,8 @@ def main():
         else:
             host = (0.02 * rng2.standard_normal(a.shape).astype(
                 np.float32)).astype(a.dtype)
-        shipped.append(jax.device_put(host, fmt))
+        from videocof_tpu.utils.layouts import device_put_into
+        shipped.append(device_put_into(host, fmt))
         del host
     jax.block_until_ready(shipped)
     params = jax.tree.unflatten(tdef, shipped)

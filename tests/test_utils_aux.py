@@ -120,3 +120,24 @@ def test_layout_targeting_roundtrip():
     out = compiled(dev, x)
     want = host["w"] @ np.ones((8, 4), np.float32) + 1.0
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-6)
+
+
+def test_device_put_into_relayout_fallback():
+    """device_put_into lands the leaf in the requested format even when a
+    plain device_put would miss it (on TPU, AUTO-layout executables can
+    request transposed kernel layouts that device_put-from-numpy silently
+    drops — the fallback relayouts on device). On CPU formats are trivial,
+    so this covers the verify-then-passthrough path plus value equality."""
+    import jax
+    import numpy as np
+    from videocof_tpu.utils.layouts import (consumer_input_formats,
+                                            device_put_into)
+
+    p_abs = {"w": jax.ShapeDtypeStruct((4, 6), "float32")}
+    compiled, fmts = consumer_input_formats(
+        lambda p: p["w"].T.sum(axis=1), p_abs)
+    host = np.arange(24, dtype=np.float32).reshape(4, 6)
+    arr = device_put_into(host, jax.tree.leaves(fmts)[0])
+    np.testing.assert_allclose(np.asarray(arr), host)
+    np.testing.assert_allclose(np.asarray(compiled({"w": arr})),
+                               host.T.sum(axis=1))

@@ -32,15 +32,41 @@ def consumer_input_formats(fn, *abstract_args, argnum: int = 0):
     return compiled, compiled.input_formats[0][argnum]
 
 
+def device_put_into(host_leaf: Any, fmt: Any) -> Any:
+    """`jax.device_put(host, fmt)` that actually lands in ``fmt``.
+
+    On this runtime, device_put from host numpy silently commits the
+    DEFAULT layout when the Format requests a non-default one (observed:
+    AUTO-layout executables picking major_to_minor=(0,2,1) for fp8
+    [40,5120,5120] attention kernels — the put succeeds, then the AOT call
+    raises a layout-mismatch ValueError). Verify the landed format and
+    fall back to a device-side relayout (jitted identity with
+    out_shardings=fmt); the transient cost is one extra copy of that leaf.
+    """
+    arr = jax.device_put(host_leaf, fmt)
+    try:
+        matches = (fmt is None or getattr(fmt, "layout", None) is None
+                   or arr.format == fmt)
+    except Exception:
+        matches = True  # backends without Format introspection
+    if not matches:
+        fixed = jax.jit(lambda a: a, out_shardings=fmt)(arr)
+        arr.delete()
+        return fixed
+    return arr
+
+
 def ship_tree_into(host_tree: Any, formats: Any) -> Any:
     """Leaf-wise `jax.device_put` of a host (numpy) pytree into target
     Formats; each host leaf is released as soon as its device copy exists,
-    so peak device memory = accumulated tree + one leaf."""
+    so peak device memory = accumulated tree + one leaf (plus one transient
+    relayout copy for leaves where device_put misses the target layout —
+    see :func:`device_put_into`)."""
     leaves, tdef = jax.tree.flatten(host_tree)
     fmts = jax.tree.flatten(formats)[0]
     out = []
     for i in range(len(leaves)):
-        out.append(jax.device_put(leaves[i], fmts[i]))
+        out.append(device_put_into(leaves[i], fmts[i]))
         leaves[i] = None
     jax.block_until_ready(out)
     return jax.tree.unflatten(tdef, out)
