@@ -45,6 +45,18 @@ def main():
                     help="chunk the FFN matmuls to cut DiT step temps "
                          "(~0.14 GiB per doubling at 29.6k tokens); needed "
                          "for --keep-decoder headroom")
+    ap.add_argument("--layouts", choices=["default", "auto"],
+                    default="default",
+                    help="param layouts for the AOT step. 'auto' lets XLA "
+                         "pick (it chose transposed kernels for the two "
+                         "attention v leaves with ffn_chunks=4) but is "
+                         "UNRELIABLE through the persistent compile cache: "
+                         "the deserialized executable's reported "
+                         "input_formats flipped between runs vs the layouts "
+                         "it actually requires, so the ship lands weights "
+                         "the call then rejects. 'default' pins the "
+                         "reproducible default layouts (the recorded 56 s "
+                         "run's AUTO pick was all-default anyway).")
     ap.add_argument("--keep-decoder", action="store_true",
                     help="keep the VAE decoder (0.13 GiB) resident through "
                          "the denoise stage so decode needs NO re-ship — "
@@ -123,11 +135,20 @@ def main():
         return v.at[:, :, :cond_].set(0.0), res  # source freeze
 
     t0 = time.time()
-    step_compiled = jax.jit(
-        dit_step, in_shardings=Format(Layout.AUTO)).lower(
+    jit_kw = ({"in_shardings": Format(Layout.AUTO)}
+              if args.layouts == "auto" else {})
+    step_compiled = jax.jit(dit_step, **jit_kw).lower(
         p_abs, lat_abs, t_abs, c_abs, cos_r, sin_r).compile()
     in_fmts = step_compiled.input_formats[0]
     fmts = in_fmts[0]
+    nondefault = [
+        (jax.tree_util.keystr(kp), f.layout.major_to_minor)
+        for kp, f in jax.tree.flatten_with_path(fmts)[0]
+        if f.layout.major_to_minor != tuple(range(len(
+            f.layout.major_to_minor)))]
+    if nondefault:
+        print(f"non-default param layouts reported: {nondefault[:4]}"
+              f"{'...' if len(nondefault) > 4 else ''}", file=sys.stderr)
     t_compile = time.time() - t0
     try:
         ma = step_compiled.memory_analysis()

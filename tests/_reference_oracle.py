@@ -140,6 +140,17 @@ def _install_diffusers_stub():
     vae_mod.DiagonalGaussianDistribution = DiagonalGaussianDistribution
     vae_mod.DecoderOutput = DecoderOutput
 
+    lora_mod = mod("diffusers.models.lora")
+
+    class LoRACompatibleLinear(nn.Linear):
+        pass
+
+    class LoRACompatibleConv(nn.Conv2d):
+        pass
+
+    lora_mod.LoRACompatibleLinear = LoRACompatibleLinear
+    lora_mod.LoRACompatibleConv = LoRACompatibleConv
+
     mo = mod("diffusers.models.modeling_outputs")
 
     class AutoencoderKLOutput:
@@ -294,4 +305,8 @@ def load_reference():
         "videox_fun.models.wan_xlm_roberta")
     ns.wan_image_encoder = importlib.import_module(
         "videox_fun.models.wan_image_encoder")
+    ns.wan_vae3_8 = importlib.import_module("videox_fun.models.wan_vae3_8")
+    ns.wan_transformer3d_vace = importlib.import_module(
+        "videox_fun.models.wan_transformer3d_vace")
+    ns.lora_utils = importlib.import_module("videox_fun.utils.lora_utils")
     return ns

@@ -76,20 +76,27 @@ def parse_lora_state_dict(sd: Dict[str, np.ndarray], num_layers: int
         return underscore_to_dotted.get(raw)
 
     for key, val in sd.items():
+        # kohya underscore names first (they would also match the generic
+        # dotted regex below, whose canon() would then fail)
         m = re.match(
-            r"^(?:diffusion_model\.|transformer\.)(.+?)\."
-            r"(lora_A|lora_B|lora_down|lora_up)\.weight$", key)
+            r"^lora_unet_(.+?)\.(lora_A|lora_B|lora_down|lora_up)"
+            r"(?:\.default)?\.weight$", key)
         if m:
             name, which = m.group(1), m.group(2)
         else:
+            # dotted formats: optional diffusion_model./transformer. prefix
+            # (PEFT adapters exported bare use no prefix at all — the
+            # reference prepends lora_unet__ to any lora_A/lora_B key,
+            # `lora_utils.py:386-393`), optional peft ".default" infix
             m = re.match(
-                r"^lora_unet_(.+?)\.(lora_A|lora_B|lora_down|lora_up)"
-                r"\.weight$", key)
+                r"^(?:diffusion_model\.|transformer\.)?(.+?)\."
+                r"(lora_A|lora_B|lora_down|lora_up)(?:\.default)?\.weight$",
+                key)
             if m:
                 name, which = m.group(1), m.group(2)
             else:
-                m = re.match(r"^(?:lora_unet_|diffusion_model\.|transformer\.)"
-                             r"(.+?)\.alpha$", key)
+                m = re.match(r"^(?:lora_unet_|diffusion_model\.|"
+                             r"transformer\.)?(.+?)\.alpha$", key)
                 if m:
                     name = canon(m.group(1))
                     if name:

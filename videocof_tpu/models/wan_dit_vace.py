@@ -49,6 +49,48 @@ def init_vace_params(key, cfg: WanDiTConfig, stride: int = 2,
     }
 
 
+def convert_vace_state_dict(sd, cfg: WanDiTConfig, stride: int = 2,
+                            dtype=None):
+    """`VaceWanTransformer3DModel` torch keys -> (base_params, vace_params).
+
+    Base keys (``blocks.{i}`` — `BaseWanAttentionBlock` adds no parameters,
+    `wan_transformer3d_vace.py:66-90`) go through
+    `weights.convert_dit_state_dict`; the control branch maps
+    ``vace_patch_embedding`` (Conv3d -> linear over patchified tokens, same
+    reshape as the base patch embed), ``vace_blocks.{n}`` (full Wan blocks),
+    the zero-init ``vace_blocks.0.before_proj`` and the per-block
+    ``after_proj`` stack (`:20-41`).
+    """
+    import numpy as np
+
+    from .weights import _lin, convert_block_state_dict, \
+        convert_dit_state_dict
+    dtype = dtype or np.float32
+
+    base = convert_dit_state_dict(sd, cfg, dtype=dtype)
+    n_vace = cfg.num_layers // stride
+
+    pe_w = sd["vace_patch_embedding.weight"]  # [D, C, kt, kh, kw]
+    vace = {
+        "vace_patch_embed": {
+            "kernel": np.ascontiguousarray(
+                pe_w.reshape(pe_w.shape[0], -1).T).astype(dtype),
+            "bias": sd["vace_patch_embedding.bias"].astype(dtype),
+        },
+        "before_proj": _lin(sd, "vace_blocks.0.before_proj", dtype),
+    }
+    blocks = [convert_block_state_dict(sd, f"vace_blocks.{n}.", cfg, dtype)
+              for n in range(n_vace)]
+    import jax
+    vace["vace_blocks"] = jax.tree.map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *blocks)
+    projs = [_lin(sd, f"vace_blocks.{n}.after_proj", dtype)
+             for n in range(n_vace)]
+    vace["after_proj"] = jax.tree.map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *projs)
+    return base, vace
+
+
 def vace_forward(
     base_params: Dict[str, Any],
     vace_params: Dict[str, Any],

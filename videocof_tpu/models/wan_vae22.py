@@ -21,6 +21,7 @@ from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import wan_vae as W
 
@@ -203,6 +204,74 @@ def init_wan22_vae(key, cfg: Wan22VAEConfig, dtype=jnp.float32) -> Params:
                                    dtype),
         "post_quant_conv": W._init_conv(next(it), cfg.z_dim, cfg.z_dim, 1,
                                         dtype),
+        "decoder": dec,
+    }
+
+
+# -------------------------------------------------------------- conversion
+
+def convert_wan22_vae_state_dict(sd: Dict[str, np.ndarray],
+                                 cfg: Wan22VAEConfig,
+                                 dtype=np.float32) -> Params:
+    """Wan2.2 (3.8-style) checkpoint keys -> :func:`init_wan22_vae` pytree.
+
+    Differs from the Wan2.1 layout (`weights.convert_vae_state_dict`) in the
+    per-stage nesting: ``encoder.downsamples.{i}`` is a ``Down_ResidualBlock``
+    holding its own ``.downsamples`` Sequential (`wan_vae3_8.py:420-457`),
+    and ``decoder.upsamples.{i}.upsamples`` mirrors it with
+    ``num_res_blocks+1`` residual blocks (`:460-502`). The AvgDown3D /
+    DupUp3D shortcut paths are parameter-free. Wrapper convs ``conv1`` /
+    ``conv2`` map to quant/post-quant (`:771-772`).
+    """
+    from .weights import _attn_block, _conv, _res_block
+
+    if not any(k.startswith("encoder.") for k in sd):
+        sd = {k.removeprefix("model."): v for k, v in sd.items()}
+    n = len(cfg.dim_mult)
+
+    enc: Params = {"conv1": _conv(sd, "encoder.conv1", dtype), "down": []}
+    for i in range(n):
+        pre = f"encoder.downsamples.{i}.downsamples"
+        stage: Params = {"res": [
+            _res_block(sd, f"{pre}.{j}", dtype)
+            for j in range(cfg.num_res_blocks)]}
+        if i != n - 1:
+            rs = f"{pre}.{cfg.num_res_blocks}"
+            stage["resample"] = {"conv": _conv(sd, rs + ".resample.1", dtype)}
+            if rs + ".time_conv.weight" in sd:
+                stage["resample"]["time_conv"] = _conv(sd, rs + ".time_conv",
+                                                       dtype)
+        enc["down"].append(stage)
+    enc["mid_rb1"] = _res_block(sd, "encoder.middle.0", dtype)
+    enc["mid_attn"] = _attn_block(sd, "encoder.middle.1", dtype)
+    enc["mid_rb2"] = _res_block(sd, "encoder.middle.2", dtype)
+    enc["head_norm"] = {"gamma": sd["encoder.head.0.gamma"].astype(dtype)}
+    enc["head_conv"] = _conv(sd, "encoder.head.2", dtype)
+
+    dec: Params = {"conv1": _conv(sd, "decoder.conv1", dtype)}
+    dec["mid_rb1"] = _res_block(sd, "decoder.middle.0", dtype)
+    dec["mid_attn"] = _attn_block(sd, "decoder.middle.1", dtype)
+    dec["mid_rb2"] = _res_block(sd, "decoder.middle.2", dtype)
+    dec["up"] = []
+    for i in range(n):
+        pre = f"decoder.upsamples.{i}.upsamples"
+        stage = {"res": [
+            _res_block(sd, f"{pre}.{j}", dtype)
+            for j in range(cfg.num_res_blocks + 1)]}
+        if i != n - 1:
+            rs = f"{pre}.{cfg.num_res_blocks + 1}"
+            stage["resample"] = {"conv": _conv(sd, rs + ".resample.1", dtype)}
+            if rs + ".time_conv.weight" in sd:
+                stage["resample"]["time_conv"] = _conv(sd, rs + ".time_conv",
+                                                       dtype)
+        dec["up"].append(stage)
+    dec["head_norm"] = {"gamma": sd["decoder.head.0.gamma"].astype(dtype)}
+    dec["head_conv"] = _conv(sd, "decoder.head.2", dtype)
+
+    return {
+        "encoder": enc,
+        "quant_conv": _conv(sd, "conv1", dtype),
+        "post_quant_conv": _conv(sd, "conv2", dtype),
         "decoder": dec,
     }
 

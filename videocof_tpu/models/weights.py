@@ -112,6 +112,35 @@ def _lin(sd: StateDict, prefix: str, dtype, bias=True) -> Dict[str, np.ndarray]:
     return p
 
 
+def convert_block_state_dict(sd: StateDict, prefix: str, cfg: WanDiTConfig,
+                             dtype=np.float32) -> Dict[str, Any]:
+    """One `WanAttentionBlock`'s torch keys (under ``prefix``, e.g.
+    ``blocks.3.`` or ``vace_blocks.0.``) -> `wan_dit.init_block_params`
+    pytree layout."""
+    attn = lambda name: {
+        "q": _lin(sd, prefix + name + ".q", dtype),
+        "k": _lin(sd, prefix + name + ".k", dtype),
+        "v": _lin(sd, prefix + name + ".v", dtype),
+        "o": _lin(sd, prefix + name + ".o", dtype),
+        "norm_q": {"weight": sd[prefix + name + ".norm_q.weight"].astype(
+            dtype)},
+        "norm_k": {"weight": sd[prefix + name + ".norm_k.weight"].astype(
+            dtype)},
+    }
+    p = {
+        "self_attn": attn("self_attn"),
+        "cross_attn": attn("cross_attn"),
+        "ffn": {"fc1": _lin(sd, prefix + "ffn.0", dtype),
+                "fc2": _lin(sd, prefix + "ffn.2", dtype)},
+        "modulation": sd[prefix + "modulation"].reshape(6, -1).astype(
+            np.float32),
+    }
+    if cfg.cross_attn_norm:
+        p["norm3"] = {"scale": sd[prefix + "norm3.weight"].astype(dtype),
+                      "bias": sd[prefix + "norm3.bias"].astype(dtype)}
+    return p
+
+
 def convert_dit_state_dict(sd: StateDict, cfg: WanDiTConfig,
                            dtype=np.float32) -> Dict[str, Any]:
     """Wan DiT torch keys -> `wan_dit.init_wan_dit` pytree layout."""
@@ -135,29 +164,8 @@ def convert_dit_state_dict(sd: StateDict, cfg: WanDiTConfig,
         },
     }
 
-    def block(i: int):
-        b = f"blocks.{i}."
-        attn = lambda name: {
-            "q": _lin(sd, b + name + ".q", dtype),
-            "k": _lin(sd, b + name + ".k", dtype),
-            "v": _lin(sd, b + name + ".v", dtype),
-            "o": _lin(sd, b + name + ".o", dtype),
-            "norm_q": {"weight": sd[b + name + ".norm_q.weight"].astype(dtype)},
-            "norm_k": {"weight": sd[b + name + ".norm_k.weight"].astype(dtype)},
-        }
-        p = {
-            "self_attn": attn("self_attn"),
-            "cross_attn": attn("cross_attn"),
-            "ffn": {"fc1": _lin(sd, b + "ffn.0", dtype),
-                    "fc2": _lin(sd, b + "ffn.2", dtype)},
-            "modulation": sd[b + "modulation"].reshape(6, -1).astype(f32),
-        }
-        if cfg.cross_attn_norm:
-            p["norm3"] = {"scale": sd[b + "norm3.weight"].astype(dtype),
-                          "bias": sd[b + "norm3.bias"].astype(dtype)}
-        return p
-
-    blocks = [block(i) for i in range(cfg.num_layers)]
+    blocks = [convert_block_state_dict(sd, f"blocks.{i}.", cfg, dtype)
+              for i in range(cfg.num_layers)]
     params["blocks"] = _stack_pytrees(blocks)
     return params
 
