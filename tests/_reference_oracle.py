@@ -252,6 +252,33 @@ def _install_torchvision_stub():
     sys.modules["torchvision.transforms"] = tr
 
 
+def _install_dataset_dep_stubs():
+    """dataset_image_video.py imports decord/albumentations/func_timeout at
+    module level but the oracle targets (the instruction regex, frame-index
+    math, visualization helpers) never call them; attribute shells suffice."""
+    class _ShellModule(types.ModuleType):
+        def __getattr__(self, name):
+            if name.startswith("__"):
+                raise AttributeError(name)
+            return type(name, (), {"__init__": lambda self, *a, **k: None})
+
+    for name in ("albumentations", "decord", "func_timeout"):
+        if name not in sys.modules:
+            m = _ShellModule(name)
+            import importlib.machinery
+            m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+            sys.modules[name] = m
+    ft = sys.modules["func_timeout"]
+    if not hasattr(ft, "_patched"):
+        class FunctionTimedOut(Exception):
+            pass
+
+        ft.FunctionTimedOut = FunctionTimedOut
+        ft.func_timeout = lambda timeout, fn, args=(), kwargs=None: fn(
+            *args, **(kwargs or {}))
+        ft._patched = True
+
+
 def _install_videox_fun_parents():
     """Synthetic `videox_fun`, `videox_fun.models`, `videox_fun.utils`,
     `videox_fun.dist` packages: real module files resolve under them, but the
@@ -309,4 +336,10 @@ def load_reference():
     ns.wan_transformer3d_vace = importlib.import_module(
         "videox_fun.models.wan_transformer3d_vace")
     ns.lora_utils = importlib.import_module("videox_fun.utils.lora_utils")
+    _install_dataset_dep_stubs()
+    data_pkg = types.ModuleType("videox_fun.data")
+    data_pkg.__path__ = [f"{REF_ROOT}/videox_fun/data"]
+    sys.modules.setdefault("videox_fun.data", data_pkg)
+    ns.dataset_image_video = importlib.import_module(
+        "videox_fun.data.dataset_image_video")
     return ns

@@ -292,6 +292,167 @@ def test_vae_decode_parity(vae_pair):
     np.testing.assert_allclose(ours, ref_out, atol=1e-3, rtol=1e-3)
 
 
+# ------------------------------------- dataset visualization / grounding
+
+def test_dataset_gray_viz_and_interpolation_parity():
+    """Gradual-interpolation grounding + the three gray-region
+    visualizations vs the reference methods
+    (`dataset_image_video.py:1303-1415`), driven unbound with a config
+    shim. Frames contain crafted gray patches so the masks are non-empty."""
+    import types as _types
+
+    from videocof_tpu.data import dataset as ds
+
+    DS = REF.dataset_image_video.ImageVideoCoTDataset
+    shim = _types.SimpleNamespace(gray_intensity_range=(96, 160),
+                                  gray_tolerance=12)
+    shim._ensure_same_size_pair = lambda a, b: DS._ensure_same_size_pair(
+        shim, a, b)
+    shim._build_gray_mask = lambda f: DS._build_gray_mask(shim, f)
+
+    rng = np.random.default_rng(14)
+    frames = rng.integers(0, 256, (5, 24, 32, 3), dtype=np.uint8)
+    # plant gray patches (channel-equal, in-band) on every frame
+    frames[:, 4:10, 6:14] = rng.integers(100, 150, (5, 1, 1, 1),
+                                         dtype=np.uint8)
+
+    # mask
+    for i in range(3):
+        np.testing.assert_array_equal(
+            ds.build_gray_mask(frames[i]), DS._build_gray_mask(shim,
+                                                               frames[i]))
+    # red / black effects
+    for mode in ("red", "black"):
+        np.testing.assert_array_equal(
+            ds.apply_gray_region_effect(frames, mode),
+            DS._apply_gray_region_effect(shim, frames, mode))
+    # alpha overlay (uint8 path)
+    src = rng.integers(0, 256, (5, 24, 32, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        ds.apply_gray_overlay(src, frames, alpha=0.5, num_frames=4),
+        DS._apply_gray_overlay_from_reference(shim, src, frames, alpha=0.5,
+                                              num_frames=4))
+
+    # gradual interpolation, both pick sets (method default 0,4,8,12 and
+    # the call-site's 0,3,6,9,12 at :1489-1494), incl. the resize path.
+    # The blend weights agree to 1 ulp with torch's F.interpolate but the
+    # final `* 255 -> truncate` flips units where the product lands exactly
+    # on an integer boundary — off-by-one is the attainable parity.
+    g = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    t = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    t_big = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    for picks in ((0, 4, 8, 12), (0, 3, 6, 9, 12)):
+        for tgt in (t, t_big):
+            ours = ds.interpolate_ground_frames(g, tgt, 16, picks)
+            want = DS._interpolate_ground_frames(shim, g, tgt, 16, picks)
+            np.testing.assert_allclose(ours.astype(np.int16),
+                                       want.astype(np.int16), atol=1)
+            assert (ours != want).mean() < 0.05
+
+
+# -------------------------------------------- ground-instruction parsing
+
+def test_ground_instruction_regex_parity():
+    """`derive_ground_object_from_instruction` vs the reference regex
+    (`dataset_image_video.py:260-297`) across all four task branches plus
+    edge cases — the ground phrase feeds the CoT prompt, so a divergence
+    changes the conditioning text."""
+    from videocof_tpu.data.instructions import (
+        build_cot_prompt, derive_ground_object_from_instruction)
+    ref_fn = REF.dataset_image_video.derive_ground_object_from_instruction
+
+    cases = [
+        "replace the red car with a blue truck",
+        "Replace the dog by a cat.",
+        "swap the wooden chair with a leather sofa",
+        "remove the man in the background",
+        "Delete the coffee cup from the table",
+        "erase the graffiti on the wall.",
+        "eliminate the shadows near the door",
+        "remove the bird, then brighten the sky",
+        "add a rainbow over the mountains",
+        "Insert a lamp next to the couch",
+        "change the shirt to red",
+        "make the water look frozen",
+        "change a building into glass",
+        "turn the day into night",       # no-branch fallback
+        "",                               # empty
+        "   ",                            # whitespace
+        "REMOVE THE LOGO",                # case
+        "replace  with something",        # empty capture -> fallthrough
+    ]
+    for s in cases:
+        assert derive_ground_object_from_instruction(s) == ref_fn(s), s
+
+    # full CoT prompt template (fast_infer.py:402-407 / dataset
+    # instruction_template at dataset_image_video.py:1181)
+    edit = "replace the red car with a blue truck"
+    tmpl = ("A video sequence showing three parts: first the original "
+            "scene, then grounded {ground_instruction}, and finally the "
+            "same scene but {edit_instruction}")
+    assert build_cot_prompt(edit) == tmpl.format(
+        ground_instruction=ref_fn(edit), edit_instruction=edit)
+
+
+# -------------------------------------------------------------- TeaCache
+
+def test_teacache_skip_plan_and_outputs_parity(dit_pair):
+    """Drive the reference transformer across a 10-step schedule with its
+    runtime TeaCache (`cache_utils.py` + `wan_transformer3d.py:955-1031`,
+    cnt/reset at `:1101-1104`) and assert (a) our PRECOMPUTED skip plan
+    (`models/teacache.py`) reproduces the reference's step-by-step
+    skip/compute decisions exactly, and (b) our residual-replay forward
+    matches the reference output at every step — including skipped ones."""
+    import copy
+
+    from videocof_tpu.models import teacache
+    from videocof_tpu.schedulers import get_scheduler
+
+    ref0, params, cfg = dit_pair
+    ref = copy.deepcopy(ref0)
+    steps, thresh, nsss = 10, 0.35, 2
+    coeffs = teacache.TEACACHE_COEFFICIENTS["wan2.1-t2v-1.3b"]
+    sched = get_scheduler("unipc")
+    sched.set_timesteps(steps, shift=3.0)
+    timesteps = [float(t) for t in sched.timesteps]
+
+    ref.enable_teacache(coeffs, steps, rel_l1_thresh=thresh,
+                        num_skip_start_steps=nsss, offload=False)
+    f, h, w = 3, 2, 2
+    pt, ph, pw = cfg.patch_size
+    F, H, W = f * pt, h * ph, w * pw
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal((1, cfg.in_dim, F, H, W)).astype(np.float32)
+    ctx = rng.standard_normal((cfg.text_len, cfg.text_dim)).astype(np.float32)
+
+    os.environ.setdefault("VIDEOX_ATTENTION_TYPE", "SDPA")
+    ref_outs, ref_skips = [], []
+    with torch.no_grad():
+        for t_val in timesteps:
+            out = ref(torch.from_numpy(x), torch.tensor([t_val]),
+                      [torch.from_numpy(ctx)], seq_len=f * h * w)
+            ref_skips.append(not ref.should_calc)
+            o = (torch.stack(list(out)) if isinstance(out, (list, tuple))
+                 else out).numpy().reshape(1, cfg.out_dim, F, H, W)
+            ref_outs.append(o)
+
+    plan = teacache.plan_teacache_skips(params, cfg, timesteps, coeffs,
+                                        thresh, num_skip_start_steps=nsss)
+    assert plan == ref_skips, (plan, ref_skips)
+    assert any(plan) and not all(plan), \
+        f"degenerate pattern {plan}: tune thresh so the test exercises both"
+
+    cos, sin = wan_dit.make_rope_for_geometry(cfg, (f, h, w))
+    res = None
+    for i, t_val in enumerate(timesteps):
+        v, res = wan_dit.wan_dit_forward_with_residual(
+            params, cfg, jnp.asarray(x), jnp.asarray([t_val]),
+            jnp.asarray(ctx)[None], jnp.asarray(cos), jnp.asarray(sin),
+            residual=res, skip_blocks=bool(plan[i]))
+        np.testing.assert_allclose(np.asarray(v), ref_outs[i], atol=1e-3,
+                                   rtol=1e-3, err_msg=f"step {i}")
+
+
 # ------------------------------------------------------------ LoRA merge
 
 @pytest.mark.parametrize("fmt", ["kohya", "comfy", "peft"])
