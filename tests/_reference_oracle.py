@@ -333,9 +333,23 @@ def load_reference():
     ns.wan_image_encoder = importlib.import_module(
         "videox_fun.models.wan_image_encoder")
     ns.wan_vae3_8 = importlib.import_module("videox_fun.models.wan_vae3_8")
+    ns.wan_text_encoder = importlib.import_module(
+        "videox_fun.models.wan_text_encoder")
     ns.wan_transformer3d_vace = importlib.import_module(
         "videox_fun.models.wan_transformer3d_vace")
     ns.lora_utils = importlib.import_module("videox_fun.utils.lora_utils")
+    # wan_transformer3d_s2v imports wan_audio_injector, which is ABSENT from
+    # the reference snapshot (dangling import). Name shells let the module
+    # import; the oracle only exercises the first-party block/rope math.
+    if "videox_fun.models.wan_audio_injector" not in sys.modules:
+        aud = types.ModuleType("videox_fun.models.wan_audio_injector")
+        for name in ("AudioInjector_WAN", "CausalAudioEncoder",
+                     "FramePackMotioner", "MotionerTransformers"):
+            setattr(aud, name, type(name, (), {}))
+        aud.rope_precompute = None
+        sys.modules["videox_fun.models.wan_audio_injector"] = aud
+    ns.wan_transformer3d_s2v = importlib.import_module(
+        "videox_fun.models.wan_transformer3d_s2v")
     _install_dataset_dep_stubs()
     data_pkg = types.ModuleType("videox_fun.data")
     data_pkg.__path__ = [f"{REF_ROOT}/videox_fun/data"]

@@ -292,6 +292,125 @@ def test_vae_decode_parity(vae_pair):
     np.testing.assert_allclose(ours, ref_out, atol=1e-3, rtol=1e-3)
 
 
+# -------------------------------------------------- camera / Plücker rays
+
+def test_camera_plucker_parity(tmp_path):
+    """`process_pose_file` end-to-end vs the reference CameraCtrl-derived
+    chain (`dataset_image_video.py:114-230`: Camera entries -> fx/fy
+    aspect rescale -> relative poses -> Plücker ray embedding)."""
+    from videocof_tpu.data import camera as cam
+
+    rng = np.random.default_rng(18)
+    lines = ["https://example.org header\n"]
+    for i in range(4):
+        # entry: [t, fx, fy, cx, cy, 0, 0, r00..r23] with a plausible pose
+        angle = 0.1 * i
+        R = np.array([[np.cos(angle), 0, np.sin(angle)],
+                      [0, 1, 0],
+                      [-np.sin(angle), 0, np.cos(angle)]])
+        tvec = np.array([0.05 * i, 0.01 * i, 0.2 * i])
+        w2c = np.concatenate([R, tvec[:, None]], axis=1).reshape(-1)
+        entry = ([float(i), 0.9 + 0.01 * i, 1.6 + 0.01 * i, 0.5, 0.5, 0., 0.]
+                 + [float(v) for v in w2c])
+        lines.append(" ".join(f"{v:.8f}" for v in entry) + "\n")
+    pose_path = tmp_path / "poses.txt"
+    pose_path.write_text("".join(lines))
+
+    H, W = 24, 40
+    want = REF.dataset_image_video.process_pose_file(
+        str(pose_path), width=W, height=H).numpy()
+    got = np.asarray(cam.process_pose_file(str(pose_path), width=W, height=H))
+    assert got.shape == want.shape == (4, H, W, 6)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    rows = cam.process_pose_file(str(pose_path), width=W, height=H,
+                                 return_poses=True)
+    ref_rows = REF.dataset_image_video.process_pose_file(
+        str(pose_path), width=W, height=H, return_poses=True)
+    assert rows == ref_rows
+
+
+# --------------------------------------------------------- bucket tables
+
+def test_bucket_tables_and_closest_ratio_parity():
+    """ASPECT_RATIO_512 and closest-ratio selection vs the reference
+    `bucket_sampler.py` tables."""
+    import importlib
+
+    from videocof_tpu.data import buckets
+
+    bs = importlib.import_module("videox_fun.data.bucket_sampler")
+    ref_tab = {k: tuple(v) for k, v in bs.ASPECT_RATIO_512.items()}
+    our_tab = {k: tuple(v) for k, v in buckets.ASPECT_RATIO_512.items()}
+    assert our_tab == ref_tab
+
+    for h, w in [(512, 512), (480, 832), (720, 480), (300, 1000),
+                 (1024, 576)]:
+        ours = buckets.get_closest_ratio(h, w)
+        theirs = bs.get_closest_ratio(h, w)
+        # reference returns (size-list, ratio-key-string)
+        ref_size, ref_key = theirs
+        assert float(ours[1]) == float(ref_key)
+        assert tuple(ours[0]) == tuple(ref_size)
+
+
+# ------------------------------------------------------------- S2V block
+
+def test_s2v_block_parity():
+    """`WanS2VAttentionBlock.forward` (wan_transformer3d_s2v.py:115-178:
+    segment-wise AdaLN over a [video | ref/motion] split, per-sample
+    precomputed rope in the self-attention) vs our `s2v_block_apply` with
+    seg-ids-as-data. The reference's audio module is a dangling import, so
+    the block is the deepest first-party S2V math that can be oracled."""
+    from videocof_tpu.models import wan_dit_s2v
+
+    cfg = WAN_TINY
+    d, nh = cfg.dim, cfg.num_heads
+    hd = d // nh
+    c = hd // 2
+    torch.manual_seed(6)
+    ref = REF.wan_transformer3d_s2v.WanS2VAttentionBlock(
+        "cross_attn", d, cfg.ffn_dim, nh, qk_norm=cfg.qk_norm,
+        cross_attn_norm=cfg.cross_attn_norm, eps=cfg.eps).float().eval()
+    p = weights.convert_block_state_dict(_sd_to_numpy(ref), "", cfg,
+                                         dtype=np.float32)
+    p = jax.tree.map(jnp.asarray, p)
+
+    B, L, Lt, seg = 1, 20, 7, 14
+    rng = np.random.default_rng(15)
+    x = rng.standard_normal((B, L, d)).astype(np.float32)
+    ctx = rng.standard_normal((B, Lt, d)).astype(np.float32)
+    e0 = rng.standard_normal((B, 6, 2, d)).astype(np.float32)
+    ang = rng.uniform(-np.pi, np.pi, (B, L, c)).astype(np.float32)
+
+    freqs = torch.polar(torch.ones(B, L, 1, c, dtype=torch.float64),
+                        torch.from_numpy(ang)[:, :, None, :].double()
+                        ).expand(B, L, nh, c)
+    os.environ.setdefault("VIDEOX_ATTENTION_TYPE", "SDPA")
+    # the block's inner self_attn/cross_attn calls don't forward dtype and
+    # default to bf16 (fine under the bf16 production weights); pin fp32
+    import functools
+    ref.self_attn.forward = functools.partial(
+        type(ref.self_attn).forward, ref.self_attn, dtype=torch.float32)
+    ref.cross_attn.forward = functools.partial(
+        type(ref.cross_attn).forward, ref.cross_attn, dtype=torch.float32)
+    with torch.no_grad():
+        ref_out = ref(
+            torch.from_numpy(x),
+            (torch.from_numpy(e0), torch.tensor(seg)),
+            seq_lens=None, grid_sizes=torch.tensor([[L, 1, 1]]),
+            freqs=freqs, context=torch.from_numpy(ctx), context_lens=None,
+            dtype=torch.float32).numpy()
+
+    seg_ids = (np.arange(L) >= seg).astype(np.int32)
+    cos = np.cos(ang)
+    sin = np.sin(ang)
+    ours = np.asarray(wan_dit_s2v.s2v_block_apply(
+        p, cfg, jnp.asarray(x), jnp.asarray(e0), jnp.asarray(seg_ids),
+        jnp.asarray(ctx), (jnp.asarray(cos), jnp.asarray(sin))))
+    np.testing.assert_allclose(ours, ref_out, atol=1e-3, rtol=1e-3)
+
+
 # ------------------------------------- dataset visualization / grounding
 
 def test_dataset_gray_viz_and_interpolation_parity():
@@ -647,6 +766,68 @@ def test_vae22_decode_parity(vae22_pair):
     # decode does not — compare in the clipped domain
     np.testing.assert_allclose(ours, np.clip(ref_out, -1, 1), atol=1e-3,
                                rtol=1e-3)
+
+
+# ---------------------------------------------------------- CLIP vision
+
+def test_clip_vision_tower_parity():
+    """`VisionTransformer.forward(use_31_block=True)` — the i2v feature tap
+    (`wan_image_encoder.py:240-302`) — vs `clip_vision_forward` with ported
+    weights at tiny config (cls token, pos embed, pre-norm, gelu blocks)."""
+    from videocof_tpu.models import clip_vision as cv
+
+    cfg = cv.CLIP_TINY
+    torch.manual_seed(7)
+    ref = REF.wan_image_encoder.VisionTransformer(
+        image_size=cfg.image_size, patch_size=cfg.patch_size, dim=cfg.dim,
+        mlp_ratio=cfg.mlp_ratio, out_dim=cfg.dim, num_heads=cfg.num_heads,
+        num_layers=cfg.num_layers, pool_type="token", pre_norm=True,
+        post_norm=False, activation="gelu", norm_eps=cfg.norm_eps
+    ).float().eval()
+    assert cfg.use_blocks == cfg.num_layers - 1  # == transformer[:-1]
+    sd = {"visual." + k: v for k, v in _sd_to_numpy(ref).items()}
+    params = cv.convert_clip_state_dict(sd, cfg)
+    params = jax.tree.map(jnp.asarray, params)
+
+    x = np.random.default_rng(16).standard_normal(
+        (2, 3, cfg.image_size, cfg.image_size)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x), use_31_block=True).numpy()
+    got = np.asarray(cv.clip_vision_forward(params, cfg, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+# ----------------------------------------------------------------- umT5
+
+def test_t5_encoder_reference_parity():
+    """`WanT5EncoderModel` — the reference's from-scratch umT5 encoder
+    (`wan_text_encoder.py:256-304`) — vs `t5_encode` with ported weights at
+    tiny config, ragged attention mask. (The HF UMT5 oracle lives in
+    test_t5_encoder.py; this pins the reference's own implementation.)"""
+    from videocof_tpu.configs import T5_TINY
+    from videocof_tpu.models import t5_encoder
+
+    cfg = T5_TINY
+    torch.manual_seed(8)
+    ref = REF.wan_text_encoder.WanT5EncoderModel(
+        vocab=cfg.vocab, dim=cfg.dim, dim_attn=cfg.dim_attn,
+        dim_ffn=cfg.dim_ffn, num_heads=cfg.num_heads,
+        num_layers=cfg.num_layers, num_buckets=cfg.num_buckets,
+        shared_pos=False, dropout=0.0).float().eval()
+    params = weights.convert_t5_state_dict(_sd_to_numpy(ref), cfg)
+    params = jax.tree.map(jnp.asarray, params)
+
+    rng = np.random.default_rng(17)
+    ids = rng.integers(2, cfg.vocab, (2, 12)).astype(np.int64)
+    mask = np.ones((2, 12), np.int64)
+    mask[0, 9:] = 0
+    with torch.no_grad():
+        want = ref(torch.from_numpy(ids),
+                   torch.from_numpy(mask))[0].numpy()
+    got = np.asarray(t5_encoder.t5_encode(
+        params, cfg, jnp.asarray(ids.astype(np.int32)),
+        jnp.asarray(mask.astype(np.int32))))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 
 
 # ----------------------------------------------------------- XLM-Roberta
