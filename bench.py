@@ -266,6 +266,21 @@ def main():
     pipe._decode_outputs(lat_out, True, cond, ground)
     t_decode = time.time() - t0
 
+    # transport health: one 8 MB device->host fetch. The remote tunnel's
+    # bandwidth swings 0.2-32 MB/s across sessions and dominates the decode
+    # stage (one ~40 MB uint8 readback), so the headline is only
+    # interpretable next to this number (compute stages are unaffected).
+    # the transfer must be timed end-to-end (the axon client pushes outputs
+    # to the host during block_until_ready) and the payload must be
+    # INCOMPRESSIBLE (constant buffers compress to nothing on the wire and
+    # report absurd bandwidth) — random uint8, warm executable
+    fetch_fn = jax.jit(lambda k: jax.random.randint(
+        k, (8 * 1024 * 1024,), 0, 256, jnp.int32).astype(jnp.uint8))
+    np.asarray(fetch_fn(jax.random.PRNGKey(0)))   # compile + warm channel
+    t0 = time.time()
+    np.asarray(fetch_fn(jax.random.PRNGKey(1)))
+    fetch_mbps = 8.0 / max(time.time() - t0, 1e-9)
+
     flops_step = dit_matmul_flops(dit_cfg, L_tokens) * (2 if do_cfg else 1)
     tflops = flops_step / per_step / 1e12
     peak = 197.0 if dev.platform == "tpu" else float("nan")  # v5e bf16 peak
@@ -308,6 +323,7 @@ def main():
         "stages": {"encode_s": round(t_encode, 2),
                    "denoise_s": round(t_denoise, 2),
                    "decode_s": round(t_decode, 2)},
+        "transport_fetch_mbps": round(fetch_mbps, 1),
         **extra,
     }))
 
