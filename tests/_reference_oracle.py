@@ -81,13 +81,18 @@ def _install_diffusers_stub():
     cu.FrozenDict = _AttrDict
 
     # --- loaders
-    mod("diffusers.loaders")
+    loaders = mod("diffusers.loaders")
     sfm = mod("diffusers.loaders.single_file_model")
 
     class FromOriginalModelMixin:
         pass
 
+    class PeftAdapterMixin:
+        pass
+
     sfm.FromOriginalModelMixin = FromOriginalModelMixin
+    loaders.FromOriginalModelMixin = FromOriginalModelMixin
+    loaders.PeftAdapterMixin = PeftAdapterMixin
 
     # --- models
     mod("diffusers.models")
@@ -111,6 +116,52 @@ def _install_diffusers_stub():
                 return torch.device("cpu")
 
     mu_.ModelMixin = ModelMixin
+
+    # name anchors pulled in by qwenimage_vae.py's import block but never
+    # exercised by its VAE compute (verified: only `get_activation` is called,
+    # and only with "silu") — see /root/reference/videox_fun/models/
+    # qwenimage_vae.py:37-53.
+    act_mod = mod("diffusers.models.activations")
+
+    def get_activation(name):
+        return {"silu": nn.SiLU, "swish": nn.SiLU, "relu": nn.ReLU,
+                "gelu": nn.GELU, "mish": nn.Mish}[name]()
+
+    act_mod.get_activation = get_activation
+
+    attn_mod = mod("diffusers.models.attention")
+
+    class FeedForward(nn.Module):  # anchor: imported, never instantiated
+        pass
+
+    attn_mod.FeedForward = FeedForward
+
+    ap_mod = mod("diffusers.models.attention_processor")
+
+    class Attention(nn.Module):  # anchor
+        pass
+
+    ap_mod.Attention = Attention
+
+    emb_mod = mod("diffusers.models.embeddings")
+
+    class TimestepEmbedding(nn.Module):  # anchor
+        pass
+
+    class Timesteps(nn.Module):  # anchor
+        pass
+
+    emb_mod.TimestepEmbedding = TimestepEmbedding
+    emb_mod.Timesteps = Timesteps
+
+    norm_mod = mod("diffusers.models.normalization")
+
+    class AdaLayerNormContinuous(nn.Module):  # anchor
+        pass
+
+    norm_mod.AdaLayerNormContinuous = AdaLayerNormContinuous
+    norm_mod.RMSNorm = getattr(nn, "RMSNorm", type("RMSNorm", (nn.Module,),
+                                                   {}))
 
     mod("diffusers.models.autoencoders")
     vae_mod = mod("diffusers.models.autoencoders.vae")
@@ -159,6 +210,12 @@ def _install_diffusers_stub():
 
     mo.AutoencoderKLOutput = AutoencoderKLOutput
 
+    class Transformer2DModelOutput:  # anchor
+        def __init__(self, sample=None):
+            self.sample = sample
+
+    mo.Transformer2DModelOutput = Transformer2DModelOutput
+
     # --- utils
     du = mod("diffusers.utils")
 
@@ -180,6 +237,9 @@ def _install_diffusers_stub():
     du.deprecate = lambda *a, **k: None
     du.is_scipy_available = lambda: True
     du.BaseOutput = object
+    du.USE_PEFT_BACKEND = False
+    du.scale_lora_layers = lambda *a, **k: None
+    du.unscale_lora_layers = lambda *a, **k: None
 
     au = mod("diffusers.utils.accelerate_utils")
     au.apply_forward_hook = lambda fn: fn
@@ -192,6 +252,7 @@ def _install_diffusers_stub():
         return torch.randn(shape, generator=generator, dtype=dtype)
 
     tu.randn_tensor = randn_tensor
+    tu.maybe_allow_in_graph = lambda cls: cls
     du.torch_utils = tu
 
     # --- schedulers
@@ -350,6 +411,10 @@ def load_reference():
         sys.modules["videox_fun.models.wan_audio_injector"] = aud
     ns.wan_transformer3d_s2v = importlib.import_module(
         "videox_fun.models.wan_transformer3d_s2v")
+    # QwenImage VAE: self-contained torch math (only `get_activation("silu")`
+    # comes from diffusers; the rest of its import block is name anchors).
+    ns.qwenimage_vae = importlib.import_module(
+        "videox_fun.models.qwenimage_vae")
     _install_dataset_dep_stubs()
     data_pkg = types.ModuleType("videox_fun.data")
     data_pkg.__path__ = [f"{REF_ROOT}/videox_fun/data"]

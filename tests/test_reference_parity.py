@@ -292,6 +292,57 @@ def test_vae_decode_parity(vae_pair):
     np.testing.assert_allclose(ours, ref_out, atol=1e-3, rtol=1e-3)
 
 
+# ------------------------------------------------------- QwenImage VAE
+
+@pytest.fixture(scope="module")
+def qwen_vae_pair():
+    """Reference `AutoencoderKLQwenImage` (qwenimage_vae.py:684-760) at tiny
+    config, weights ported through our diffusers-layout converter into the
+    shared `wan_vae` pytree (the architectures are identical by design)."""
+    from videocof_tpu.models import qwenimage_vae
+    cfg = VAE_TINY
+    torch.manual_seed(11)
+    ref = REF.qwenimage_vae.AutoencoderKLQwenImage(
+        base_dim=cfg.dim, z_dim=cfg.z_dim, dim_mult=list(cfg.dim_mult),
+        num_res_blocks=cfg.num_res_blocks, attn_scales=list(cfg.attn_scales),
+        temperal_downsample=list(cfg.temporal_downsample),
+        dropout=0.0).float().eval()
+    params = qwenimage_vae.convert_qwenimage_vae_state_dict(
+        _sd_to_numpy(ref), cfg, dtype=np.float32)
+    params = jax.tree.map(jnp.asarray, params)
+    return ref, params, cfg
+
+
+def test_qwenimage_vae_encode_parity(qwen_vae_pair):
+    """Chunked (1 + 4-frame) causal encode incl. quant_conv
+    (qwenimage_vae.py:821-844) vs our re-exported `wan_vae.encode`."""
+    from videocof_tpu.models import qwenimage_vae
+    ref, params, cfg = qwen_vae_pair
+    x = np.random.default_rng(12).uniform(-1, 1, (1, 3, 9, 32, 32)).astype(
+        np.float32)
+    with torch.no_grad():
+        ref_out = ref.encode(
+            torch.from_numpy(x)).latent_dist.parameters.numpy()
+    ref_mu, ref_logvar = np.split(ref_out, 2, axis=1)
+    mu, logvar = qwenimage_vae.encode(params, cfg, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(mu), ref_mu, atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(logvar), ref_logvar, atol=1e-3,
+                               rtol=1e-3)
+
+
+def test_qwenimage_vae_decode_parity(qwen_vae_pair):
+    """Per-latent-frame causal decode incl. post_quant_conv and the in-model
+    [-1,1] clamp (qwenimage_vae.py:872-896)."""
+    from videocof_tpu.models import qwenimage_vae
+    ref, params, cfg = qwen_vae_pair
+    z = np.random.default_rng(13).standard_normal(
+        (1, cfg.z_dim, 3, 4, 4)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref.decode(torch.from_numpy(z)).sample.numpy()
+    ours = np.asarray(qwenimage_vae.decode(params, cfg, jnp.asarray(z)))
+    np.testing.assert_allclose(ours, ref_out, atol=1e-3, rtol=1e-3)
+
+
 # -------------------------------------------------- camera / Plücker rays
 
 def test_camera_plucker_parity(tmp_path):
