@@ -31,6 +31,7 @@ from ..models import t5_encoder, wan_dit, wan_vae
 from ..models import wan_vae_streaming
 from ..schedulers import get_scheduler
 from ..data.tokenizer import WanTokenizer
+from ..utils import colorspace
 
 
 @dataclasses.dataclass
@@ -673,7 +674,20 @@ class WanPipeline:
             parts.append(self.decode_to_u8_device(latents[:, :, g1:]))
             u8 = (parts[0] if len(parts) == 1
                   else jnp.concatenate(parts, axis=2))
-            host = np.asarray(u8).astype(np.float32) / 255.0
+            # VIDEOCOF_FETCH_YUV420=1: pack RGB -> I420 on device and fetch
+            # half the bytes (the same 4:2:0 chroma subsample any mp4 save
+            # applies; opt-in because raw-frame consumers lose chroma
+            # exactness). utils/colorspace.py documents the layout.
+            yuv = (_os.environ.get("VIDEOCOF_FETCH_YUV420", "0") == "1"
+                   and u8.shape[3] % 4 == 0 and u8.shape[4] % 2 == 0)
+            if yuv:
+                if "rgb2i420" not in self._jit_cache:
+                    self._jit_cache["rgb2i420"] = jax.jit(
+                        colorspace.rgb_to_i420)
+                packed = np.asarray(self._jit_cache["rgb2i420"](u8))
+                host = colorspace.i420_to_rgb01(packed)
+            else:
+                host = np.asarray(u8).astype(np.float32) / 255.0
             if g1 > g0:
                 tc = self.vae_cfg.temporal_compression_ratio
                 gf = 1 + (g1 - g0 - 1) * tc
