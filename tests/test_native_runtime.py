@@ -78,3 +78,56 @@ def test_missing_file_errors():
         runtime.video_info("/nonexistent/file.mp4")
     with pytest.raises(Exception):
         runtime.decode_frames("/nonexistent/file.mp4", [0], 32, 32)
+
+
+# ------------------------------------------------------------- encoder
+
+def _smooth_frames(T=10, H=48, W=64):
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    base = np.stack([127.5 + 90 * np.sin(yy / H * 2.0),
+                     127.5 + 90 * np.cos(xx / W * 1.5),
+                     np.full((H, W), 80.0, np.float32)], axis=-1)
+    frames = np.stack([np.clip(base + 6 * t, 0, 255) for t in range(T)])
+    return frames.astype(np.uint8)          # [T, H, W, 3]
+
+
+def test_encode_rgb_roundtrip(tmp_path):
+    if not runtime.encode_available():
+        pytest.skip("native runtime not built")
+    frames = _smooth_frames()
+    path = str(tmp_path / "enc.mp4")
+    runtime.encode_video_rgb(path, frames, fps=12)
+    n, h, w, fps = runtime.video_info(path)
+    assert (n, h, w) == (10, 48, 64)
+    assert fps == pytest.approx(12, abs=0.5)
+    dec = runtime.decode_frames(path, list(range(10)), 48, 64)  # [-1, 1]
+    orig = frames.astype(np.float32).transpose(0, 3, 1, 2) / 127.5 - 1.0
+    assert np.abs(dec - orig).mean() < 0.04  # lossy codec tolerance
+
+
+def test_encode_i420_matches_rgb_path(tmp_path):
+    if not runtime.encode_available():
+        pytest.skip("native runtime not built")
+    import jax.numpy as jnp
+    from videocof_tpu.utils import colorspace
+    frames = _smooth_frames()
+    u8 = frames.transpose(3, 0, 1, 2)[None]  # [1, 3, T, H, W]
+    i420 = np.asarray(colorspace.rgb_to_i420(jnp.asarray(u8)))[0]
+    path = str(tmp_path / "enc_i420.mp4")
+    runtime.encode_video_i420(path, i420, fps=12)
+    n, h, w, _ = runtime.video_info(path)
+    assert (n, h, w) == (10, 48, 64)
+    dec = runtime.decode_frames(path, list(range(10)), 48, 64)
+    orig = frames.astype(np.float32).transpose(0, 3, 1, 2) / 127.5 - 1.0
+    assert np.abs(dec - orig).mean() < 0.05
+
+
+def test_save_video_uses_native_encoder(tmp_path):
+    if not runtime.encode_available():
+        pytest.skip("native runtime not built")
+    from videocof_tpu.utils.video_io import save_video
+    vid = _smooth_frames().transpose(3, 0, 1, 2).astype(np.float32) / 255.0
+    path = str(tmp_path / "sv.mp4")
+    save_video(vid, path, fps=10)
+    n, h, w, _ = runtime.video_info(path)
+    assert (n, h, w) == (10, 48, 64)

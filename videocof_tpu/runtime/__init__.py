@@ -1,6 +1,6 @@
-"""ctypes binding for the native video-decode runtime
-(`video_decoder.cc`), with transparent build-on-first-use and a cv2 fallback
-so the framework stays functional without the toolchain."""
+"""ctypes binding for the native video runtime (`video_decoder.cc` decode,
+`video_encoder.cc` mp4 encode), with transparent build-on-first-use and a
+cv2 fallback so the framework stays functional without the toolchain."""
 
 from __future__ import annotations
 
@@ -53,6 +53,11 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+    lib.vcf_enc_last_error.restype = ctypes.c_char_p
+    for name in ("vcf_encode_video_rgb", "vcf_encode_video_i420"):
+        getattr(lib, name).argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_int64]
     _lib = lib
     return _lib
 
@@ -138,6 +143,45 @@ def decode_batch(paths: Sequence[str], indices: np.ndarray, out_h: int,
     np.put_along_axis(inv, order, np.arange(fpv)[None, :].repeat(nv, 0),
                       axis=1)
     return np.take_along_axis(out, inv[:, :, None, None, None], axis=1)
+
+
+def encode_available() -> bool:
+    return _load() is not None
+
+
+def encode_video_rgb(path: str, frames: np.ndarray, fps: float = 16.0,
+                     bitrate: int = 0) -> None:
+    """Encode packed uint8 RGB frames [T, H, W, 3] to an mp4 (native libav
+    mux+encode; raises if the native runtime is unavailable — callers
+    fall back to cv2, see utils/video_io.save_video)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    frames = np.ascontiguousarray(frames, np.uint8)
+    T, H, W, C = frames.shape
+    assert C == 3, frames.shape
+    r = lib.vcf_encode_video_rgb(
+        path.encode(), frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        T, H, W, float(fps), int(bitrate))
+    if r != 0:
+        raise IOError(lib.vcf_enc_last_error().decode())
+
+
+def encode_video_i420(path: str, i420: np.ndarray, fps: float = 16.0,
+                      bitrate: int = 0) -> None:
+    """Encode packed I420 frames [T, H*3//2, W] (the utils/colorspace.py
+    device-fetch layout) to an mp4 — zero host-side colorspace work."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    i420 = np.ascontiguousarray(i420, np.uint8)
+    T, Hp, W = i420.shape
+    H = (Hp * 2) // 3
+    r = lib.vcf_encode_video_i420(
+        path.encode(), i420.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        T, H, W, float(fps), int(bitrate))
+    if r != 0:
+        raise IOError(lib.vcf_enc_last_error().decode())
 
 
 def _decode_frames_cv2(path, idx, out_h, out_w):

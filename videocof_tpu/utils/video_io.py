@@ -40,13 +40,20 @@ def load_video_frames(video_path: str, source_frames: int,
 
 def save_video(video: np.ndarray, path: str, fps: int = 16) -> None:
     """video [C, T, H, W] (or [B, C, T, H, W], first item) in [0, 1]."""
-    import cv2
     if video.ndim == 5:
         video = video[0]
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     c, t, h, w = video.shape
     frames = (np.clip(video, 0, 1) * 255).astype(np.uint8)
     frames = frames.transpose(1, 2, 3, 0)         # [T, H, W, C]
+    if path.endswith(".mp4") and h % 2 == 0 and w % 2 == 0:
+        try:
+            from .. import runtime
+            runtime.encode_video_rgb(path, frames, fps=fps)
+            return
+        except Exception:
+            pass  # toolchain-less install: cv2 writer below
+    import cv2
     fourcc = cv2.VideoWriter_fourcc(*"mp4v")
     writer = cv2.VideoWriter(path, fourcc, fps, (w, h))
     if not writer.isOpened():
