@@ -129,39 +129,514 @@ def _install_diffusers_stub():
 
     act_mod.get_activation = get_activation
 
-    attn_mod = mod("diffusers.models.attention")
+    # ---- numeric components (faithful reimplementations of the diffusers
+    # modules the CogVideoX / Flux / QwenImage reference files exercise; each
+    # follows the published diffusers source semantics so the reference
+    # wiring runs verbatim on top of them)
+    import inspect as _inspect
+    import math as _math
 
-    class FeedForward(nn.Module):  # anchor: imported, never instantiated
+    import torch.nn.functional as F
+
+    class RMSNorm(nn.Module):
+        def __init__(self, dim, eps, elementwise_affine=True, bias=False):
+            super().__init__()
+            self.eps = eps
+            self.weight = (nn.Parameter(torch.ones(dim))
+                           if elementwise_affine else None)
+            self.bias = (nn.Parameter(torch.zeros(dim))
+                         if elementwise_affine and bias else None)
+
+        def forward(self, x):
+            dt = x.dtype
+            var = x.to(torch.float32).pow(2).mean(-1, keepdim=True)
+            x = x * torch.rsqrt(var + self.eps)
+            if self.weight is not None:
+                x = x * self.weight
+                if self.bias is not None:
+                    x = x + self.bias
+            return x.to(dt)
+
+    def get_timestep_embedding(timesteps, embedding_dim,
+                               flip_sin_to_cos=False,
+                               downscale_freq_shift=1.0, scale=1.0,
+                               max_period=10000):
+        half_dim = embedding_dim // 2
+        exponent = -_math.log(max_period) * torch.arange(
+            half_dim, dtype=torch.float32, device=timesteps.device)
+        exponent = exponent / (half_dim - downscale_freq_shift)
+        emb = torch.exp(exponent)
+        emb = timesteps[:, None].float() * emb[None, :]
+        emb = scale * emb
+        emb = torch.cat([torch.sin(emb), torch.cos(emb)], dim=-1)
+        if flip_sin_to_cos:
+            emb = torch.cat([emb[:, half_dim:], emb[:, :half_dim]], dim=-1)
+        if embedding_dim % 2 == 1:
+            emb = F.pad(emb, (0, 1, 0, 0))
+        return emb
+
+    class Timesteps(nn.Module):
+        def __init__(self, num_channels, flip_sin_to_cos,
+                     downscale_freq_shift, scale=1):
+            super().__init__()
+            self.num_channels = num_channels
+            self.flip_sin_to_cos = flip_sin_to_cos
+            self.downscale_freq_shift = downscale_freq_shift
+            self.scale = scale
+
+        def forward(self, timesteps):
+            return get_timestep_embedding(
+                timesteps, self.num_channels,
+                flip_sin_to_cos=self.flip_sin_to_cos,
+                downscale_freq_shift=self.downscale_freq_shift,
+                scale=self.scale)
+
+    class TimestepEmbedding(nn.Module):
+        def __init__(self, in_channels, time_embed_dim, act_fn="silu",
+                     out_dim=None, post_act_fn=None, cond_proj_dim=None,
+                     sample_proj_bias=True):
+            super().__init__()
+            self.linear_1 = nn.Linear(in_channels, time_embed_dim,
+                                      sample_proj_bias)
+            self.act = get_activation(act_fn)
+            self.linear_2 = nn.Linear(time_embed_dim,
+                                      out_dim or time_embed_dim,
+                                      sample_proj_bias)
+
+        def forward(self, sample, condition=None):
+            return self.linear_2(self.act(self.linear_1(sample)))
+
+    class PixArtAlphaTextProjection(nn.Module):
+        def __init__(self, in_features, hidden_size, out_features=None,
+                     act_fn="gelu_tanh"):
+            super().__init__()
+            self.linear_1 = nn.Linear(in_features, hidden_size, bias=True)
+            self.act_1 = (nn.GELU(approximate="tanh")
+                          if act_fn == "gelu_tanh" else nn.SiLU())
+            self.linear_2 = nn.Linear(hidden_size,
+                                      out_features or hidden_size, bias=True)
+
+        def forward(self, caption):
+            return self.linear_2(self.act_1(self.linear_1(caption)))
+
+    class CombinedTimestepTextProjEmbeddings(nn.Module):
+        def __init__(self, embedding_dim, pooled_projection_dim):
+            super().__init__()
+            self.time_proj = Timesteps(256, flip_sin_to_cos=True,
+                                       downscale_freq_shift=0)
+            self.timestep_embedder = TimestepEmbedding(256, embedding_dim)
+            self.text_embedder = PixArtAlphaTextProjection(
+                pooled_projection_dim, embedding_dim, act_fn="silu")
+
+        def forward(self, timestep, pooled_projection):
+            t = self.timestep_embedder(
+                self.time_proj(timestep).to(pooled_projection.dtype))
+            return t + self.text_embedder(pooled_projection)
+
+    class CombinedTimestepGuidanceTextProjEmbeddings(nn.Module):
+        def __init__(self, embedding_dim, pooled_projection_dim):
+            super().__init__()
+            self.time_proj = Timesteps(256, flip_sin_to_cos=True,
+                                       downscale_freq_shift=0)
+            self.timestep_embedder = TimestepEmbedding(256, embedding_dim)
+            self.guidance_embedder = TimestepEmbedding(256, embedding_dim)
+            self.text_embedder = PixArtAlphaTextProjection(
+                pooled_projection_dim, embedding_dim, act_fn="silu")
+
+        def forward(self, timestep, guidance, pooled_projection):
+            t = self.timestep_embedder(
+                self.time_proj(timestep).to(pooled_projection.dtype))
+            g = self.guidance_embedder(
+                self.time_proj(guidance).to(pooled_projection.dtype))
+            return t + g + self.text_embedder(pooled_projection)
+
+    import numpy as _np
+
+    def _sincos_1d_from_grid(embed_dim, pos):
+        omega = _np.arange(embed_dim // 2, dtype=_np.float64)
+        omega /= embed_dim / 2.0
+        omega = 1.0 / 10000**omega
+        out = _np.einsum("m,d->md", pos.reshape(-1), omega)
+        return _np.concatenate([_np.sin(out), _np.cos(out)], axis=1)
+
+    def get_3d_sincos_pos_embed(embed_dim, spatial_size, temporal_size,
+                                spatial_interpolation_scale=1.0,
+                                temporal_interpolation_scale=1.0):
+        # diffusers embeddings.py: spatial_size arrives as (width, height);
+        # grid = np.meshgrid(grid_w, grid_h) "here w goes first", so the
+        # first spatial half embeds the *w* coordinate
+        if isinstance(spatial_size, int):
+            spatial_size = (spatial_size, spatial_size)
+        dim_s = 3 * embed_dim // 4
+        dim_t = embed_dim // 4
+        grid_h = _np.arange(spatial_size[1],
+                            dtype=_np.float32) / spatial_interpolation_scale
+        grid_w = _np.arange(spatial_size[0],
+                            dtype=_np.float32) / spatial_interpolation_scale
+        grid = _np.meshgrid(grid_w, grid_h)
+        grid = _np.stack(grid, axis=0)
+        grid = grid.reshape([2, 1, spatial_size[1], spatial_size[0]])
+        emb_w = _sincos_1d_from_grid(dim_s // 2, grid[0])
+        emb_h = _sincos_1d_from_grid(dim_s // 2, grid[1])
+        spatial = _np.concatenate([emb_w, emb_h], axis=1)
+        grid_t = _np.arange(temporal_size,
+                            dtype=_np.float32) / temporal_interpolation_scale
+        temporal = _sincos_1d_from_grid(dim_t, grid_t)
+        spatial = _np.repeat(spatial[_np.newaxis], temporal_size, axis=0)
+        temporal = _np.repeat(temporal[:, _np.newaxis],
+                              grid.shape[2] * grid.shape[3], axis=1)
+        return _np.concatenate([temporal, spatial], axis=-1)
+
+    def get_1d_rotary_pos_embed(dim, pos, theta=10000.0, use_real=False,
+                                linear_factor=1.0, ntk_factor=1.0,
+                                repeat_interleave_real=True,
+                                freqs_dtype=torch.float32):
+        if isinstance(pos, int):
+            pos = torch.arange(pos)
+        theta = theta * ntk_factor
+        freqs = 1.0 / (theta ** (torch.arange(0, dim, 2,
+                                              dtype=freqs_dtype)[: dim // 2]
+                                 / dim)) / linear_factor
+        freqs = torch.outer(pos.to(freqs.dtype), freqs)
+        if use_real and repeat_interleave_real:
+            return (freqs.cos().repeat_interleave(2, dim=1).float(),
+                    freqs.sin().repeat_interleave(2, dim=1).float())
+        if use_real:
+            return (torch.cat([freqs.cos(), freqs.cos()], dim=-1).float(),
+                    torch.cat([freqs.sin(), freqs.sin()], dim=-1).float())
+        return torch.polar(torch.ones_like(freqs), freqs)
+
+    def apply_rotary_emb(x, freqs_cis, use_real=True, use_real_unbind_dim=-1,
+                         sequence_dim=2):
+        cos, sin = freqs_cis
+        if sequence_dim == 2:
+            cos, sin = cos[None, None], sin[None, None]
+        else:
+            cos, sin = cos[None, :, None], sin[None, :, None]
+        x_real, x_imag = x.reshape(*x.shape[:-1], -1, 2).unbind(-1)
+        x_rot = torch.stack([-x_imag, x_real], dim=-1).flatten(3)
+        return (x.float() * cos + x_rot.float() * sin).to(x.dtype)
+
+    attn_mod = mod("diffusers.models.attention")
+    ap_mod = mod("diffusers.models.attention_processor")
+
+    class GELU(nn.Module):
+        def __init__(self, dim_in, dim_out, approximate="none", bias=True):
+            super().__init__()
+            self.proj = nn.Linear(dim_in, dim_out, bias=bias)
+            self.approximate = approximate
+
+        def forward(self, x):
+            return F.gelu(self.proj(x), approximate=self.approximate)
+
+    class FeedForward(nn.Module):
+        def __init__(self, dim, dim_out=None, mult=4, dropout=0.0,
+                     activation_fn="geglu", final_dropout=False,
+                     inner_dim=None, bias=True):
+            super().__init__()
+            inner_dim = inner_dim or int(dim * mult)
+            assert activation_fn == "gelu-approximate", activation_fn
+            self.net = nn.ModuleList([
+                GELU(dim, inner_dim, approximate="tanh", bias=bias),
+                nn.Dropout(dropout),
+                nn.Linear(inner_dim, dim_out or dim, bias=bias)])
+            if final_dropout:
+                self.net.append(nn.Dropout(dropout))
+
+        def forward(self, x):
+            for layer in self.net:
+                x = layer(x)
+            return x
+
+    class Attention(nn.Module):
+        """Subset of diffusers Attention covering the CogVideoX (qk
+        layer_norm, self-attn) and QwenImage (rms_norm + added KV
+        projections) constructor paths; forward dispatches to the processor
+        with signature-filtered kwargs like diffusers does."""
+
+        def __init__(self, query_dim, cross_attention_dim=None, heads=8,
+                     dim_head=64, dropout=0.0, bias=False, qk_norm=None,
+                     added_kv_proj_dim=None, added_proj_bias=True,
+                     out_bias=True, eps=1e-5, out_dim=None,
+                     context_pre_only=None, pre_only=False,
+                     elementwise_affine=True, processor=None, **_unused):
+            super().__init__()
+            self.inner_dim = (out_dim if out_dim is not None
+                              else dim_head * heads)
+            self.query_dim = query_dim
+            self.is_cross_attention = cross_attention_dim is not None
+            self.cross_attention_dim = cross_attention_dim or query_dim
+            self.out_dim = out_dim if out_dim is not None else query_dim
+            self.context_pre_only = context_pre_only
+            self.pre_only = pre_only
+            self.heads = (out_dim // dim_head if out_dim is not None
+                          else heads)
+            self.added_kv_proj_dim = added_kv_proj_dim
+            if qk_norm is None:
+                self.norm_q = self.norm_k = None
+            elif qk_norm == "layer_norm":
+                self.norm_q = nn.LayerNorm(dim_head, eps=eps)
+                self.norm_k = nn.LayerNorm(dim_head, eps=eps)
+            elif qk_norm == "rms_norm":
+                self.norm_q = RMSNorm(dim_head, eps=eps)
+                self.norm_k = RMSNorm(dim_head, eps=eps)
+            else:
+                raise ValueError(qk_norm)
+            self.to_q = nn.Linear(query_dim, self.inner_dim, bias=bias)
+            self.to_k = nn.Linear(self.cross_attention_dim, self.inner_dim,
+                                  bias=bias)
+            self.to_v = nn.Linear(self.cross_attention_dim, self.inner_dim,
+                                  bias=bias)
+            self.norm_added_q = self.norm_added_k = None
+            if added_kv_proj_dim is not None:
+                self.add_q_proj = nn.Linear(added_kv_proj_dim,
+                                            self.inner_dim,
+                                            bias=added_proj_bias)
+                self.add_k_proj = nn.Linear(added_kv_proj_dim,
+                                            self.inner_dim,
+                                            bias=added_proj_bias)
+                self.add_v_proj = nn.Linear(added_kv_proj_dim,
+                                            self.inner_dim,
+                                            bias=added_proj_bias)
+                if qk_norm == "rms_norm":
+                    self.norm_added_q = RMSNorm(dim_head, eps=eps)
+                    self.norm_added_k = RMSNorm(dim_head, eps=eps)
+            if not pre_only:
+                self.to_out = nn.ModuleList([
+                    nn.Linear(self.inner_dim, self.out_dim, bias=out_bias),
+                    nn.Dropout(dropout)])
+            if added_kv_proj_dim is not None and context_pre_only is False:
+                self.to_add_out = nn.Linear(self.inner_dim, self.out_dim,
+                                            bias=out_bias)
+            self.processor = processor
+
+        def set_processor(self, processor):
+            self.processor = processor
+
+        def get_processor(self):
+            return self.processor
+
+        def forward(self, hidden_states, encoder_hidden_states=None,
+                    attention_mask=None, **kwargs):
+            params = set(_inspect.signature(
+                self.processor.__call__).parameters.keys())
+            kwargs = {k: v for k, v in kwargs.items() if k in params}
+            return self.processor(
+                self, hidden_states,
+                encoder_hidden_states=encoder_hidden_states,
+                attention_mask=attention_mask, **kwargs)
+
+    class CogVideoXAttnProcessor2_0:
+        def __call__(self, attn, hidden_states, encoder_hidden_states,
+                     attention_mask=None, image_rotary_emb=None):
+            text_seq_length = encoder_hidden_states.size(1)
+            hidden_states = torch.cat([encoder_hidden_states, hidden_states],
+                                      dim=1)
+            batch_size = hidden_states.shape[0]
+            query = attn.to_q(hidden_states)
+            key = attn.to_k(hidden_states)
+            value = attn.to_v(hidden_states)
+            head_dim = key.shape[-1] // attn.heads
+            query = query.view(batch_size, -1, attn.heads,
+                               head_dim).transpose(1, 2)
+            key = key.view(batch_size, -1, attn.heads,
+                           head_dim).transpose(1, 2)
+            value = value.view(batch_size, -1, attn.heads,
+                               head_dim).transpose(1, 2)
+            if attn.norm_q is not None:
+                query = attn.norm_q(query)
+            if attn.norm_k is not None:
+                key = attn.norm_k(key)
+            if image_rotary_emb is not None:
+                query[:, :, text_seq_length:] = apply_rotary_emb(
+                    query[:, :, text_seq_length:], image_rotary_emb)
+                if not attn.is_cross_attention:
+                    key[:, :, text_seq_length:] = apply_rotary_emb(
+                        key[:, :, text_seq_length:], image_rotary_emb)
+            hidden_states = F.scaled_dot_product_attention(
+                query, key, value, attn_mask=attention_mask, dropout_p=0.0,
+                is_causal=False)
+            hidden_states = hidden_states.transpose(1, 2).reshape(
+                batch_size, -1, attn.heads * head_dim)
+            hidden_states = attn.to_out[0](hidden_states)
+            hidden_states = attn.to_out[1](hidden_states)
+            encoder_hidden_states, hidden_states = hidden_states.split(
+                [text_seq_length, hidden_states.size(1) - text_seq_length],
+                dim=1)
+            return hidden_states, encoder_hidden_states
+
+    class FusedCogVideoXAttnProcessor2_0:  # anchor (fuse path unused)
         pass
 
     attn_mod.FeedForward = FeedForward
-
-    ap_mod = mod("diffusers.models.attention_processor")
-
-    class Attention(nn.Module):  # anchor
-        pass
-
+    attn_mod.GELU = GELU
+    attn_mod.Attention = Attention
     ap_mod.Attention = Attention
+    ap_mod.AttentionProcessor = object  # typing alias in diffusers
+    ap_mod.CogVideoXAttnProcessor2_0 = CogVideoXAttnProcessor2_0
+    ap_mod.FusedCogVideoXAttnProcessor2_0 = FusedCogVideoXAttnProcessor2_0
 
     emb_mod = mod("diffusers.models.embeddings")
-
-    class TimestepEmbedding(nn.Module):  # anchor
-        pass
-
-    class Timesteps(nn.Module):  # anchor
-        pass
-
     emb_mod.TimestepEmbedding = TimestepEmbedding
     emb_mod.Timesteps = Timesteps
+    emb_mod.get_timestep_embedding = get_timestep_embedding
+    emb_mod.get_3d_sincos_pos_embed = get_3d_sincos_pos_embed
+    emb_mod.get_1d_rotary_pos_embed = get_1d_rotary_pos_embed
+    emb_mod.apply_rotary_emb = apply_rotary_emb
+    emb_mod.PixArtAlphaTextProjection = PixArtAlphaTextProjection
+    emb_mod.CombinedTimestepTextProjEmbeddings = \
+        CombinedTimestepTextProjEmbeddings
+    emb_mod.CombinedTimestepGuidanceTextProjEmbeddings = \
+        CombinedTimestepGuidanceTextProjEmbeddings
+    # CogVideoXPatchEmbed is imported but shadowed by the reference file's
+    # own definition (`cogvideox_transformer3d.py:46`); anchor suffices.
+    emb_mod.CogVideoXPatchEmbed = type("CogVideoXPatchEmbed", (nn.Module,),
+                                       {})
 
     norm_mod = mod("diffusers.models.normalization")
 
-    class AdaLayerNormContinuous(nn.Module):  # anchor
-        pass
+    class AdaLayerNorm(nn.Module):
+        def __init__(self, embedding_dim, num_embeddings=None,
+                     output_dim=None, norm_elementwise_affine=False,
+                     norm_eps=1e-5, chunk_dim=0):
+            super().__init__()
+            self.chunk_dim = chunk_dim
+            output_dim = output_dim or embedding_dim * 2
+            self.emb = (nn.Embedding(num_embeddings, embedding_dim)
+                        if num_embeddings is not None else None)
+            self.silu = nn.SiLU()
+            self.linear = nn.Linear(embedding_dim, output_dim)
+            self.norm = nn.LayerNorm(output_dim // 2, norm_eps,
+                                     norm_elementwise_affine)
 
+        def forward(self, x, timestep=None, temb=None):
+            if self.emb is not None:
+                temb = self.emb(timestep)
+            temb = self.linear(self.silu(temb))
+            if self.chunk_dim == 1:
+                shift, scale = temb.chunk(2, dim=1)
+                shift, scale = shift[:, None, :], scale[:, None, :]
+            else:
+                scale, shift = temb.chunk(2, dim=0)
+            return self.norm(x) * (1 + scale) + shift
+
+    class CogVideoXLayerNormZero(nn.Module):
+        def __init__(self, conditioning_dim, embedding_dim,
+                     elementwise_affine=True, eps=1e-5, bias=True):
+            super().__init__()
+            self.silu = nn.SiLU()
+            self.linear = nn.Linear(conditioning_dim, 6 * embedding_dim,
+                                    bias=bias)
+            self.norm = nn.LayerNorm(embedding_dim, eps=eps,
+                                     elementwise_affine=elementwise_affine)
+
+        def forward(self, hidden_states, encoder_hidden_states, temb):
+            shift, scale, gate, enc_shift, enc_scale, enc_gate = \
+                self.linear(self.silu(temb)).chunk(6, dim=1)
+            hidden_states = self.norm(hidden_states) * (
+                1 + scale)[:, None, :] + shift[:, None, :]
+            encoder_hidden_states = self.norm(encoder_hidden_states) * (
+                1 + enc_scale)[:, None, :] + enc_shift[:, None, :]
+            return (hidden_states, encoder_hidden_states,
+                    gate[:, None, :], enc_gate[:, None, :])
+
+    class AdaLayerNormZero(nn.Module):
+        def __init__(self, embedding_dim, num_embeddings=None,
+                     norm_type="layer_norm", bias=True):
+            super().__init__()
+            self.emb = None
+            self.silu = nn.SiLU()
+            self.linear = nn.Linear(embedding_dim, 6 * embedding_dim,
+                                    bias=bias)
+            self.norm = nn.LayerNorm(embedding_dim, elementwise_affine=False,
+                                     eps=1e-6)
+
+        def forward(self, x, timestep=None, class_labels=None,
+                    hidden_dtype=None, emb=None):
+            emb = self.linear(self.silu(emb))
+            (shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp,
+             gate_mlp) = emb.chunk(6, dim=1)
+            x = self.norm(x) * (1 + scale_msa[:, None]) + shift_msa[:, None]
+            return x, gate_msa, shift_mlp, scale_mlp, gate_mlp
+
+    class AdaLayerNormZeroSingle(nn.Module):
+        def __init__(self, embedding_dim, norm_type="layer_norm", bias=True):
+            super().__init__()
+            self.silu = nn.SiLU()
+            self.linear = nn.Linear(embedding_dim, 3 * embedding_dim,
+                                    bias=bias)
+            self.norm = nn.LayerNorm(embedding_dim, elementwise_affine=False,
+                                     eps=1e-6)
+
+        def forward(self, x, emb=None):
+            emb = self.linear(self.silu(emb))
+            shift_msa, scale_msa, gate_msa = emb.chunk(3, dim=1)
+            x = self.norm(x) * (1 + scale_msa[:, None]) + shift_msa[:, None]
+            return x, gate_msa
+
+    class AdaLayerNormContinuous(nn.Module):
+        def __init__(self, embedding_dim, conditioning_embedding_dim,
+                     elementwise_affine=True, eps=1e-5, bias=True,
+                     norm_type="layer_norm"):
+            super().__init__()
+            self.silu = nn.SiLU()
+            self.linear = nn.Linear(conditioning_embedding_dim,
+                                    embedding_dim * 2, bias=bias)
+            self.norm = nn.LayerNorm(embedding_dim, eps, elementwise_affine,
+                                     bias)
+
+        def forward(self, x, conditioning_embedding):
+            emb = self.linear(self.silu(conditioning_embedding).to(x.dtype))
+            scale, shift = torch.chunk(emb, 2, dim=1)
+            return self.norm(x) * (1 + scale)[:, None, :] + shift[:, None, :]
+
+    ds_mod = mod("diffusers.models.downsampling")
+
+    class CogVideoXDownsample3D(nn.Module):
+        """Faithful diffusers downsampling.py: optional first-frame-keep
+        temporal avg-pool, (0,1,0,1) spatial pad, stride-2 Conv2d/frame."""
+
+        def __init__(self, in_channels, out_channels, kernel_size=3,
+                     stride=2, padding=0, compress_time=False):
+            super().__init__()
+            self.conv = nn.Conv2d(in_channels, out_channels,
+                                  kernel_size=kernel_size, stride=stride,
+                                  padding=padding)
+            self.compress_time = compress_time
+
+        def forward(self, x):
+            if self.compress_time:
+                bs, ch, frames, h, w = x.shape
+                x = x.permute(0, 3, 4, 1, 2).reshape(bs * h * w, ch, frames)
+                if x.shape[-1] % 2 == 1:
+                    x_first, x_rest = x[..., 0], x[..., 1:]
+                    if x_rest.shape[-1] > 0:
+                        x_rest = F.avg_pool1d(x_rest, kernel_size=2, stride=2)
+                    x = torch.cat([x_first[..., None], x_rest], dim=-1)
+                else:
+                    x = F.avg_pool1d(x, kernel_size=2, stride=2)
+                x = x.reshape(bs, h, w, ch, x.shape[-1]).permute(0, 3, 4, 1,
+                                                                 2)
+            x = F.pad(x, (0, 1, 0, 1), mode="constant", value=0)
+            bs, ch, frames, h, w = x.shape
+            x = x.permute(0, 2, 1, 3, 4).reshape(bs * frames, ch, h, w)
+            x = self.conv(x)
+            return x.reshape(bs, frames, x.shape[1], x.shape[2],
+                             x.shape[3]).permute(0, 2, 1, 3, 4)
+
+    ds_mod.CogVideoXDownsample3D = CogVideoXDownsample3D
+    us_mod = mod("diffusers.models.upsampling")
+    # the reference file defines its own CogVideoXUpsample3D (`:201`),
+    # shadowing this import; anchor suffices
+    us_mod.CogVideoXUpsample3D = type("CogVideoXUpsample3D", (nn.Module,),
+                                      {})
+
+    norm_mod.AdaLayerNorm = AdaLayerNorm
+    norm_mod.CogVideoXLayerNormZero = CogVideoXLayerNormZero
+    norm_mod.AdaLayerNormZero = AdaLayerNormZero
+    norm_mod.AdaLayerNormZeroSingle = AdaLayerNormZeroSingle
     norm_mod.AdaLayerNormContinuous = AdaLayerNormContinuous
-    norm_mod.RMSNorm = getattr(nn, "RMSNorm", type("RMSNorm", (nn.Module,),
-                                                   {}))
+    norm_mod.RMSNorm = RMSNorm
 
     mod("diffusers.models.autoencoders")
     vae_mod = mod("diffusers.models.autoencoders.vae")
@@ -367,7 +842,12 @@ def _install_videox_fun_parents():
     dist.usp_attn_forward = None
     dist.usp_attn_s2v_forward = None
     dist.xFuserLongContextAttention = None
+    dist.FluxMultiGPUsAttnProcessor2_0 = None
+    dist.QwenImageMultiGPUsAttnProcessor2_0 = None
     sys.modules["videox_fun.dist"] = dist
+    cog_xfuser = types.ModuleType("videox_fun.dist.cogvideox_xfuser")
+    cog_xfuser.CogVideoXMultiGPUsAttnProcessor2_0 = None
+    sys.modules["videox_fun.dist.cogvideox_xfuser"] = cog_xfuser
 
     # `from ..utils import cfg_skip` resolves through the synthetic package:
     # load the real cfg_optimization file and re-export.
@@ -415,6 +895,17 @@ def load_reference():
     # comes from diffusers; the rest of its import block is name anchors).
     ns.qwenimage_vae = importlib.import_module(
         "videox_fun.models.qwenimage_vae")
+    # image-gen transformer families: their diffusers components
+    # (Attention/FeedForward/norm/embedding classes) are faithful numeric
+    # reimplementations above; all wiring is reference code verbatim.
+    ns.cogvideox_transformer3d = importlib.import_module(
+        "videox_fun.models.cogvideox_transformer3d")
+    ns.cogvideox_vae = importlib.import_module(
+        "videox_fun.models.cogvideox_vae")
+    ns.flux_transformer2d = importlib.import_module(
+        "videox_fun.models.flux_transformer2d")
+    ns.qwenimage_transformer2d = importlib.import_module(
+        "videox_fun.models.qwenimage_transformer2d")
     _install_dataset_dep_stubs()
     data_pkg = types.ModuleType("videox_fun.data")
     data_pkg.__path__ = [f"{REF_ROOT}/videox_fun/data"]

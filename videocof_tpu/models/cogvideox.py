@@ -76,8 +76,13 @@ def _sincos_1d(dim: int, pos: np.ndarray) -> np.ndarray:
 def get_3d_sincos_pos_embed(embed_dim: int, spatial_hw: Tuple[int, int],
                             temporal: int, sis: float, tis: float
                             ) -> np.ndarray:
-    """[T, H*W, D]: 1/4 of the channels carry temporal sincos, 3/4 spatial
-    (h-half + w-half)."""
+    """[T, H*W, D]: 1/4 of the channels carry temporal sincos, 3/4 spatial.
+
+    Spatial channel order matches diffusers' `get_3d_sincos_pos_embed`
+    literally: the grid is built `np.meshgrid(grid_w, grid_h)` ("here w goes
+    first"), so the FIRST spatial half embeds the *w* coordinate and the
+    second half the *h* coordinate (the `emb_h` name in diffusers/MAE is a
+    misnomer that checkpoints inherited)."""
     h, w = spatial_hw
     dim_t = embed_dim // 4
     dim_s = embed_dim - dim_t
@@ -86,8 +91,8 @@ def get_3d_sincos_pos_embed(embed_dim: int, spatial_hw: Tuple[int, int],
     emb_h = _sincos_1d(dim_s // 2, gh)                 # [H, ds/2]
     emb_w = _sincos_1d(dim_s // 2, gw)                 # [W, ds/2]
     spatial = np.concatenate([
-        np.repeat(emb_h[:, None, :], w, axis=1),
         np.repeat(emb_w[None, :, :], h, axis=0),
+        np.repeat(emb_h[:, None, :], w, axis=1),
     ], axis=-1).reshape(h * w, dim_s)
     temporal_e = _sincos_1d(dim_t, np.arange(temporal, dtype=np.float64) / tis)
     out = np.concatenate([
@@ -128,10 +133,19 @@ def init_cogvideox(key, cfg: CogVideoXConfig, dtype=jnp.float32) -> Params:
     pt = cfg.patch_size_t or 1
     it = iter(jax.random.split(key, 16 + 8 * cfg.num_layers))
 
+    def ln(dim=d):
+        # the reference's CogVideoXLayerNormZero / AdaLayerNorm wrap an
+        # elementwise-affine LayerNorm (diffusers normalization.py,
+        # `norm_elementwise_affine=True` default) — real checkpoints carry
+        # `norm1.norm.weight/bias` etc., so the params must exist here.
+        return {"scale": jnp.ones((dim,), jnp.float32),
+                "bias": jnp.zeros((dim,), jnp.float32)}
+
     def block(bk):
         ks = jax.random.split(bk, 8)
         return {
-            "norm1": {"lin": W._init_linear(ks[0], te, 6 * d, jnp.float32)},
+            "norm1": {"lin": W._init_linear(ks[0], te, 6 * d, jnp.float32),
+                      "norm": ln()},
             "attn": {
                 "q": W._init_linear(ks[1], d, d, dtype),
                 "k": W._init_linear(ks[2], d, d, dtype),
@@ -142,7 +156,8 @@ def init_cogvideox(key, cfg: CogVideoXConfig, dtype=jnp.float32) -> Params:
                 "norm_k": {"scale": jnp.ones((cfg.attention_head_dim,), dtype),
                            "bias": jnp.zeros((cfg.attention_head_dim,), dtype)},
             },
-            "norm2": {"lin": W._init_linear(ks[5], te, 6 * d, jnp.float32)},
+            "norm2": {"lin": W._init_linear(ks[5], te, 6 * d, jnp.float32),
+                      "norm": ln()},
             "ff": {"fc1": W._init_linear(ks[6], d, 4 * d, dtype),
                    "fc2": W._init_linear(ks[7], 4 * d, d, dtype)},
         }
@@ -157,21 +172,96 @@ def init_cogvideox(key, cfg: CogVideoXConfig, dtype=jnp.float32) -> Params:
         "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
         "norm_final": {"scale": jnp.ones((d,), dtype),
                        "bias": jnp.zeros((d,), dtype)},
-        "norm_out": {"lin": W._init_linear(next(it), te, 2 * d, jnp.float32)},
+        "norm_out": {"lin": W._init_linear(next(it), te, 2 * d, jnp.float32),
+                     "norm": ln()},
         "proj_out": W._init_linear(
             next(it), d, cfg.out_channels * p * p * pt, dtype),
     }
     return params
 
 
+# -------------------------------------------------------- checkpoint loading
+
+def convert_cogvideox_state_dict(sd: Dict[str, np.ndarray],
+                                 cfg: CogVideoXConfig,
+                                 dtype=jnp.float32) -> Params:
+    """diffusers-layout `CogVideoXTransformer3DModel` state dict (numpy
+    values) -> our pytree. Key layout per the reference
+    `cogvideox_transformer3d.py:394-443` (diffusers module names:
+    `ff.net.0.proj` / `ff.net.2`, `to_out.0`, `norm1.norm`, ...)."""
+    def lin(prefix):
+        p = {"kernel": jnp.asarray(
+            np.ascontiguousarray(sd[prefix + ".weight"].T), dtype)}
+        if prefix + ".bias" in sd:
+            p["bias"] = jnp.asarray(sd[prefix + ".bias"], dtype)
+        return p
+
+    def ln(prefix):
+        return {"scale": jnp.asarray(sd[prefix + ".weight"], jnp.float32),
+                "bias": jnp.asarray(sd[prefix + ".bias"], jnp.float32)}
+
+    def f32(p):
+        return {k: v.astype(jnp.float32) for k, v in p.items()}
+
+    # 1.0 checkpoints patch-embed with a per-frame Conv2d [D, C, p, p]; its
+    # flattened input-feature order (C, p, p) equals our pt=1 linear
+    pw = sd["patch_embed.proj.weight"]
+    if pw.ndim == 4:
+        pw = pw.reshape(pw.shape[0], -1)
+    patch = {"kernel": jnp.asarray(np.ascontiguousarray(pw.T), dtype),
+             "bias": jnp.asarray(sd["patch_embed.proj.bias"], dtype)}
+
+    def block(i):
+        pre = f"transformer_blocks.{i}"
+        return {
+            "norm1": {"lin": f32(lin(f"{pre}.norm1.linear")),
+                      "norm": ln(f"{pre}.norm1.norm")},
+            "attn": {
+                "q": lin(f"{pre}.attn1.to_q"),
+                "k": lin(f"{pre}.attn1.to_k"),
+                "v": lin(f"{pre}.attn1.to_v"),
+                "o": lin(f"{pre}.attn1.to_out.0"),
+                "norm_q": {
+                    "scale": jnp.asarray(sd[f"{pre}.attn1.norm_q.weight"],
+                                         dtype),
+                    "bias": jnp.asarray(sd[f"{pre}.attn1.norm_q.bias"],
+                                        dtype)},
+                "norm_k": {
+                    "scale": jnp.asarray(sd[f"{pre}.attn1.norm_k.weight"],
+                                         dtype),
+                    "bias": jnp.asarray(sd[f"{pre}.attn1.norm_k.bias"],
+                                        dtype)},
+            },
+            "norm2": {"lin": f32(lin(f"{pre}.norm2.linear")),
+                      "norm": ln(f"{pre}.norm2.norm")},
+            "ff": {"fc1": lin(f"{pre}.ff.net.0.proj"),
+                   "fc2": lin(f"{pre}.ff.net.2")},
+        }
+
+    blocks = [block(i) for i in range(cfg.num_layers)]
+    return {
+        "patch_proj": patch,
+        "text_proj": lin("patch_embed.text_proj"),
+        "time_mlp": {"fc1": f32(lin("time_embedding.linear_1")),
+                     "fc2": f32(lin("time_embedding.linear_2"))},
+        "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
+        "norm_final": ln("norm_final"),
+        "norm_out": {"lin": f32(lin("norm_out.linear")),
+                     "norm": ln("norm_out.norm")},
+        "proj_out": lin("proj_out"),
+    }
+
+
 # ------------------------------------------------------------------- blocks
 
 def _ln_zero(p, x_vid, x_txt, temb, eps):
-    """CogVideoXLayerNormZero: shared LN, per-stream shift/scale/gate."""
+    """CogVideoXLayerNormZero: shared affine LN, per-stream shift/scale/gate."""
     m = W._linear(jax.nn.silu(temb), p["lin"], jnp.float32)
     shift, scale, gate, e_shift, e_scale, e_gate = jnp.split(m, 6, axis=1)
-    nv = W._layer_norm(x_vid, eps) * (1 + scale[:, None]) + shift[:, None]
-    nt = W._layer_norm(x_txt, eps) * (1 + e_scale[:, None]) + e_shift[:, None]
+    g, b = p["norm"]["scale"], p["norm"]["bias"]
+    nv = W._layer_norm(x_vid, eps, g, b) * (1 + scale[:, None]) + shift[:, None]
+    nt = W._layer_norm(x_txt, eps, g, b) * (1 + e_scale[:, None]) \
+        + e_shift[:, None]
     return nv, nt, gate[:, None], e_gate[:, None]
 
 
@@ -283,15 +373,19 @@ def cogvideox_forward(
         vid = W._layer_norm(vid, cfg.norm_eps, params["norm_final"]["scale"],
                             params["norm_final"]["bias"])
 
-    # AdaLayerNorm out (chunk order shift, scale — diffusers chunk_dim=1)
+    # AdaLayerNorm out (chunk order shift, scale — diffusers chunk_dim=1;
+    # the inner LayerNorm is elementwise-affine)
     m = W._linear(jax.nn.silu(temb), params["norm_out"]["lin"], jnp.float32)
     shift, scale = jnp.split(m, 2, axis=1)
-    vid = W._layer_norm(vid, cfg.norm_eps) * (1 + scale[:, None]) \
-        + shift[:, None]
+    vid = W._layer_norm(vid, cfg.norm_eps, params["norm_out"]["norm"]["scale"],
+                        params["norm_out"]["norm"]["bias"]) \
+        * (1 + scale[:, None]) + shift[:, None]
     out = W._linear(vid.astype(cdtype), params["proj_out"])
 
-    # unpatchify back to [B, F, C_out, H, W]
-    out = out.astype(jnp.float32).reshape(B, f, hh, ww, pt, p, p,
-                                          cfg.out_channels)
-    out = out.transpose(0, 1, 4, 7, 2, 5, 3, 6)
+    # unpatchify back to [B, F, C_out, H, W]; proj_out features are ordered
+    # (C, pt, p, p) — `cogvideox_transformer3d.py:667-678` reshapes to
+    # (..., -1, p_t, p, p)
+    out = out.astype(jnp.float32).reshape(B, f, hh, ww, cfg.out_channels,
+                                          pt, p, p)
+    out = out.transpose(0, 1, 5, 4, 2, 6, 3, 7)
     return out.reshape(B, F, cfg.out_channels, H, W_)

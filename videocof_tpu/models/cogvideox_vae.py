@@ -180,6 +180,74 @@ def init_cogvideox_vae(key, cfg: CogVideoXVAEConfig, dtype=jnp.float32
     return {"encoder": enc, "decoder": dec}
 
 
+# -------------------------------------------------------- checkpoint loading
+
+def convert_cogvideox_vae_state_dict(sd: Dict[str, np.ndarray],
+                                     cfg: CogVideoXVAEConfig,
+                                     dtype=jnp.float32) -> Params:
+    """diffusers-layout `AutoencoderKLCogVideoX` state dict (numpy values) ->
+    our pytree. Causal convs live under `.conv` (CogVideoXCausalConv3d wraps
+    a SafeConv3d), 1x1x1 resnet shortcuts are bare SafeConv3d, spatial norms
+    expose `norm_layer`/`conv_y.conv`/`conv_b.conv`
+    (`cogvideox_vae.py:71-199,276-425`). Kernels stay torch-layout
+    [O, I, ...] — our conv helpers consume that directly."""
+    def conv(prefix):
+        return {"kernel": jnp.asarray(sd[prefix + ".weight"], dtype),
+                "bias": jnp.asarray(sd[prefix + ".bias"], dtype)}
+
+    def gn(prefix):
+        return {"scale": jnp.asarray(sd[prefix + ".weight"], jnp.float32),
+                "bias": jnp.asarray(sd[prefix + ".bias"], jnp.float32)}
+
+    def spatial(prefix):
+        return {"norm": gn(prefix + ".norm_layer"),
+                "conv_y": conv(prefix + ".conv_y.conv"),
+                "conv_b": conv(prefix + ".conv_b.conv")}
+
+    def resnet(prefix, spatial_norm):
+        p = {
+            "norm1": spatial(f"{prefix}.norm1") if spatial_norm
+            else gn(f"{prefix}.norm1"),
+            "conv1": conv(f"{prefix}.conv1.conv"),
+            "norm2": spatial(f"{prefix}.norm2") if spatial_norm
+            else gn(f"{prefix}.norm2"),
+            "conv2": conv(f"{prefix}.conv2.conv"),
+        }
+        if f"{prefix}.conv_shortcut.weight" in sd:
+            p["conv_shortcut"] = conv(f"{prefix}.conv_shortcut")
+        return p
+
+    n = len(cfg.block_out_channels)
+    enc: Params = {"conv_in": conv("encoder.conv_in.conv"), "down": []}
+    for i in range(n):
+        stage: Params = {"res": [
+            resnet(f"encoder.down_blocks.{i}.resnets.{j}", False)
+            for j in range(cfg.layers_per_block)]}
+        if f"encoder.down_blocks.{i}.downsamplers.0.conv.weight" in sd:
+            stage["down_conv"] = conv(
+                f"encoder.down_blocks.{i}.downsamplers.0.conv")
+        enc["down"].append(stage)
+    enc["mid"] = [resnet(f"encoder.mid_block.resnets.{j}", False)
+                  for j in range(2)]
+    enc["norm_out"] = gn("encoder.norm_out")
+    enc["conv_out"] = conv("encoder.conv_out.conv")
+
+    dec: Params = {"conv_in": conv("decoder.conv_in.conv")}
+    dec["mid"] = [resnet(f"decoder.mid_block.resnets.{j}", True)
+                  for j in range(2)]
+    dec["up"] = []
+    for i in range(n):
+        stage = {"res": [
+            resnet(f"decoder.up_blocks.{i}.resnets.{j}", True)
+            for j in range(cfg.layers_per_block + 1)]}
+        if f"decoder.up_blocks.{i}.upsamplers.0.conv.weight" in sd:
+            stage["up_conv"] = conv(f"decoder.up_blocks.{i}.upsamplers.0.conv")
+        dec["up"].append(stage)
+    dec["norm_out"] = spatial("decoder.norm_out")
+    dec["conv_out"] = conv("decoder.conv_out.conv")
+    return {"encoder": enc, "decoder": dec}
+
+
 # ---------------------------------------------------------------------- apply
 
 def _resnet_apply(p, cfg, x, zq=None):

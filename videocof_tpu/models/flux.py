@@ -149,6 +149,100 @@ def init_flux(key, cfg: FluxConfig, dtype=jnp.float32) -> Params:
     return params
 
 
+# -------------------------------------------------------- checkpoint loading
+
+def _np_lin(sd, prefix, dtype):
+    p = {"kernel": jnp.asarray(np.ascontiguousarray(sd[prefix + ".weight"].T),
+                               dtype)}
+    if prefix + ".bias" in sd:
+        p["bias"] = jnp.asarray(sd[prefix + ".bias"], dtype)
+    return p
+
+
+def _np_rms(sd, prefix, dtype):
+    return {"weight": jnp.asarray(sd[prefix + ".weight"], dtype)}
+
+
+def convert_flux_state_dict(sd: Dict[str, np.ndarray], cfg: FluxConfig,
+                            dtype=jnp.float32) -> Params:
+    """diffusers-layout `FluxTransformer2DModel` state dict (numpy values) ->
+    our pytree (module names per `flux_transformer2d.py:426-505,638-695`)."""
+    def lin(prefix, dt=dtype):
+        return _np_lin(sd, prefix, dt)
+
+    def dual(i):
+        pre = f"transformer_blocks.{i}"
+        return {
+            "norm1": {"lin": lin(f"{pre}.norm1.linear", jnp.float32)},
+            "norm1_context": {"lin": lin(f"{pre}.norm1_context.linear",
+                                         jnp.float32)},
+            "attn": {
+                "q": lin(f"{pre}.attn.to_q"),
+                "k": lin(f"{pre}.attn.to_k"),
+                "v": lin(f"{pre}.attn.to_v"),
+                "o": lin(f"{pre}.attn.to_out.0"),
+                "add_q": lin(f"{pre}.attn.add_q_proj"),
+                "add_k": lin(f"{pre}.attn.add_k_proj"),
+                "add_v": lin(f"{pre}.attn.add_v_proj"),
+                "add_o": lin(f"{pre}.attn.to_add_out"),
+                "norm_q": _np_rms(sd, f"{pre}.attn.norm_q", dtype),
+                "norm_k": _np_rms(sd, f"{pre}.attn.norm_k", dtype),
+                "norm_added_q": _np_rms(sd, f"{pre}.attn.norm_added_q",
+                                        dtype),
+                "norm_added_k": _np_rms(sd, f"{pre}.attn.norm_added_k",
+                                        dtype),
+            },
+            "ff": {"fc1": lin(f"{pre}.ff.net.0.proj"),
+                   "fc2": lin(f"{pre}.ff.net.2")},
+            "ff_context": {"fc1": lin(f"{pre}.ff_context.net.0.proj"),
+                           "fc2": lin(f"{pre}.ff_context.net.2")},
+        }
+
+    def single(i):
+        pre = f"single_transformer_blocks.{i}"
+        return {
+            "norm": {"lin": lin(f"{pre}.norm.linear", jnp.float32)},
+            "attn": {
+                "q": lin(f"{pre}.attn.to_q"),
+                "k": lin(f"{pre}.attn.to_k"),
+                "v": lin(f"{pre}.attn.to_v"),
+                "norm_q": _np_rms(sd, f"{pre}.attn.norm_q", dtype),
+                "norm_k": _np_rms(sd, f"{pre}.attn.norm_k", dtype),
+            },
+            "proj_mlp": lin(f"{pre}.proj_mlp"),
+            "proj_out": lin(f"{pre}.proj_out"),
+        }
+
+    params: Params = {
+        "x_embedder": lin("x_embedder"),
+        "context_embedder": lin("context_embedder"),
+        "time_embed": {
+            "fc1": lin("time_text_embed.timestep_embedder.linear_1",
+                       jnp.float32),
+            "fc2": lin("time_text_embed.timestep_embedder.linear_2",
+                       jnp.float32)},
+        "text_embed": {
+            "fc1": lin("time_text_embed.text_embedder.linear_1", jnp.float32),
+            "fc2": lin("time_text_embed.text_embedder.linear_2",
+                       jnp.float32)},
+        "blocks": jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[dual(i) for i in range(cfg.num_layers)]),
+        "single_blocks": jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[single(i) for i in range(cfg.num_single_layers)]),
+        "norm_out": {"lin": lin("norm_out.linear", jnp.float32)},
+        "proj_out": lin("proj_out"),
+    }
+    if "time_text_embed.guidance_embedder.linear_1.weight" in sd:
+        params["guidance_embed"] = {
+            "fc1": lin("time_text_embed.guidance_embedder.linear_1",
+                       jnp.float32),
+            "fc2": lin("time_text_embed.guidance_embedder.linear_2",
+                       jnp.float32)}
+    return params
+
+
 # -------------------------------------------------------------------- blocks
 
 def _ada_zero(p, temb, n_chunks):

@@ -15,6 +15,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import attention
 from . import wan_dit as W
@@ -96,6 +97,83 @@ def init_qwenimage(key, cfg: QwenImageConfig, dtype=jnp.float32) -> Params:
         "proj_out": W._init_linear(
             next(it), d, cfg.patch_size ** 2 * cfg.out_channels, dtype),
     }
+
+
+# -------------------------------------------------------- checkpoint loading
+
+def convert_qwenimage_state_dict(sd, cfg: QwenImageConfig,
+                                 dtype=jnp.float32) -> Params:
+    """diffusers-layout `QwenImageTransformer2DModel` state dict (numpy
+    values) -> our pytree (module names per
+    `qwenimage_transformer2d.py:369-415,517-560`; the per-stream modulation
+    is an `nn.Sequential(SiLU, Linear)`, hence the `.1` index)."""
+    from .flux import _np_lin, _np_rms
+
+    def lin(prefix, dt=dtype):
+        return _np_lin(sd, prefix, dt)
+
+    def block(i):
+        pre = f"transformer_blocks.{i}"
+        return {
+            "img_mod": {"lin": lin(f"{pre}.img_mod.1", jnp.float32)},
+            "txt_mod": {"lin": lin(f"{pre}.txt_mod.1", jnp.float32)},
+            "attn": {
+                "q": lin(f"{pre}.attn.to_q"),
+                "k": lin(f"{pre}.attn.to_k"),
+                "v": lin(f"{pre}.attn.to_v"),
+                "o": lin(f"{pre}.attn.to_out.0"),
+                "add_q": lin(f"{pre}.attn.add_q_proj"),
+                "add_k": lin(f"{pre}.attn.add_k_proj"),
+                "add_v": lin(f"{pre}.attn.add_v_proj"),
+                "add_o": lin(f"{pre}.attn.to_add_out"),
+                "norm_q": _np_rms(sd, f"{pre}.attn.norm_q", dtype),
+                "norm_k": _np_rms(sd, f"{pre}.attn.norm_k", dtype),
+                "norm_added_q": _np_rms(sd, f"{pre}.attn.norm_added_q",
+                                        dtype),
+                "norm_added_k": _np_rms(sd, f"{pre}.attn.norm_added_k",
+                                        dtype),
+            },
+            "img_mlp": {"fc1": lin(f"{pre}.img_mlp.net.0.proj"),
+                        "fc2": lin(f"{pre}.img_mlp.net.2")},
+            "txt_mlp": {"fc1": lin(f"{pre}.txt_mlp.net.0.proj"),
+                        "fc2": lin(f"{pre}.txt_mlp.net.2")},
+        }
+
+    return {
+        "img_in": lin("img_in"),
+        "txt_in": lin("txt_in"),
+        "txt_norm": _np_rms(sd, "txt_norm", dtype),
+        "time_embed": {
+            "fc1": lin("time_text_embed.timestep_embedder.linear_1",
+                       jnp.float32),
+            "fc2": lin("time_text_embed.timestep_embedder.linear_2",
+                       jnp.float32)},
+        "blocks": jax.tree.map(lambda *xs: jnp.stack(xs),
+                               *[block(i) for i in range(cfg.num_layers)]),
+        "norm_out": {"lin": lin("norm_out.linear", jnp.float32)},
+        "proj_out": lin("proj_out"),
+    }
+
+
+def qwen_position_ids(grid_fhw: Tuple[int, int, int], txt_len: int,
+                      scale_rope: bool = True):
+    """Position ids matching the reference `QwenEmbedRope`
+    (`qwenimage_transformer2d.py:177-273`): video ids are (frame, h, w) per
+    token with `scale_rope` centering h/w around zero (negative-side
+    positions use index -k), text ids run on all three axes from
+    `max_vid_index` upward."""
+    f, h, w = grid_fhw
+    fi = np.arange(f)
+    hi = (np.concatenate([np.arange(-(h - h // 2), 0), np.arange(h // 2)])
+          if scale_rope else np.arange(h))
+    wi = (np.concatenate([np.arange(-(w - w // 2), 0), np.arange(w // 2)])
+          if scale_rope else np.arange(w))
+    img = np.stack(np.meshgrid(fi, hi, wi, indexing="ij"),
+                   axis=-1).reshape(f * h * w, 3)
+    mx = max(h // 2, w // 2) if scale_rope else max(h, w)
+    txt = mx + np.arange(txt_len)
+    txt = np.stack([txt, txt, txt], axis=-1)
+    return jnp.asarray(img, jnp.float32), jnp.asarray(txt, jnp.float32)
 
 
 def _modulate(x, mod, eps):
