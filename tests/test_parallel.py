@@ -25,7 +25,7 @@ SHAPE = (2, CFG.in_dim, 4, 4, 8)
 
 def test_mesh_axes():
     mesh = make_mesh(data=2, seq=4)
-    assert mesh.shape == {"data": 2, "seq": 4}
+    assert mesh.shape == {"data": 2, "seq": 4, "model": 1}
 
 
 def test_pad_tokens():

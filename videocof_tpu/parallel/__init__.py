@@ -3,7 +3,9 @@ from .sp import SPContext, pad_tokens_for_sp
 from .ulysses import make_ulysses_attention
 from .ring import make_ring_attention
 from .sharding import fsdp_param_sharding, replicate
+from .tp import make_tp_attention, tp_param_shardings, validate_tp
 
 __all__ = ["make_mesh", "make_ulysses_attention", "make_ring_attention",
            "pad_tokens_for_sp", "SPContext", "fsdp_param_sharding",
-           "replicate"]
+           "replicate", "make_tp_attention", "tp_param_shardings",
+           "validate_tp"]

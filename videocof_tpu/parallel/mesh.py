@@ -17,12 +17,17 @@ import numpy as np
 from jax.sharding import Mesh
 
 
-def make_mesh(data: int = 1, seq: int = 1,
+def make_mesh(data: int = 1, seq: int = 1, model: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
+    """('data', 'seq', 'model') mesh. ``model`` carries Megatron-style tensor
+    parallelism (heads/ffn sharding, `parallel/tp.py`) — a capability beyond
+    the reference, whose xfuser setup only exposes ulysses/ring degrees. The
+    model axis is innermost so TP's per-layer all-reduces ride the
+    fastest ICI hops; singleton axes are free."""
     devices = list(devices if devices is not None else jax.devices())
-    need = data * seq
+    need = data * seq * model
     if need > len(devices):
-        raise ValueError(f"mesh {data}x{seq} needs {need} devices, "
+        raise ValueError(f"mesh {data}x{seq}x{model} needs {need} devices, "
                          f"have {len(devices)}")
-    dev = np.array(devices[:need]).reshape(data, seq)
-    return Mesh(dev, axis_names=("data", "seq"))
+    dev = np.array(devices[:need]).reshape(data, seq, model)
+    return Mesh(dev, axis_names=("data", "seq", "model"))

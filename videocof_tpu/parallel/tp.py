@@ -1,0 +1,134 @@
+"""Megatron-style tensor parallelism for the DiT block stack.
+
+A capability beyond the reference (its xfuser setup only exposes
+ulysses/ring sequence parallelism): each transformer block's attention heads
+and FFN hidden dim are sharded over the ``model`` mesh axis, so *weights and
+per-layer activations* scale down with the TP degree — the lever that lets a
+14B-class DiT run across chips too small to hold it whole.
+
+TPU-native mechanics (no torch-style module surgery): the params are simply
+placed with column-/row-parallel `NamedSharding`s (`tp_param_shardings`) and
+the jitted forward runs unchanged — XLA's SPMD partitioner propagates the
+shardings through q/k/v projections, head reshape, attention, and inserts
+exactly one all-reduce per (attention, FFN) pair at the o-proj / fc2
+row-parallel contractions, the Megatron communication pattern. On real TPU
+the attention itself runs inside `make_tp_attention`'s shard_map (heads are
+embarrassingly parallel) so the Pallas flash kernel sees only local heads;
+it composes with Ulysses sequence parallelism in the same shard_map when the
+mesh also has a ``seq`` axis (tokens x heads both sharded).
+
+Column/row assignment per block (kernels are [layers, in, out]-stacked):
+
+    self_attn/cross_attn  q, k, v (+ k_img, v_img)   column (out over TP)
+                          norm_q/k weights            follow q/k out-sharding
+                          o                           row (in over TP)
+    ffn                   fc1                         column
+                          fc2                         row
+    modulation / norms / embeddings / head            replicated
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops import attention as _attention
+
+# leaf-name -> which dim of the *unstacked* param is sharded; kernels carry a
+# leading stacked-layer axis that stays unsharded. "out" = last dim,
+# "in" = second-to-last (row-parallel), None = replicated.
+_COLUMN = ("q", "k", "v", "k_img", "v_img", "fc1")
+_ROW = ("o", "fc2")
+_NORM_FOLLOW = ("norm_q", "norm_k", "norm_k_img")
+
+
+def _spec_for(path, leaf, axis: str) -> P:
+    names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+    leaf_name = names[-1]
+    parent = names[-2] if len(names) > 1 else ""
+    grand = names[-3] if len(names) > 2 else ""
+    if "blocks" not in names and "blocks2" not in names:
+        return P()  # embeddings / head / time mlp stay replicated
+    # quantized storage ({"fp8","scale"} under e.g. .../q/): treat fp8 like
+    # the kernel it replaces; per-tensor scales replicate
+    if leaf_name == "fp8":
+        leaf_name = "kernel"
+    elif leaf_name == "scale" and parent in _COLUMN + _ROW:
+        return P()  # per-tensor quant scale
+
+    def last_dim(d=-1):
+        spec = [None] * leaf.ndim
+        spec[d] = axis
+        return P(*spec)
+
+    if parent in _COLUMN:
+        return last_dim(-1)            # kernel [L, in, out] and bias [L, out]
+    if parent in _ROW:
+        # row-parallel: contract dim sharded; bias added once, post-reduce
+        return last_dim(-2) if leaf_name == "kernel" else P()
+    if parent in _NORM_FOLLOW and leaf_name == "weight":
+        return last_dim(-1)            # q/k RMS weights follow the out shard
+    return P()
+
+
+def tp_param_shardings(mesh: Mesh, params: Any, axis: str = "model") -> Any:
+    """NamedSharding pytree implementing the table above. Apply with
+    `jax.device_put(params, shardings)` (or as jit in_shardings)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _spec_for(path, leaf, axis)),
+        params)
+
+
+def validate_tp(cfg, mesh: Mesh, axis: str = "model") -> None:
+    tp = mesh.shape[axis]
+    if cfg.num_heads % tp:
+        raise ValueError(f"num_heads {cfg.num_heads} % tp {tp} != 0")
+    if cfg.ffn_dim % tp:
+        raise ValueError(f"ffn_dim {cfg.ffn_dim} % tp {tp} != 0")
+
+
+def make_tp_attention(mesh: Mesh, model_axis: str = "model",
+                      seq_axis: Optional[str] = None,
+                      batch_axis: Optional[str] = None,
+                      inner_backend: Optional[str] = None) -> Callable:
+    """attn(q, k, v, mask=None) on logically-global [B, L, N, D]: heads
+    shard over ``model`` (attention is embarrassingly parallel over heads, no
+    collectives), optionally composed with Ulysses sequence parallelism over
+    ``seq`` (all-to-all re-shards the *local* head group to full-length
+    tokens). This keeps the Pallas flash kernel operating on purely local
+    tiles instead of relying on the SPMD partitioner to split a custom call."""
+    tp = mesh.shape[model_axis]
+    sp = mesh.shape[seq_axis] if seq_axis else 1
+
+    def _inner(q, k, v, mask):
+        if sp > 1:
+            def a2a_in(x):
+                return jax.lax.all_to_all(x, seq_axis, split_axis=2,
+                                          concat_axis=1, tiled=True)
+
+            q, k, v = a2a_in(q), a2a_in(k), a2a_in(v)
+        o = _attention(q, k, v, mask=mask, backend=inner_backend)
+        if sp > 1:
+            o = jax.lax.all_to_all(o, seq_axis, split_axis=1, concat_axis=2,
+                                   tiled=True)
+        return o
+
+    def attn(q, k, v, mask=None):
+        B, L, N, D = q.shape
+        assert N % (tp * sp) == 0, \
+            f"heads {N} not divisible by tp*sp = {tp}*{sp}"
+        if sp > 1:
+            assert L % sp == 0, f"seq len {L} % sp {sp} != 0 (pad first)"
+        spec = P(batch_axis, seq_axis, model_axis, None)
+        if mask is None:
+            return shard_map(lambda a, b, c: _inner(a, b, c, None),
+                             mesh=mesh, in_specs=(spec,) * 3,
+                             out_specs=spec)(q, k, v)
+        return shard_map(_inner, mesh=mesh,
+                         in_specs=(spec, spec, spec, P(batch_axis, None)),
+                         out_specs=spec)(q, k, v, mask)
+
+    return attn

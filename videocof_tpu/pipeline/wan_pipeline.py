@@ -87,7 +87,8 @@ class WanPipeline:
     def enable_sequence_parallel(self, mesh=None, data: int = 1,
                                  seq: Optional[int] = None,
                                  mode: str = "ulysses",
-                                 cfg_parallel: bool = False) -> None:
+                                 cfg_parallel: bool = False,
+                                 model: int = 1) -> None:
         """Run the WHOLE DiT forward sequence-parallel over the mesh's
         ``seq`` axis: the residual stream (patch embed -> blocks -> head) is
         token-sharded and gathered at the head exit, mirroring the
@@ -100,18 +101,38 @@ class WanPipeline:
         cond/uncond doubled batch shards over the ``data`` axis so each
         device group runs one guidance branch — the reference's
         classifier_free_guidance_degree (`dist/fuser.py:35-49`).
+
+        ``model > 1``: additionally tensor-parallel the DiT over the
+        ``model`` mesh axis (Megatron column/row sharding of heads + FFN,
+        `parallel/tp.py`) — the DiT params are re-placed with TP shardings
+        and the attention runs heads-local inside one shard_map that also
+        carries the Ulysses all-to-all when ``seq > 1``. A capability beyond
+        the reference; pairs with fp8 for >16 GB models on small chips.
         """
         from ..parallel import (SPContext, make_mesh, make_ring_attention,
-                                make_ulysses_attention)
+                                make_tp_attention, make_ulysses_attention,
+                                tp_param_shardings, validate_tp)
         if mesh is None:
             import jax as _jax
-            seq = seq or len(_jax.devices()) // data
-            mesh = make_mesh(data=data, seq=seq)
-        maker = {"ulysses": make_ulysses_attention,
-                 "ring": make_ring_attention}[mode]
+            seq = seq or max(1, len(_jax.devices()) // (data * model))
+            mesh = make_mesh(data=data, seq=seq, model=model)
         if cfg_parallel and mesh.shape["data"] < 2:
             raise ValueError("cfg_parallel needs a data axis of >= 2")
-        self.attn_backend = maker(mesh)
+        tp = dict(mesh.shape).get("model", 1)
+        if tp > 1:
+            validate_tp(self.dit_cfg, mesh)
+            shardings = tp_param_shardings(mesh, self.dit_params)
+            self.dit_params = jax.device_put(self.dit_params, shardings)
+            p2 = getattr(self, "dit_params_2", None)
+            if p2 is not None:
+                self.dit_params_2 = jax.device_put(
+                    p2, tp_param_shardings(mesh, p2))
+            self.attn_backend = make_tp_attention(
+                mesh, seq_axis="seq" if mesh.shape["seq"] > 1 else None)
+        else:
+            maker = {"ulysses": make_ulysses_attention,
+                     "ring": make_ring_attention}[mode]
+            self.attn_backend = maker(mesh)
         self.sp_mesh = mesh
         self.sp_ctx = SPContext(mesh)
         self.cfg_parallel = cfg_parallel
