@@ -4,8 +4,11 @@ from .ulysses import make_ulysses_attention
 from .ring import make_ring_attention
 from .sharding import fsdp_param_sharding, replicate
 from .tp import make_tp_attention, tp_param_shardings, validate_tp
+from .pp import pp_param_shardings, pp_scan_blocks
+from .ep import ep_param_shardings, select_expert, stack_experts
 
 __all__ = ["make_mesh", "make_ulysses_attention", "make_ring_attention",
            "pad_tokens_for_sp", "SPContext", "fsdp_param_sharding",
            "replicate", "make_tp_attention", "tp_param_shardings",
-           "validate_tp"]
+           "validate_tp", "pp_param_shardings", "pp_scan_blocks",
+           "ep_param_shardings", "select_expert", "stack_experts"]
