@@ -1,0 +1,247 @@
+"""from_pretrained-style loaders for the non-Wan families: a diffusers-layout
+checkpoint dir (config.json + safetensors) loads into (config, params) and
+the loaded params reproduce the directly-converted ones."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+safetensors = pytest.importorskip("safetensors")
+from safetensors.numpy import save_file  # noqa: E402
+
+from videocof_tpu.models import cogvideox as cog  # noqa: E402
+from videocof_tpu.models import cogvideox_vae as cvae  # noqa: E402
+from videocof_tpu.models import flux as flux_lib  # noqa: E402
+from videocof_tpu.models import qwenimage as qwen_lib  # noqa: E402
+
+
+def _tree_equal(a, b):
+    jax.tree.map(lambda x, y: np.testing.assert_array_equal(
+        np.asarray(x), np.asarray(y)), a, b)
+
+
+def _fake_ckpt(tmp_path, sd, config):
+    d = tmp_path / "ckpt"
+    d.mkdir()
+    save_file({k: np.ascontiguousarray(v) for k, v in sd.items()},
+              str(d / "diffusion_pytorch_model.safetensors"))
+    with open(d / "config.json", "w") as f:
+        json.dump(config, f)
+    return str(d)
+
+
+def _torch_sd_numpy(module):
+    return {k: v.detach().cpu().numpy()
+            for k, v in module.state_dict().items()}
+
+
+def test_load_cogvideox_dir(tmp_path):
+    torch = pytest.importorskip("torch")
+    if not os.path.isdir("/root/reference/videox_fun"):
+        pytest.skip("reference tree not mounted")
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from _reference_oracle import load_reference
+    REF = load_reference()
+    c = cog.COGVIDEOX_TINY.replace(use_rotary_positional_embeddings=True)
+    torch.manual_seed(0)
+    ref = REF.cogvideox_transformer3d.CogVideoXTransformer3DModel(
+        num_attention_heads=c.num_attention_heads,
+        attention_head_dim=c.attention_head_dim, in_channels=c.in_channels,
+        out_channels=c.out_channels, time_embed_dim=c.time_embed_dim,
+        text_embed_dim=c.text_embed_dim, num_layers=c.num_layers,
+        sample_width=12, sample_height=8, sample_frames=9,
+        patch_size=c.patch_size, max_text_seq_length=c.max_text_seq_length,
+        use_rotary_positional_embeddings=True,
+        use_learned_positional_embeddings=False).float().eval()
+    sd = _torch_sd_numpy(ref)
+    path = _fake_ckpt(tmp_path, sd, {
+        "_class_name": "CogVideoXTransformer3DModel",
+        "num_attention_heads": c.num_attention_heads,
+        "attention_head_dim": c.attention_head_dim,
+        "in_channels": c.in_channels, "out_channels": c.out_channels,
+        "time_embed_dim": c.time_embed_dim,
+        "text_embed_dim": c.text_embed_dim, "num_layers": c.num_layers,
+        "patch_size": c.patch_size, "patch_size_t": None,
+        "max_text_seq_length": c.max_text_seq_length,
+        "use_rotary_positional_embeddings": True})
+    cfg, params = cog.load_cogvideox(path, dtype=jnp.float32)
+    assert cfg.use_rotary_positional_embeddings
+    assert cfg.num_layers == c.num_layers
+    _tree_equal(params,
+                cog.convert_cogvideox_state_dict(sd, cfg, jnp.float32))
+
+
+def test_load_flux_dir(tmp_path):
+    cfg0 = flux_lib.FLUX_TINY
+    params0 = flux_lib.init_flux(jax.random.PRNGKey(0), cfg0, jnp.float32)
+
+    # synthesize the diffusers key layout back from our pytree via the
+    # converter's inverse on a fresh torch-free dict: easiest is to build a
+    # random sd with the right names/shapes
+    rng = np.random.default_rng(1)
+    d = cfg0.inner_dim
+
+    def lin(din, dout):
+        return rng.standard_normal((dout, din)).astype(np.float32)
+
+    sd = {
+        "x_embedder.weight": lin(cfg0.in_channels, d),
+        "x_embedder.bias": rng.standard_normal(d).astype(np.float32),
+        "context_embedder.weight": lin(cfg0.joint_attention_dim, d),
+        "context_embedder.bias": rng.standard_normal(d).astype(np.float32),
+        "time_text_embed.timestep_embedder.linear_1.weight": lin(256, d),
+        "time_text_embed.timestep_embedder.linear_1.bias":
+            rng.standard_normal(d).astype(np.float32),
+        "time_text_embed.timestep_embedder.linear_2.weight": lin(d, d),
+        "time_text_embed.timestep_embedder.linear_2.bias":
+            rng.standard_normal(d).astype(np.float32),
+        "time_text_embed.text_embedder.linear_1.weight":
+            lin(cfg0.pooled_projection_dim, d),
+        "time_text_embed.text_embedder.linear_1.bias":
+            rng.standard_normal(d).astype(np.float32),
+        "time_text_embed.text_embedder.linear_2.weight": lin(d, d),
+        "time_text_embed.text_embedder.linear_2.bias":
+            rng.standard_normal(d).astype(np.float32),
+        "norm_out.linear.weight": lin(d, 2 * d),
+        "norm_out.linear.bias": rng.standard_normal(2 * d).astype(np.float32),
+        "proj_out.weight": lin(d, cfg0.out_channels),
+        "proj_out.bias": rng.standard_normal(cfg0.out_channels
+                                             ).astype(np.float32),
+    }
+    hd = cfg0.attention_head_dim
+    for i in range(cfg0.num_layers):
+        pre = f"transformer_blocks.{i}"
+        sd[f"{pre}.norm1.linear.weight"] = lin(d, 6 * d)
+        sd[f"{pre}.norm1.linear.bias"] = rng.standard_normal(
+            6 * d).astype(np.float32)
+        sd[f"{pre}.norm1_context.linear.weight"] = lin(d, 6 * d)
+        sd[f"{pre}.norm1_context.linear.bias"] = rng.standard_normal(
+            6 * d).astype(np.float32)
+        for nm in ("to_q", "to_k", "to_v", "add_q_proj", "add_k_proj",
+                   "add_v_proj"):
+            sd[f"{pre}.attn.{nm}.weight"] = lin(d, d)
+            sd[f"{pre}.attn.{nm}.bias"] = rng.standard_normal(
+                d).astype(np.float32)
+        sd[f"{pre}.attn.to_out.0.weight"] = lin(d, d)
+        sd[f"{pre}.attn.to_out.0.bias"] = rng.standard_normal(
+            d).astype(np.float32)
+        sd[f"{pre}.attn.to_add_out.weight"] = lin(d, d)
+        sd[f"{pre}.attn.to_add_out.bias"] = rng.standard_normal(
+            d).astype(np.float32)
+        for nm in ("norm_q", "norm_k", "norm_added_q", "norm_added_k"):
+            sd[f"{pre}.attn.{nm}.weight"] = rng.standard_normal(
+                hd).astype(np.float32)
+        for ff in ("ff", "ff_context"):
+            sd[f"{pre}.{ff}.net.0.proj.weight"] = lin(d, 4 * d)
+            sd[f"{pre}.{ff}.net.0.proj.bias"] = rng.standard_normal(
+                4 * d).astype(np.float32)
+            sd[f"{pre}.{ff}.net.2.weight"] = lin(4 * d, d)
+            sd[f"{pre}.{ff}.net.2.bias"] = rng.standard_normal(
+                d).astype(np.float32)
+    for i in range(cfg0.num_single_layers):
+        pre = f"single_transformer_blocks.{i}"
+        sd[f"{pre}.norm.linear.weight"] = lin(d, 3 * d)
+        sd[f"{pre}.norm.linear.bias"] = rng.standard_normal(
+            3 * d).astype(np.float32)
+        for nm in ("to_q", "to_k", "to_v"):
+            sd[f"{pre}.attn.{nm}.weight"] = lin(d, d)
+            sd[f"{pre}.attn.{nm}.bias"] = rng.standard_normal(
+                d).astype(np.float32)
+        for nm in ("norm_q", "norm_k"):
+            sd[f"{pre}.attn.{nm}.weight"] = rng.standard_normal(
+                hd).astype(np.float32)
+        sd[f"{pre}.proj_mlp.weight"] = lin(d, 4 * d)
+        sd[f"{pre}.proj_mlp.bias"] = rng.standard_normal(
+            4 * d).astype(np.float32)
+        sd[f"{pre}.proj_out.weight"] = lin(5 * d, d)
+        sd[f"{pre}.proj_out.bias"] = rng.standard_normal(
+            d).astype(np.float32)
+
+    path = _fake_ckpt(tmp_path, sd, {
+        "_class_name": "FluxTransformer2DModel",
+        "patch_size": cfg0.patch_size, "in_channels": cfg0.in_channels,
+        "out_channels": None, "num_layers": cfg0.num_layers,
+        "num_single_layers": cfg0.num_single_layers,
+        "attention_head_dim": cfg0.attention_head_dim,
+        "num_attention_heads": cfg0.num_attention_heads,
+        "joint_attention_dim": cfg0.joint_attention_dim,
+        "pooled_projection_dim": cfg0.pooled_projection_dim,
+        "guidance_embeds": False,
+        "axes_dims_rope": list(cfg0.axes_dims_rope)})
+    cfg, params = flux_lib.load_flux(path, dtype=jnp.float32)
+    assert cfg.out_channels == cfg0.in_channels  # null -> in_channels
+    _tree_equal(params, flux_lib.convert_flux_state_dict(sd, cfg,
+                                                         jnp.float32))
+    # loaded params drive the forward
+    out = flux_lib.flux_forward(
+        params, cfg, jnp.zeros((1, 8, cfg.in_channels)),
+        jnp.zeros((1, 4, cfg.joint_attention_dim)),
+        jnp.zeros((1, cfg.pooled_projection_dim)), jnp.asarray([0.5]),
+        jnp.zeros((8, 3)), jnp.zeros((4, 3)))
+    assert out.shape == (1, 8, cfg.out_channels)
+
+
+def test_load_qwenimage_and_cogvideox_vae_dir(tmp_path):
+    torch = pytest.importorskip("torch")
+    if not os.path.isdir("/root/reference/videox_fun"):
+        pytest.skip("reference tree not mounted")
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from _reference_oracle import load_reference
+    REF = load_reference()
+
+    q = qwen_lib.QWENIMAGE_TINY
+    torch.manual_seed(1)
+    ref = REF.qwenimage_transformer2d.QwenImageTransformer2DModel(
+        patch_size=q.patch_size, in_channels=q.in_channels,
+        out_channels=q.out_channels, num_layers=q.num_layers,
+        attention_head_dim=q.attention_head_dim,
+        num_attention_heads=q.num_attention_heads,
+        joint_attention_dim=q.joint_attention_dim,
+        axes_dims_rope=tuple(q.axes_dims_rope)).float().eval()
+    sd = _torch_sd_numpy(ref)
+    path = _fake_ckpt(tmp_path, sd, {
+        "_class_name": "QwenImageTransformer2DModel",
+        "patch_size": q.patch_size, "in_channels": q.in_channels,
+        "out_channels": q.out_channels, "num_layers": q.num_layers,
+        "attention_head_dim": q.attention_head_dim,
+        "num_attention_heads": q.num_attention_heads,
+        "joint_attention_dim": q.joint_attention_dim,
+        "axes_dims_rope": list(q.axes_dims_rope)})
+    cfg, params = qwen_lib.load_qwenimage(path, dtype=jnp.float32)
+    _tree_equal(params, qwen_lib.convert_qwenimage_state_dict(
+        sd, cfg, jnp.float32))
+
+    v = cvae.COGVIDEOX_VAE_TINY
+    torch.manual_seed(2)
+    vref = REF.cogvideox_vae.AutoencoderKLCogVideoX(
+        in_channels=3, out_channels=3,
+        block_out_channels=tuple(v.block_out_channels),
+        latent_channels=v.latent_channels,
+        layers_per_block=v.layers_per_block,
+        norm_num_groups=v.norm_num_groups,
+        temporal_compression_ratio=v.temporal_compression_ratio,
+        sample_height=16, sample_width=16).float().eval()
+    vsd = _torch_sd_numpy(vref)
+    vdir = tmp_path / "vae"
+    vdir.mkdir()
+    save_file({k: np.ascontiguousarray(x) for k, x in vsd.items()},
+              str(vdir / "diffusion_pytorch_model.safetensors"))
+    with open(vdir / "config.json", "w") as f:
+        json.dump({"_class_name": "AutoencoderKLCogVideoX",
+                   "in_channels": 3,
+                   "latent_channels": v.latent_channels,
+                   "block_out_channels": list(v.block_out_channels),
+                   "layers_per_block": v.layers_per_block,
+                   "norm_num_groups": v.norm_num_groups,
+                   "temporal_compression_ratio": v.temporal_compression_ratio,
+                   "scaling_factor": v.scaling_factor}, f)
+    vcfg, vparams = cvae.load_cogvideox_vae(str(vdir))
+    _tree_equal(vparams, cvae.convert_cogvideox_vae_state_dict(
+        vsd, vcfg, jnp.float32))

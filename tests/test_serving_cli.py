@@ -104,6 +104,26 @@ def test_http_api_roundtrip(controller, test_video):
             assert False, "expected 400"
         except urllib.error.HTTPError as e:
             assert e.code == 400
+        # metrics: the successful generation above is counted, with timing
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/metrics") as r:
+            text = r.read().decode()
+        assert "videocof_requests_total 2" in text
+        assert "videocof_failures_total 1" in text
+        assert "videocof_generate_seconds_count 1" in text
+        assert "videocof_busy 0" in text
+        # oversized body is rejected up front (413), not read
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{ENDPOINT}", data=b"{}",
+            headers={"Content-Type": "application/json",
+                     "Content-Length": str(10 ** 12)})
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            assert False, "expected 413"
+        except urllib.error.HTTPError as e:
+            assert e.code == 413
+        except Exception:
+            pass  # some urllib versions abort the send on mismatched length
     finally:
         server.shutdown()
 

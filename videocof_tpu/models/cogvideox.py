@@ -252,6 +252,32 @@ def convert_cogvideox_state_dict(sd: Dict[str, np.ndarray],
     }
 
 
+_CONFIG_KEYS = ("num_attention_heads", "attention_head_dim", "in_channels",
+                "out_channels", "time_embed_dim", "text_embed_dim",
+                "num_layers", "patch_size", "patch_size_t",
+                "temporal_compression_ratio", "max_text_seq_length",
+                "norm_eps", "spatial_interpolation_scale",
+                "temporal_interpolation_scale",
+                "use_rotary_positional_embeddings")
+
+
+def load_cogvideox(model_dir: str, dtype=jnp.bfloat16
+                   ) -> Tuple[CogVideoXConfig, Params]:
+    """diffusers-layout checkpoint dir (config.json + safetensors, the
+    layout `CogVideoXTransformer3DModel.from_pretrained` consumes —
+    `cogvideox_transformer3d.py:683-780`) -> (config, params)."""
+    import json
+    import os
+
+    from . import weights as W_
+    with open(os.path.join(model_dir, "config.json")) as f:
+        raw = json.load(f)
+    cfg = CogVideoXConfig(**{k: raw[k] for k in _CONFIG_KEYS if k in raw
+                             and raw[k] is not None})
+    sd = W_.load_state_dict(model_dir)
+    return cfg, convert_cogvideox_state_dict(sd, cfg, dtype=dtype)
+
+
 # ------------------------------------------------------------------- blocks
 
 def _ln_zero(p, x_vid, x_txt, temb, eps):

@@ -248,6 +248,28 @@ def convert_cogvideox_vae_state_dict(sd: Dict[str, np.ndarray],
     return {"encoder": enc, "decoder": dec}
 
 
+_CONFIG_KEYS = ("in_channels", "latent_channels", "block_out_channels",
+                "layers_per_block", "norm_num_groups", "norm_eps",
+                "temporal_compression_ratio", "scaling_factor")
+
+
+def load_cogvideox_vae(model_dir: str, dtype=jnp.float32):
+    """diffusers-layout checkpoint dir -> (config, params)
+    (`cogvideox_vae.py:1655-1714` from_pretrained layout)."""
+    import json
+    import os
+
+    from . import weights as W_
+    with open(os.path.join(model_dir, "config.json")) as f:
+        raw = json.load(f)
+    kw = {k: raw[k] for k in _CONFIG_KEYS if k in raw and raw[k] is not None}
+    if "block_out_channels" in kw:
+        kw["block_out_channels"] = tuple(kw["block_out_channels"])
+    cfg = CogVideoXVAEConfig(**kw)
+    sd = W_.load_state_dict(model_dir)
+    return cfg, convert_cogvideox_vae_state_dict(sd, cfg, dtype=dtype)
+
+
 # ---------------------------------------------------------------------- apply
 
 def _resnet_apply(p, cfg, x, zq=None):

@@ -243,6 +243,31 @@ def convert_flux_state_dict(sd: Dict[str, np.ndarray], cfg: FluxConfig,
     return params
 
 
+_CONFIG_KEYS = ("patch_size", "in_channels", "out_channels", "num_layers",
+                "num_single_layers", "attention_head_dim",
+                "num_attention_heads", "joint_attention_dim",
+                "pooled_projection_dim", "guidance_embeds", "axes_dims_rope")
+
+
+def load_flux(model_dir: str, dtype=jnp.bfloat16
+              ) -> Tuple[FluxConfig, Params]:
+    """diffusers-layout checkpoint dir -> (config, params)
+    (`flux_transformer2d.py:958-1048` from_pretrained layout)."""
+    import json
+    import os
+
+    from . import weights as W_
+    with open(os.path.join(model_dir, "config.json")) as f:
+        raw = json.load(f)
+    kw = {k: raw[k] for k in _CONFIG_KEYS if k in raw and raw[k] is not None}
+    if "axes_dims_rope" in kw:
+        kw["axes_dims_rope"] = tuple(kw["axes_dims_rope"])
+    kw.setdefault("out_channels", kw.get("in_channels", 64))
+    cfg = FluxConfig(**kw)
+    sd = W_.load_state_dict(model_dir)
+    return cfg, convert_flux_state_dict(sd, cfg, dtype=dtype)
+
+
 # -------------------------------------------------------------------- blocks
 
 def _ada_zero(p, temb, n_chunks):

@@ -155,6 +155,29 @@ def convert_qwenimage_state_dict(sd, cfg: QwenImageConfig,
     }
 
 
+_CONFIG_KEYS = ("patch_size", "in_channels", "out_channels", "num_layers",
+                "attention_head_dim", "num_attention_heads",
+                "joint_attention_dim", "axes_dims_rope")
+
+
+def load_qwenimage(model_dir: str, dtype=jnp.bfloat16
+                   ) -> Tuple[QwenImageConfig, Params]:
+    """diffusers-layout checkpoint dir -> (config, params)
+    (`qwenimage_transformer2d.py:760-854` from_pretrained layout)."""
+    import json
+    import os
+
+    from . import weights as W_
+    with open(os.path.join(model_dir, "config.json")) as f:
+        raw = json.load(f)
+    kw = {k: raw[k] for k in _CONFIG_KEYS if k in raw and raw[k] is not None}
+    if "axes_dims_rope" in kw:
+        kw["axes_dims_rope"] = tuple(kw["axes_dims_rope"])
+    cfg = QwenImageConfig(**kw)
+    sd = W_.load_state_dict(model_dir)
+    return cfg, convert_qwenimage_state_dict(sd, cfg, dtype=dtype)
+
+
 def qwen_position_ids(grid_fhw: Tuple[int, int, int], txt_len: int,
                       scale_rope: bool = True):
     """Position ids matching the reference `QwenEmbedRope`

@@ -29,6 +29,53 @@ from .controller import VideoCoFController
 
 ENDPOINT = "/videocof/infer_forward"
 LEGACY_ENDPOINT = "/videox_fun/infer_forward"
+MAX_BODY_BYTES = int(os.environ.get("VIDEOCOF_MAX_BODY_BYTES",
+                                    512 * 1024 * 1024))
+
+
+class Metrics:
+    """Process-wide serving counters, exported in Prometheus text format at
+    GET /metrics (the reference has no metrics surface; production serving
+    needs one)."""
+
+    def __init__(self):
+        import time
+        self._lock = threading.Lock()
+        self.started = time.time()
+        self.requests_total = 0
+        self.failures_total = 0
+        self.busy = 0                     # generations in flight or queued
+        self.generate_seconds_sum = 0.0
+        self.generate_seconds_count = 0
+
+    def observe(self, seconds: float, ok: bool):
+        with self._lock:
+            self.requests_total += 1
+            if not ok:
+                self.failures_total += 1
+            else:
+                self.generate_seconds_sum += seconds
+                self.generate_seconds_count += 1
+
+    def render(self) -> str:
+        import time
+        with self._lock:
+            lines = [
+                "# TYPE videocof_requests_total counter",
+                f"videocof_requests_total {self.requests_total}",
+                "# TYPE videocof_failures_total counter",
+                f"videocof_failures_total {self.failures_total}",
+                "# TYPE videocof_busy gauge",
+                f"videocof_busy {self.busy}",
+                "# TYPE videocof_generate_seconds summary",
+                f"videocof_generate_seconds_sum "
+                f"{self.generate_seconds_sum:.3f}",
+                f"videocof_generate_seconds_count "
+                f"{self.generate_seconds_count}",
+                "# TYPE videocof_uptime_seconds gauge",
+                f"videocof_uptime_seconds {time.time() - self.started:.1f}",
+            ]
+        return "\n".join(lines) + "\n"
 
 
 def _allowed_roots():
@@ -43,7 +90,10 @@ def _allowed_roots():
     return roots
 
 
-def make_handler(controller: VideoCoFController, lock: threading.Lock):
+def make_handler(controller: VideoCoFController, lock: threading.Lock,
+                 metrics: Metrics = None):
+    metrics = metrics or Metrics()
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
             print("[api]", fmt % args, file=sys.stderr)
@@ -59,6 +109,14 @@ def make_handler(controller: VideoCoFController, lock: threading.Lock):
         def do_GET(self):
             if self.path == "/healthz":
                 self._reply(200, {"status": "ok"})
+            elif self.path == "/metrics":
+                body = metrics.render().encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             elif self.path in ("/", "/index.html"):
                 from .webui import INDEX_HTML
                 body = INDEX_HTML.encode()
@@ -76,10 +134,16 @@ def make_handler(controller: VideoCoFController, lock: threading.Lock):
                 return
             try:
                 n = int(self.headers.get("Content-Length", "0"))
+                if n > MAX_BODY_BYTES:
+                    self._reply(413, {"message": "request body too large "
+                                      f"({n} > {MAX_BODY_BYTES} bytes)"})
+                    return
                 req = json.loads(self.rfile.read(n) or b"{}")
             except Exception as e:
                 self._reply(400, {"message": f"bad request: {e}"})
                 return
+            import time as _time
+            t0 = _time.time()
             try:
                 kwargs = dict(
                     prompt=req.get("prompt_textbox", ""),
@@ -106,26 +170,39 @@ def make_handler(controller: VideoCoFController, lock: threading.Lock):
                              for r in _allowed_roots() if r]
                     if not any(path == r or path.startswith(r + os.sep)
                                for r in roots):
+                        metrics.observe(0.0, ok=False)
                         self._reply(403, {"message":
                                           "source_video_path outside the "
                                           "allowed asset directories"})
                         return
                     kwargs["video_path"] = path
                 else:
+                    metrics.observe(0.0, ok=False)
                     self._reply(400, {"message":
                                       "missing source_video[_path]"})
                     return
-                with lock:  # one generation at a time per chip
-                    result = controller.generate(**kwargs)
+                # busy counts generations in flight or queued on the chip
+                # lock; it is decremented BEFORE any reply is written so a
+                # client that just got a response reads a settled gauge
+                with metrics._lock:
+                    metrics.busy += 1
+                try:
+                    with lock:  # one generation at a time per chip
+                        result = controller.generate(**kwargs)
+                finally:
+                    with metrics._lock:
+                        metrics.busy -= 1
                 if tmp:
                     os.unlink(tmp.name)
                 enc = controller.encode_video_base64(result["videos"])
+                metrics.observe(_time.time() - t0, ok=True)
                 self._reply(200, {"message": "Success",
                                   "prompt": result["prompt"],
                                   "base64_encoding": enc})
             except Exception as e:
                 import traceback
                 traceback.print_exc()
+                metrics.observe(_time.time() - t0, ok=False)
                 self._reply(500, {"message": f"error: {e}"})
 
     return Handler
