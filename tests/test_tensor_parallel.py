@@ -164,3 +164,20 @@ def test_tp_pipeline_matches_single_device():
     np.testing.assert_allclose(tp.videos, base.videos, atol=2e-2)
     np.testing.assert_allclose(tp.ground_videos, base.ground_videos,
                                atol=2e-2)
+
+
+def test_tp_ring_composition_exact(params, ref_out):
+    """TP=2 x ring-SP=2: heads sharded on 'model' while K/V blocks rotate
+    tokens around the 'seq' ring inside each head group."""
+    from videocof_tpu.parallel import make_ring_attention
+
+    mesh = make_mesh(data=1, seq=2, model=2)
+    sharded = jax.device_put(params, tp_param_shardings(mesh, params))
+    attn = make_ring_attention(mesh, model_axis="model")
+    args = _inputs()
+
+    out = np.asarray(jax.jit(
+        lambda p, *a: wan_dit.wan_dit_forward(p, CFG, *a,
+                                              attn_backend=attn))(
+        sharded, *args))
+    np.testing.assert_allclose(out, ref_out, atol=1e-4, rtol=1e-4)

@@ -47,10 +47,14 @@ def _combine(o1, lse1, o2, lse2):
 
 def make_ring_attention(mesh: Mesh, seq_axis: str = "seq",
                         scale: Optional[float] = None,
-                        batch_axis: Optional[str] = None) -> Callable:
+                        batch_axis: Optional[str] = None,
+                        model_axis: Optional[str] = None) -> Callable:
     """Returns attn(q, k, v, mask=None). ``mask`` is a global boolean key
     mask [B, L]; its shard rotates around the ring with the K/V blocks.
-    ``batch_axis``: additionally shard the batch dim (CFG parallelism)."""
+    ``batch_axis``: additionally shard the batch dim (CFG parallelism).
+    ``model_axis``: additionally shard heads (tensor parallelism) — the
+    ring rotates tokens within each head group, so ring SP composes with
+    TP the same way Ulysses does."""
     sp = mesh.shape[seq_axis]
 
     def _inner_kernel(q, k, v, mask):
@@ -117,7 +121,10 @@ def make_ring_attention(mesh: Mesh, seq_axis: str = "seq",
         if batch_axis is not None:
             assert q.shape[0] % mesh.shape[batch_axis] == 0
         inner = _inner_kernel if D % 128 == 0 else _inner_einsum
-        tok = P(batch_axis, seq_axis, None, None)
+        if model_axis is not None:
+            assert q.shape[2] % mesh.shape[model_axis] == 0, \
+                (q.shape[2], model_axis)
+        tok = P(batch_axis, seq_axis, model_axis, None)
         # check_vma=False: the pallas interpreter mishandles vma on
         # scan-carried blocks (jax#interpret limitation; upstream-suggested
         # workaround)
