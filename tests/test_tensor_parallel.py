@@ -181,3 +181,39 @@ def test_tp_ring_composition_exact(params, ref_out):
                                               attn_backend=attn))(
         sharded, *args))
     np.testing.assert_allclose(out, ref_out, atol=1e-4, rtol=1e-4)
+
+
+def test_tp_wan22_moe_pipeline_matches_single_device():
+    """enable_sequence_parallel(model=2) on the dual-expert MoE re-places
+    BOTH experts with TP shardings; the boundary-routed trajectory still
+    reproduces single-device outputs."""
+    from videocof_tpu.configs import T5_TINY, VAE_TINY, WAN_TINY
+    from videocof_tpu.models import t5_encoder, wan_vae
+    from videocof_tpu.pipeline import Wan22Pipeline
+
+    vcfg = VAE_TINY
+    dcfg = WAN_TINY.replace(in_dim=vcfg.z_dim, out_dim=vcfg.z_dim,
+                            text_dim=T5_TINY.dim)
+    pipe = Wan22Pipeline(
+        wan_dit.init_wan_dit(jax.random.PRNGKey(0), dcfg), dcfg,
+        wan_vae.init_wan_vae(jax.random.PRNGKey(2), vcfg), vcfg,
+        t5_encoder.init_t5_encoder(jax.random.PRNGKey(3), T5_TINY), T5_TINY,
+        dtype=jnp.float32,
+        dit_params_2=wan_dit.init_wan_dit(jax.random.PRNGKey(1), dcfg),
+        boundary=0.875)
+    video = np.random.default_rng(0).uniform(-1, 1, (1, 3, 9, 32, 32)
+                                             ).astype(np.float32)
+    kw = dict(source_frames=9, num_inference_steps=4, guidance_scale=1.0,
+              cot=False, seed=5)
+    base = pipe(video, "make it snow", **kw)
+    pipe.enable_sequence_parallel(data=1, seq=2, model=2)
+    try:
+        tp = pipe(video, "make it snow", **kw)
+        # both experts' weights are column/row sharded
+        q1 = pipe.dit_params["blocks"]["self_attn"]["q"]["kernel"]
+        q2 = pipe.dit_params_2["blocks"]["self_attn"]["q"]["kernel"]
+        for q in (q1, q2):
+            assert q.addressable_shards[0].data.shape[-1] == q.shape[-1] // 2
+    finally:
+        pipe.disable_sequence_parallel()
+    np.testing.assert_allclose(tp.videos, base.videos, atol=2e-2)
