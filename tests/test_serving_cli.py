@@ -237,3 +237,29 @@ def test_cli_teaser_batch_mode(tiny_pipe, test_video, tmp_path, monkeypatch):
     cli.main()
     for f, m in mtimes.items():
         assert os.path.getmtime(os.path.join(out_dir, f)) == m
+
+
+def test_cli_infer_standard_path_e2e(tiny_pipe, test_video, tmp_path,
+                                     monkeypatch):
+    """The 50-step standard CLI twin (reduced to 2 steps): CFG guidance,
+    TeaCache flag plumbing, resume."""
+    import videocof_tpu.cli._common as common
+    import videocof_tpu.cli.infer as cli
+
+    monkeypatch.setattr(common, "build_pipeline_from_args",
+                        lambda args, dtype=None, **kw: tiny_pipe)
+    monkeypatch.setattr(cli, "build_pipeline_from_args",
+                        lambda args, dtype=None, **kw: tiny_pipe)
+    out_dir = str(tmp_path / "out50")
+    monkeypatch.setattr(sys, "argv", [
+        "infer", "--video_path", test_video, "--prompt",
+        "remove the red ball", "--output_dir", out_dir,
+        "--source_frames", "9", "--reasoning_frames", "4", "--repeat_rope",
+        "--random_init", "--num_inference_steps", "2",
+        "--guidance_scale", "3.0", "--disable_teacache"])
+    cli.main()
+    base = os.path.splitext(os.path.basename(test_video))[0]
+    files = sorted(os.listdir(out_dir))
+    assert f"gen_{base}.mp4" in files
+    # resume skips
+    cli.main()
