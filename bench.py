@@ -50,6 +50,33 @@ def main():
 
     import jax.numpy as jnp
 
+    if os.environ.get("BENCH_SMALL") != "1":
+        # Fail FAST if the remote TPU tunnel is wedged (observed: a dead
+        # axon worker blocks the very first dispatch forever with 0% CPU —
+        # better one clear error line than an indefinitely hung bench).
+        import threading
+
+        probe_ok = threading.Event()
+
+        def _probe():
+            try:
+                float(jnp.sum(jnp.ones((8, 8))))
+                probe_ok.set()
+            except Exception as e:  # surfaced below as a timeout
+                log(f"device probe error: {e}")
+
+        th = threading.Thread(target=_probe, daemon=True)
+        th.start()
+        timeout_s = float(os.environ.get("BENCH_PROBE_TIMEOUT", "300"))
+        if not probe_ok.wait(timeout_s):
+            print(json.dumps({
+                "metric": "sec_per_video_4step_480p_1.3b", "value": None,
+                "unit": "s", "vs_baseline": None,
+                "error": f"TPU device probe did not complete within "
+                         f"{timeout_s:.0f}s — remote tunnel unresponsive"}))
+            sys.exit(2)
+        log("device probe ok")
+
     from videocof_tpu.utils.jit_cache import (
         enable_persistent_compilation_cache)
     log(f"jit cache: {enable_persistent_compilation_cache()}")
