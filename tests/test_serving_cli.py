@@ -263,3 +263,35 @@ def test_cli_infer_standard_path_e2e(tiny_pipe, test_video, tmp_path,
     assert f"gen_{base}.mp4" in files
     # resume skips
     cli.main()
+
+
+def test_http_api_reference_payload_fields(controller, test_video):
+    """Fields a reference client sends beyond the basics are honored:
+    negative_prompt_textbox, sampler_dropdown (reference names map to our
+    scheduler keys)."""
+    from videocof_tpu.serving.api import make_handler, ENDPOINT
+    from http.server import ThreadingHTTPServer
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0),
+                                 make_handler(controller, threading.Lock()))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        with open(test_video, "rb") as f:
+            vid_b64 = base64.b64encode(f.read()).decode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{ENDPOINT}",
+            data=json.dumps({
+                "prompt_textbox": "remove the dog",
+                "negative_prompt_textbox": "blurry, low quality",
+                "sampler_dropdown": "Flow_DPM++",
+                "source_video": vid_b64,
+                "seed_textbox": 3,
+                "sample_step_slider": 2,
+            }).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            resp = json.load(r)
+        assert resp["message"] == "Success"
+    finally:
+        server.shutdown()

@@ -154,7 +154,20 @@ def make_handler(controller: VideoCoFController, lock: threading.Lock,
                     if "cfg_scale_slider" in req else None,
                     source_frames=req.get("source_frames"),
                     reasoning_frames=req.get("reasoning_frames"),
+                    negative_prompt=req.get("negative_prompt_textbox"),
                 )
+                # reference sampler_dropdown names -> our scheduler keys
+                # ('Flow_Unipc' / 'Flow_DPM++' / 'Flow' / 'Euler')
+                if req.get("sampler_dropdown"):
+                    s = str(req["sampler_dropdown"]).lower()
+                    kwargs["sampler"] = ("unipc" if "unipc" in s
+                                         else "dpm++" if "dpm" in s
+                                         else "euler")
+                # LoRA merge-state tracking like the reference controller
+                lora = req.get("lora_model_path")
+                if lora and lora != "none":
+                    controller.ensure_lora(
+                        lora, float(req.get("lora_alpha_slider", 1.0)))
                 tmp = None
                 if req.get("source_video"):
                     tmp = tempfile.NamedTemporaryFile(suffix=".mp4",

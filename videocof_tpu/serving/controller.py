@@ -56,6 +56,7 @@ class VideoCoFController:
         seed: Optional[int] = None,
         sampler: Optional[str] = None,
         shift: Optional[float] = None,
+        negative_prompt: Optional[str] = None,
         **gen_kwargs,
     ) -> Dict[str, Any]:
         d = self.defaults
@@ -69,7 +70,8 @@ class VideoCoFController:
         full_prompt = prompt if raw_prompt else build_cot_prompt(prompt)
         out = self.pipeline(
             video_array, full_prompt,
-            negative_prompt=d.negative_prompt,
+            negative_prompt=(negative_prompt if negative_prompt is not None
+                             else d.negative_prompt),
             source_frames=source_frames,
             reasoning_frames=(reasoning_frames or d.reasoning_frames),
             num_inference_steps=(num_inference_steps or
