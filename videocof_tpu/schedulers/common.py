@@ -65,10 +65,12 @@ def get_scheduler(name: str, **kwargs):
     from .flow_euler import FlowEulerScheduler
     from .flow_unipc import FlowUniPCScheduler
     from .flow_dpm import FlowDPMScheduler
+    from .ddim import DDIMScheduler
 
     table = {"euler": FlowEulerScheduler, "unipc": FlowUniPCScheduler,
-             "dpm++": FlowDPMScheduler}
-    aliases = {"flow": "euler", "flow_unipc": "unipc", "flow_dpm++": "dpm++"}
+             "dpm++": FlowDPMScheduler, "ddim": DDIMScheduler}
+    aliases = {"flow": "euler", "flow_unipc": "unipc", "flow_dpm++": "dpm++",
+               "cogvideox_ddim": "ddim"}
     key = name.lower()
     key = aliases.get(key, key)
     if key not in table:
