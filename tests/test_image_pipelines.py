@@ -126,3 +126,20 @@ def test_flux_pipeline_latents(guidance_embeds):
     z2 = pipe2(txt, pooled, height=64, width=96, num_inference_steps=2,
                guidance=3.5, seed=2)
     np.testing.assert_allclose(z2, z * 2.0, atol=1e-6)
+
+
+def test_cogvideox_fused_trajectory_equals_stepwise():
+    dcfg = cog.COGVIDEOX_TINY.replace(use_rotary_positional_embeddings=True)
+    vcfg = cvae.COGVIDEOX_VAE_TINY
+    pipe = CogVideoXPipeline(
+        cog.init_cogvideox(jax.random.PRNGKey(0), dcfg), dcfg,
+        cvae.init_cogvideox_vae(jax.random.PRNGKey(1), vcfg), vcfg)
+    rng = np.random.default_rng(6)
+    txt = jnp.asarray(rng.standard_normal(
+        (1, 8, dcfg.text_embed_dim)), jnp.float32)
+    neg = jnp.zeros_like(txt)
+    kw = dict(height=16, width=16, num_frames=9, num_inference_steps=3,
+              guidance_scale=6.0, seed=7)
+    step = pipe(txt, neg, fused=False, **kw)
+    fused = pipe(txt, neg, fused=True, **kw)
+    np.testing.assert_allclose(fused, step, atol=1e-4, rtol=1e-4)

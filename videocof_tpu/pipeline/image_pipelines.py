@@ -65,9 +65,12 @@ class CogVideoXPipeline:
                  negative_embeddings: Optional[jax.Array] = None,
                  height: int = 480, width: int = 720, num_frames: int = 49,
                  num_inference_steps: int = 50, guidance_scale: float = 6.0,
-                 seed: int = 0, scheduler: str = "ddim") -> np.ndarray:
+                 seed: int = 0, scheduler: str = "ddim",
+                 fused: bool = False) -> np.ndarray:
         """text embeddings [B, Lt, text_embed_dim] -> video [B, 3, F, H, W]
-        in [0, 1]."""
+        in [0, 1]. ``fused=True`` runs the whole DDIM trajectory as ONE
+        lax.scan program over the host-precomputed `plan_arrays()` (the
+        repo's fused-sampler pattern; exact-equal to stepwise)."""
         cfg = self.dit_cfg
         vr = self.vae_cfg.spatial_compression_ratio
         tc = self.vae_cfg.temporal_compression_ratio
@@ -82,33 +85,58 @@ class CogVideoXPipeline:
             jax.random.PRNGKey(seed),
             (B, f_lat, cfg.in_channels, h_lat, w_lat), jnp.float32)
 
-        key = ("cog_step", do_cfg, latents.shape,
-               text_embeddings.shape[1])
-        if key not in self._jit_cache:
-            @jax.jit
-            def step_fn(params, x, txt, neg, t, g):
-                if do_cfg:
-                    xin = jnp.concatenate([x, x], axis=0)
-                    ctx = jnp.concatenate([neg, txt], axis=0)
-                else:
-                    xin, ctx = x, txt
-                tt = jnp.full((xin.shape[0],), t, jnp.float32)
-                v = cog.cogvideox_forward(params, cfg, xin, ctx, tt)
-                if do_cfg:
-                    vu, vc = jnp.split(v, 2, axis=0)
-                    v = vu + g * (vc - vu)
-                return v
-
-            self._jit_cache[key] = step_fn
-        step_fn = self._jit_cache[key]
+        def model_v(params, x, txt, neg, t, g):
+            if do_cfg:
+                xin = jnp.concatenate([x, x], axis=0)
+                ctx = jnp.concatenate([neg, txt], axis=0)
+            else:
+                xin, ctx = x, txt
+            tt = jnp.full((xin.shape[0],), t, jnp.float32)
+            v = cog.cogvideox_forward(params, cfg, xin, ctx, tt)
+            if do_cfg:
+                vu, vc = jnp.split(v, 2, axis=0)
+                v = vu + g * (vc - vu)
+            return v
 
         neg = (negative_embeddings if negative_embeddings is not None
                else text_embeddings)
-        state = sched.init_state(latents)
-        for i, t in enumerate(ts):
-            v = step_fn(self.dit_params, latents, text_embeddings, neg,
-                        float(t), float(guidance_scale))
-            latents, state = sched.step(v, i, latents, state)
+        if fused:
+            if scheduler != "ddim":
+                raise ValueError("fused CogVideoX trajectory needs the "
+                                 "ddim plan")
+            plan = sched.plan_arrays()
+            key = ("cog_fused", do_cfg, latents.shape,
+                   text_embeddings.shape[1], num_inference_steps)
+            if key not in self._jit_cache:
+                @jax.jit
+                def traj(params, x0, txt, neg, g, t_arr, cx_arr, cv_arr):
+                    def body(x, per_step):
+                        t, cx, cv = per_step
+                        v = model_v(params, x, txt, neg, t, g)
+                        return (cx * x + cv * v).astype(x.dtype), None
+
+                    x, _ = jax.lax.scan(body, x0,
+                                        (t_arr, cx_arr, cv_arr))
+                    return x
+
+                self._jit_cache[key] = traj
+            latents = self._jit_cache[key](
+                self.dit_params, latents, text_embeddings, neg,
+                float(guidance_scale),
+                jnp.asarray(plan["timesteps"], jnp.float32),
+                jnp.asarray(plan["c_x"], jnp.float32),
+                jnp.asarray(plan["c_v"], jnp.float32))
+        else:
+            key = ("cog_step", do_cfg, latents.shape,
+                   text_embeddings.shape[1])
+            if key not in self._jit_cache:
+                self._jit_cache[key] = jax.jit(model_v)
+            step_fn = self._jit_cache[key]
+            state = sched.init_state(latents)
+            for i, t in enumerate(ts):
+                v = step_fn(self.dit_params, latents, text_embeddings, neg,
+                            float(t), float(guidance_scale))
+                latents, state = sched.step(v, i, latents, state)
 
         # [B, F, C, h, w] -> [B, C, F, h, w]; diffusers scales z by
         # 1/scaling_factor before decode
