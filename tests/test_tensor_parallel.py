@@ -217,3 +217,40 @@ def test_tp_wan22_moe_pipeline_matches_single_device():
     finally:
         pipe.disable_sequence_parallel()
     np.testing.assert_allclose(tp.videos, base.videos, atol=2e-2)
+
+
+def test_tp_shardings_handle_fp8_storage(params):
+    """The 14B multi-chip path: fp8-quantized {"fp8","scale"} kernel leaves
+    get the same column/row shards as the bf16 kernels; per-layer scales
+    replicate."""
+    from videocof_tpu.utils.fp8 import quantize_params_fp8
+
+    qparams = quantize_params_fp8(params)
+    q = qparams["blocks"]["self_attn"]["q"]["kernel"]
+    assert "fp8" in q and "scale" in q
+    mesh = make_mesh(model=4)
+    sharded = jax.device_put(qparams, tp_param_shardings(mesh, qparams))
+    d = CFG.dim
+    L = CFG.num_layers
+    blk = sharded["blocks"]
+    assert blk["self_attn"]["q"]["kernel"]["fp8"].addressable_shards[
+        0].data.shape == (L, d, d // 4)
+    assert blk["ffn"]["fc2"]["kernel"]["fp8"].addressable_shards[
+        0].data.shape == (L, CFG.ffn_dim // 4, d)
+    # scales replicate (full shape on every device)
+    sc = blk["self_attn"]["q"]["kernel"]["scale"]
+    assert sc.addressable_shards[0].data.shape == sc.shape
+
+    # end-to-end: the TP-sharded fp8 forward matches the unsharded fp8
+    # forward (dequant-inside-the-scan under column/row sharding)
+    attn = make_tp_attention(mesh)
+    args = _inputs()
+    ref_q = np.asarray(wan_dit.wan_dit_forward(qparams, CFG, *args))
+    out_q = np.asarray(jax.jit(
+        lambda p, *a: wan_dit.wan_dit_forward(p, CFG, *a,
+                                              attn_backend=attn))(
+        sharded, *args))
+    # fp8 dequant computes in bf16; splitting the o-proj/fc2 contractions
+    # across 4 shards reassociates bf16 partial sums -> bf16-ULP-level
+    # differences, not exactness
+    np.testing.assert_allclose(out_q, ref_q, atol=3e-2, rtol=3e-2)

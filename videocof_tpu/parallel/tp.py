@@ -52,12 +52,14 @@ def _spec_for(path, leaf, axis: str) -> P:
     grand = names[-3] if len(names) > 2 else ""
     if "blocks" not in names and "blocks2" not in names:
         return P()  # embeddings / head / time mlp stay replicated
-    # quantized storage ({"fp8","scale"} under e.g. .../q/): treat fp8 like
-    # the kernel it replaces; per-tensor scales replicate
-    if leaf_name == "fp8":
-        leaf_name = "kernel"
-    elif leaf_name == "scale" and parent in _COLUMN + _ROW:
-        return P()  # per-tensor quant scale
+    # quantized storage: utils/fp8.py replaces the "kernel" LEAF with a
+    # {"fp8","scale"} dict, so those leaves sit one level deeper
+    # (.../q/kernel/fp8). Shard fp8 like the kernel it replaces; per-layer
+    # scales replicate.
+    if parent == "kernel" and leaf_name in ("fp8", "scale"):
+        if leaf_name == "scale":
+            return P()
+        leaf_name, parent = "kernel", grand
 
     def last_dim(d=-1):
         spec = [None] * leaf.ndim
