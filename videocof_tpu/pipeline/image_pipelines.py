@@ -61,6 +61,13 @@ class CogVideoXPipeline:
     def __post_init__(self):
         self._jit_cache: Dict[Any, Any] = {}
 
+    @classmethod
+    def from_pretrained(cls, transformer_dir: str, vae_dir: str,
+                        dtype=jnp.bfloat16) -> "CogVideoXPipeline":
+        dcfg, dparams = cog.load_cogvideox(transformer_dir, dtype=dtype)
+        vcfg, vparams = cvae.load_cogvideox_vae(vae_dir, dtype=dtype)
+        return cls(dparams, dcfg, vparams, vcfg, dtype=dtype)
+
     def __call__(self, text_embeddings: jax.Array,
                  negative_embeddings: Optional[jax.Array] = None,
                  height: int = 480, width: int = 720, num_frames: int = 49,
@@ -176,6 +183,20 @@ class QwenImagePipeline:
     def __post_init__(self):
         self._jit_cache: Dict[Any, Any] = {}
 
+    @classmethod
+    def from_pretrained(cls, transformer_dir: str,
+                        vae_path: Optional[str] = None,
+                        dtype=jnp.bfloat16) -> "QwenImagePipeline":
+        from ..models import qwenimage_vae, weights
+        cfg, params = qwen_lib.load_qwenimage(transformer_dir, dtype=dtype)
+        vparams = vcfg = None
+        if vae_path:
+            vcfg = qwenimage_vae.QWENIMAGE_VAE_CONFIG
+            sd = weights.load_state_dict(vae_path)
+            vparams = qwenimage_vae.convert_qwenimage_vae_state_dict(
+                sd, vcfg, dtype=dtype)
+        return cls(params, cfg, vparams, vcfg, dtype=dtype)
+
     def __call__(self, text_embeddings: jax.Array,
                  negative_embeddings: Optional[jax.Array] = None,
                  height: int = 1024, width: int = 1024,
@@ -243,6 +264,12 @@ class FluxPipeline:
 
     def __post_init__(self):
         self._jit_cache: Dict[Any, Any] = {}
+
+    @classmethod
+    def from_pretrained(cls, transformer_dir: str, decode_fn=None,
+                        dtype=jnp.bfloat16) -> "FluxPipeline":
+        cfg, params = flux_lib.load_flux(transformer_dir, dtype=dtype)
+        return cls(params, cfg, decode_fn=decode_fn, dtype=dtype)
 
     def __call__(self, text_embeddings: jax.Array,
                  pooled_projections: jax.Array,
