@@ -56,24 +56,27 @@ def main():
         # better one clear error line than an indefinitely hung bench).
         import threading
 
-        probe_ok = threading.Event()
+        probe_done = threading.Event()
+        probe_err = []
 
         def _probe():
             try:
                 float(jnp.sum(jnp.ones((8, 8))))
-                probe_ok.set()
-            except Exception as e:  # surfaced below as a timeout
-                log(f"device probe error: {e}")
+            except Exception as e:
+                probe_err.append(e)
+            finally:
+                probe_done.set()
 
         th = threading.Thread(target=_probe, daemon=True)
         th.start()
         timeout_s = float(os.environ.get("BENCH_PROBE_TIMEOUT", "300"))
-        if not probe_ok.wait(timeout_s):
+        if not probe_done.wait(timeout_s) or probe_err:
+            reason = (f"device probe failed: {probe_err[0]}" if probe_err
+                      else f"TPU device probe did not complete within "
+                           f"{timeout_s:.0f}s — remote tunnel unresponsive")
             print(json.dumps({
                 "metric": "sec_per_video_4step_480p_1.3b", "value": None,
-                "unit": "s", "vs_baseline": None,
-                "error": f"TPU device probe did not complete within "
-                         f"{timeout_s:.0f}s — remote tunnel unresponsive"}))
+                "unit": "s", "vs_baseline": None, "error": reason}))
             sys.exit(2)
         log("device probe ok")
 

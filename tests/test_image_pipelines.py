@@ -143,3 +143,15 @@ def test_cogvideox_fused_trajectory_equals_stepwise():
     step = pipe(txt, neg, fused=False, **kw)
     fused = pipe(txt, neg, fused=True, **kw)
     np.testing.assert_allclose(fused, step, atol=1e-4, rtol=1e-4)
+
+
+def test_ddim_non_divisor_step_count_terminates():
+    """30 steps (1000 % 30 != 0): float-stride trailing spacing must end
+    near t=0 and the final step must land on alpha_bar_prev = 1 (diffusers'
+    prev_timestep < 0 branch) — an integer stride would leave timestep-9
+    noise in the output."""
+    s = DDIMScheduler()
+    ts = s.set_timesteps(30)
+    assert ts[0] == 999 and ts[-1] <= 33
+    sa_prev = s._coeffs[-1][2]
+    assert sa_prev == 1.0  # terminal step denoises completely

@@ -73,8 +73,10 @@ class PrefetchLoader:
     def __iter__(self) -> Iterator[Any]:
         with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
             pending: deque = deque()
-            max_inflight = self.prefetch_batches * self.batch_size \
-                + self.num_threads
+            # bound look-ahead in BATCHES (a batch_sampler supplies its own
+            # batch sizes, so a sample-count bound would collapse the
+            # look-ahead for large bucket batches)
+            max_batches_ahead = self.prefetch_batches + 1
 
             def gen_indices():
                 epoch = 0
@@ -89,7 +91,7 @@ class PrefetchLoader:
 
             def top_up():
                 nonlocal alive
-                while alive and len(pending) < max_inflight:
+                while alive and len(sizes) < max_batches_ahead:
                     try:
                         idxs = next(batches)
                     except StopIteration:

@@ -220,16 +220,19 @@ class QwenImagePipeline:
         img_ids, txt_ids = qwen_lib.qwen_position_ids(
             (1, h_lat // 2, w_lat // 2), Lt)
 
-        key = ("qwen_step", do_cfg, latents.shape, Lt)
+        # rope ids and guidance are traced ARGUMENTS (not closure constants)
+        # so a cache hit can never reuse another geometry's positions or an
+        # older guidance scale
+        key = ("qwen_step", do_cfg, latents.shape, Lt, h_lat, w_lat)
         if key not in self._jit_cache:
             @jax.jit
-            def step_fn(params, x, txt, neg, t, g):
+            def step_fn(params, x, txt, neg, t, g, iids, tids):
                 vc = qwen_lib.qwenimage_forward(params, cfg, x, txt, t,
-                                                img_ids, txt_ids)
+                                                iids, tids)
                 if not do_cfg:
                     return vc
                 vu = qwen_lib.qwenimage_forward(params, cfg, x, neg, t,
-                                                img_ids, txt_ids)
+                                                iids, tids)
                 return vu + g * (vc - vu)
 
             self._jit_cache[key] = step_fn
@@ -241,7 +244,7 @@ class QwenImagePipeline:
         for i, t in enumerate(sched.timesteps):
             v = step_fn(self.dit_params, latents, text_embeddings, neg,
                         jnp.full((B,), t / 1000.0, jnp.float32),
-                        float(true_cfg_scale))
+                        jnp.float32(true_cfg_scale), img_ids, txt_ids)
             latents, state = sched.step(v, i, latents, state)
 
         z = _unpack_latents(latents, h_lat, w_lat)
@@ -297,12 +300,15 @@ class FluxPipeline:
         g = (jnp.full((B,), guidance, jnp.float32)
              if cfg.guidance_embeds else None)
 
-        key = ("flux_step", latents.shape, Lt)
+        # ids and guidance are traced arguments; the key carries the 2D
+        # geometry because equal token counts can come from different
+        # aspect ratios
+        key = ("flux_step", latents.shape, Lt, h_lat, w_lat)
         if key not in self._jit_cache:
             @jax.jit
-            def step_fn(params, x, txt, pooled, t):
+            def step_fn(params, x, txt, pooled, t, gg, iids, tids):
                 return flux_lib.flux_forward(params, cfg, x, txt, pooled, t,
-                                             img_ids, txt_ids, guidance=g)
+                                             iids, tids, guidance=gg)
 
             self._jit_cache[key] = step_fn
         step_fn = self._jit_cache[key]
@@ -311,7 +317,8 @@ class FluxPipeline:
         for i, t in enumerate(sched.timesteps):
             v = step_fn(self.dit_params, latents, text_embeddings,
                         pooled_projections,
-                        jnp.full((B,), t / 1000.0, jnp.float32))
+                        jnp.full((B,), t / 1000.0, jnp.float32),
+                        g, img_ids, txt_ids)
             latents, state = sched.step(v, i, latents, state)
 
         z = _unpack_latents(latents, h_lat, w_lat)

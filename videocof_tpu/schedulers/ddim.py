@@ -62,10 +62,12 @@ class DDIMScheduler:
                       shift: Optional[float] = None,
                       mu: Optional[float] = None) -> np.ndarray:
         T = self.num_train_timesteps
+        # "trailing" spacing with FLOAT stride (diffusers: np.arange(T, 0,
+        # -T/steps).round() - 1), so non-divisor step counts end near t=0;
+        # the prev-step offset stays integer T//steps like diffusers' step()
+        ts = (np.round(np.arange(T, 0, -T / num_inference_steps))
+              .astype(np.int64) - 1)[:num_inference_steps]
         step = T // num_inference_steps
-        # "trailing" spacing: T .. down, e.g. 999, 979, ... for 50 steps
-        ts = (np.arange(T, 0, -step).round().astype(np.int64) - 1)[
-            :num_inference_steps]
         self.timesteps = ts.astype(np.float64)
         self.num_inference_steps = num_inference_steps
 

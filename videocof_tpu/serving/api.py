@@ -144,6 +144,7 @@ def make_handler(controller: VideoCoFController, lock: threading.Lock,
                 return
             import time as _time
             t0 = _time.time()
+            tmp = None
             try:
                 kwargs = dict(
                     prompt=req.get("prompt_textbox", ""),
@@ -168,7 +169,6 @@ def make_handler(controller: VideoCoFController, lock: threading.Lock,
                 if lora and lora != "none":
                     controller.ensure_lora(
                         lora, float(req.get("lora_alpha_slider", 1.0)))
-                tmp = None
                 if req.get("source_video"):
                     tmp = tempfile.NamedTemporaryFile(suffix=".mp4",
                                                       delete=False)
@@ -205,8 +205,6 @@ def make_handler(controller: VideoCoFController, lock: threading.Lock,
                 finally:
                     with metrics._lock:
                         metrics.busy -= 1
-                if tmp:
-                    os.unlink(tmp.name)
                 enc = controller.encode_video_base64(result["videos"])
                 metrics.observe(_time.time() - t0, ok=True)
                 self._reply(200, {"message": "Success",
@@ -217,6 +215,13 @@ def make_handler(controller: VideoCoFController, lock: threading.Lock,
                 traceback.print_exc()
                 metrics.observe(_time.time() - t0, ok=False)
                 self._reply(500, {"message": f"error: {e}"})
+            finally:
+                # uploaded source video must not leak on failure paths
+                if tmp is not None:
+                    try:
+                        os.unlink(tmp.name)
+                    except OSError:
+                        pass
 
     return Handler
 
