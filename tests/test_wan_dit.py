@@ -49,11 +49,20 @@ def test_ffn_chunks_exact(setup, nch):
 
 
 def test_ffn_chunks_nondividing_falls_back(setup):
+    """Non-dividing ffn_chunks must NOT silently drop to the unchunked path
+    (that discards the memory bound the caller configured): it falls to the
+    largest divisor of the token count, with a loud warning."""
+    import warnings
+
     params, x, t, ctx, cos, sin = setup
-    cfg_n = CFG.replace(ffn_chunks=7)  # 30 % 7 != 0 -> unchunked path
-    b = wan_dit.wan_dit_forward(params, cfg_n, x, t, ctx, cos, sin)
+    cfg_n = CFG.replace(ffn_chunks=7)  # 30 % 7 != 0 -> 6 chunks + warning
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        b = wan_dit.wan_dit_forward(params, cfg_n, x, t, ctx, cos, sin)
+    assert any("ffn_chunks" in str(w.message) for w in rec)
     a = wan_dit.wan_dit_forward(params, CFG, x, t, ctx, cos, sin)
-    np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5,
+                               rtol=1e-5)
 
 
 def test_batch_independence(setup):

@@ -281,6 +281,18 @@ def wan_block_apply(p: Params, cfg: WanDiTConfig, x, e0, context,
     tx = _layer_norm(x, eps) * (1.0 + e_[4]) + e_[3]
     txc = tx.astype(context.dtype)
     nch = getattr(cfg, "ffn_chunks", 1)
+    if nch > 1 and txc.shape[1] % nch != 0:
+        # honor the configured memory bound as closely as possible: fall to
+        # the largest divisor of L (never silently to 1 — the full
+        # [L, ffn_dim] intermediate is exactly what the caller excluded)
+        eff = max(k for k in range(1, nch + 1) if txc.shape[1] % k == 0)
+        import warnings
+        warnings.warn(
+            f"ffn_chunks={nch} does not divide the token count "
+            f"{txc.shape[1]}; using {eff} chunks (consider "
+            f"token_pad_multiple to keep the configured bound)",
+            stacklevel=2)
+        nch = eff
     if nch > 1 and txc.shape[1] % nch == 0:
         B, L, D = txc.shape
 

@@ -205,25 +205,44 @@ def make_fused_sample_fn(dit_cfg: WanDiTConfig, sampler_name: str,
     return run
 
 
+# wall-model calibration: Wan2.1-1.3B at 29,640 tokens = 1.8 s/step with
+# ~70% of the time in attention (BASELINE.md); the 14B fp8 measures
+# 9.97 s/step at the same geometry and this model predicts ~11 s — close
+# enough for segment sizing, and over-estimating is the safe direction.
+_BASE_TOKENS = 29640
+_BASE_LIN_S = 0.54          # 30% of 1.8
+_BASE_ATTN_S = 1.26         # 70% of 1.8
+_BASE_LIN_UNITS = 30 * (8 * 1536 ** 2 + 2 * 1536 * 8960)
+_BASE_ATTN_UNITS = 30 * 1536
+
+
 def estimate_step_seconds(n_tokens: int, do_cfg: bool,
-                          base_s: float = 1.8, base_tokens: int = 29640,
-                          attn_frac: float = 0.7) -> float:
-    """Rough per-step wall model for the 1.3B-class DiT on one v5e: linear
-    term for projections/FFN, quadratic for attention (~70% of step FLOPs at
-    the 29.6k-token headline). Validated: predicts 18.6 s at 107,640 tokens
-    vs 18.1 s measured. Used only to pick a safe trajectory segment length."""
-    r = n_tokens / base_tokens
-    return base_s * ((1 - attn_frac) * r + attn_frac * r * r) * \
-        (2 if do_cfg else 1)
+                          dit_cfg=None) -> float:
+    """Per-step wall model on one v5e: a linear-in-tokens term for the
+    projections/FFN and a quadratic term for attention, both scaled by the
+    model's size (layers x dims) relative to the calibrated 1.3B — without
+    the size term a 14B trajectory would be sized like a 1.3B one and the
+    resulting multi-minute XLA program would hit the remote worker's
+    program-kill window. Used only to pick a safe segment length."""
+    r = n_tokens / _BASE_TOKENS
+    if dit_cfg is not None:
+        d, f, L = dit_cfg.dim, dit_cfg.ffn_dim, dit_cfg.num_layers
+        lin_scale = L * (8 * d ** 2 + 2 * d * f) / _BASE_LIN_UNITS
+        attn_scale = L * d / _BASE_ATTN_UNITS
+    else:
+        lin_scale = attn_scale = 1.0
+    est = _BASE_LIN_S * lin_scale * r + _BASE_ATTN_S * attn_scale * r * r
+    return est * (2 if do_cfg else 1)
 
 
 def auto_segment_steps(n_tokens: int, do_cfg: bool,
-                       max_segment_seconds: float = 45.0) -> int:
+                       max_segment_seconds: float = 45.0,
+                       dit_cfg=None) -> int:
     """Steps per segmented-trajectory dispatch: as many as fit under
     ``max_segment_seconds`` of estimated wall (the axon remote worker kills
     single XLA programs running multi-minute; segments must stay well
     clear), at least 1, at most 8 (diminishing returns past that)."""
-    est = estimate_step_seconds(n_tokens, do_cfg)
+    est = estimate_step_seconds(n_tokens, do_cfg, dit_cfg=dit_cfg)
     return max(1, min(8, int(max_segment_seconds / max(est, 1e-6))))
 
 

@@ -56,7 +56,8 @@ class Wan22Pipeline(WanPipeline):
                          shift: float = 5.0, sampler: str = "unipc",
                          batch: int = 1, max_sequence_length: int = 512,
                          cot: bool = False,
-                         dit_param_abstract=None, dit_param_2_abstract=None):
+                         dit_param_abstract=None, dit_param_2_abstract=None,
+                         layouts: str = "default"):
         """AOT-compile the dual-expert fused executable for one geometry and
         return (base_expert_formats, high_noise_expert_formats) — the MoE
         analogue of `WanPipeline.precompile_fused` (see utils/layouts.py for
@@ -100,13 +101,19 @@ class Wan22Pipeline(WanPipeline):
         ctx_abs = jax.ShapeDtypeStruct(
             (batch * (2 if do_cfg else 1), max_sequence_length,
              self.dit_cfg.text_dim), self.dtype)
-        # AUTO input layouts: without them the dual-expert trajectory hoists
-        # full relayout copies of multi-use weight stacks as HLO temps (see
-        # WanPipeline.precompile_fused memory notes — fatal at 14B scale)
-        from jax.experimental.layout import Format, Layout
-        fn_auto = jax.jit(fn, in_shardings=Format(Layout.AUTO))
-        compiled = fn_auto.lower(p_abs, p2_abs, lat_abs, ctx_abs, cos,
-                                 sin).compile()
+        # layouts: "default" is the production recipe (reproducible
+        # input_formats through the persistent compile cache; ship with
+        # utils.layouts.device_put_into); "auto" removes hoisted relayout
+        # copies of multi-use weight stacks for one-program trajectories
+        # but its cached formats are unreliable (CLAUDE.md) — see
+        # WanPipeline.precompile_fused.
+        if layouts == "auto":
+            from jax.experimental.layout import Format, Layout
+            fn_jit = jax.jit(fn, in_shardings=Format(Layout.AUTO))
+        else:
+            fn_jit = jax.jit(fn)
+        compiled = fn_jit.lower(p_abs, p2_abs, lat_abs, ctx_abs, cos,
+                                sin).compile()
         fmts = compiled.input_formats[0]
 
         def runner(p, p2, lat, ctx, rc, rs):
@@ -213,7 +220,7 @@ class Wan22Pipeline(WanPipeline):
                 L_tok = Tl * (Hl // ph) * (Wl // pw)
                 seg_env = _os.environ.get("VIDEOCOF_SEG_STEPS")
                 seg_n = max(1, int(seg_env)) if seg_env else (
-                    auto_segment_steps(L_tok, do_cfg))
+                    auto_segment_steps(L_tok, do_cfg, dit_cfg=self.dit_cfg))
                 skey = ("seg22", sampler, num_inference_steps, float(shift),
                         do_cfg, float(guidance_scale), float(g2), split_idx,
                         condition_count, self.attn_backend, seg_n)

@@ -292,21 +292,28 @@ class WanPipeline:
                          guidance_scale: float = 1.0, shift: float = 3.0,
                          sampler: str = "unipc", batch: int = 1,
                          max_sequence_length: int = 512,
-                         dit_param_abstract=None, scan_unroll: int = 1):
+                         dit_param_abstract=None, scan_unroll: int = 1,
+                         layouts: str = "default"):
         """AOT-compile the fused denoise executable for one geometry and
         return the DiT params' expected input Formats.
 
-        Inputs are lowered with AUTO layouts: with default layouts, a
-        trajectory program (scanned OR unrolled) makes XLA hoist full
-        relayout COPIES of multi-use stacked weight leaves as temps (2x
-        1000 MB for the 14B's attention V stacks), OOMing a 16 GB chip
-        that holds 13.86 GiB of fp8 arguments; with AUTO, the argument
-        layout IS the compute-preferred one, the copies vanish (measured:
-        temp 3.6 -> 2.0 GiB), and the returned formats tell the caller to
-        create the weights directly in that layout.
+        ``layouts``: argument-layout mode for the lowering.
+          * "default" (the production recipe, `scripts/probe_14b_e2e.py`):
+            plain default layouts; `ship_tree_into`/`device_put_into`
+            verify-and-fix the few leaves XLA still wants non-default
+            (blocks modulation, head fc). Costs ~1.7% step time vs the
+            AUTO pick but its input_formats are REPRODUCIBLE — AUTO
+            formats deserialized through the persistent compile cache have
+            been observed inconsistent with what the call requires (both
+            directions; see CLAUDE.md), and the factory enables that cache.
+          * "auto": XLA picks compute-preferred argument layouts. For a
+            one-program trajectory this removes hoisted relayout copies of
+            multi-use stacked weight leaves (measured temp 3.6 -> 2.0 GiB
+            on the 14B) — use for experimentation WITHOUT the persistent
+            cache.
 
         ``scan_unroll``: unroll factor for the scan over steps (kept for
-        experimentation; AUTO layouts are what makes the 14B fit).
+        experimentation).
 
         The point (see utils/layouts.py): weights that cross executables in
         the wrong layout get relayout-COPIED at dispatch — fatal for a
@@ -349,10 +356,13 @@ class WanPipeline:
         ctx_abs = jax.ShapeDtypeStruct(
             (batch * (2 if do_cfg else 1), max_sequence_length,
              self.dit_cfg.text_dim), self.dtype)
-        from jax.experimental.layout import Format, Layout
-        fn_auto = jax.jit(fn, in_shardings=Format(Layout.AUTO))
-        compiled = fn_auto.lower(p_abs, lat_abs, ctx_abs, cos,
-                                 sin).compile()
+        if layouts == "auto":
+            from jax.experimental.layout import Format, Layout
+            fn_jit = jax.jit(fn, in_shardings=Format(Layout.AUTO))
+        else:
+            fn_jit = jax.jit(fn)
+        compiled = fn_jit.lower(p_abs, lat_abs, ctx_abs, cos,
+                                sin).compile()
         fmts = compiled.input_formats[0]
 
         def runner(p, lat, ctx, rc, rs):
@@ -599,7 +609,7 @@ class WanPipeline:
                      * (latents.shape[4] // 2))
             seg_env = _os.environ.get("VIDEOCOF_SEG_STEPS")
             seg_n = int(seg_env) if seg_env else auto_segment_steps(
-                L_tok, do_cfg)
+                L_tok, do_cfg, dit_cfg=self.dit_cfg)
             skey = ("seg", sampler, num_inference_steps, float(shift),
                     do_cfg, float(guidance_scale), condition_count,
                     tuple(skips) if enable_teacache else None,

@@ -53,11 +53,22 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int]
-    lib.vcf_enc_last_error.restype = ctypes.c_char_p
-    for name in ("vcf_encode_video_rgb", "vcf_encode_video_i420"):
-        getattr(lib, name).argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_int64]
+    # Encoder symbols may be ABSENT from a pre-encoder .so kept alive by the
+    # "rebuild failed; using existing" path above — degrade to decode-only
+    # (encode falls back to cv2/ffmpeg) instead of AttributeError-ing the
+    # previously working decode path.
+    try:
+        lib.vcf_enc_last_error.restype = ctypes.c_char_p
+        for name in ("vcf_encode_video_rgb", "vcf_encode_video_i420"):
+            getattr(lib, name).argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+                ctypes.c_int64]
+        lib._vcf_has_encoder = True
+    except AttributeError:
+        print(f"[runtime] {_SO} predates the encoder symbols; "
+              "decode-only mode", file=sys.stderr)
+        lib._vcf_has_encoder = False
     _lib = lib
     return _lib
 
@@ -146,7 +157,8 @@ def decode_batch(paths: Sequence[str], indices: np.ndarray, out_h: int,
 
 
 def encode_available() -> bool:
-    return _load() is not None
+    lib = _load()
+    return lib is not None and getattr(lib, "_vcf_has_encoder", False)
 
 
 def encode_video_rgb(path: str, frames: np.ndarray, fps: float = 16.0,
@@ -155,8 +167,8 @@ def encode_video_rgb(path: str, frames: np.ndarray, fps: float = 16.0,
     mux+encode; raises if the native runtime is unavailable — callers
     fall back to cv2, see utils/video_io.save_video)."""
     lib = _load()
-    if lib is None:
-        raise RuntimeError("native runtime unavailable")
+    if lib is None or not getattr(lib, "_vcf_has_encoder", False):
+        raise RuntimeError("native encoder unavailable")
     frames = np.ascontiguousarray(frames, np.uint8)
     T, H, W, C = frames.shape
     assert C == 3, frames.shape
@@ -172,8 +184,8 @@ def encode_video_i420(path: str, i420: np.ndarray, fps: float = 16.0,
     """Encode packed I420 frames [T, H*3//2, W] (the utils/colorspace.py
     device-fetch layout) to an mp4 — zero host-side colorspace work."""
     lib = _load()
-    if lib is None:
-        raise RuntimeError("native runtime unavailable")
+    if lib is None or not getattr(lib, "_vcf_has_encoder", False):
+        raise RuntimeError("native encoder unavailable")
     i420 = np.ascontiguousarray(i420, np.uint8)
     T, Hp, W = i420.shape
     H = (Hp * 2) // 3
