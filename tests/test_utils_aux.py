@@ -116,9 +116,11 @@ def test_layout_targeting_roundtrip():
     compiled, fmts = consumer_input_formats(consumer, p_abs, x)
     host = {"w": np.arange(128, dtype=np.float32).reshape(16, 8),
             "b": np.ones(16, np.float32)}
-    dev = ship_tree_into(host, fmts)
-    out = compiled(dev, x)
     want = host["w"] @ np.ones((8, 4), np.float32) + 1.0
+    dev = ship_tree_into(host, fmts)
+    # the source tree is detached leaf-by-leaf (host RAM actually freed)
+    assert host["w"] is None and host["b"] is None
+    out = compiled(dev, x)
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-6)
 
 

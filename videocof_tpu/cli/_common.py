@@ -149,7 +149,7 @@ def build_pipeline_from_args(args, dtype=None, num_inference_steps=4,
                           reasoning_frames=args.reasoning_frames,
                           num_inference_steps=num_inference_steps,
                           guidance_scale=guidance_scale, shift=args.shift,
-                          sampler=args.sampler)
+                          sampler=args.sampler, cot=True)
     loras = []
     for path, mult in ((getattr(args, "acceleration_lora", None), 1.0),
                       (args.lora_path, args.lora_weight),

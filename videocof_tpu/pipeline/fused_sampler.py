@@ -13,9 +13,12 @@ TeaCache schedule (`skip_mask`) also fuses: the skip decision is
 data-independent (it depends only on the timestep schedule — see
 models/teacache.py), so the scan body carries the token-stream residual and
 `lax.cond`s between the block stack and the cached-residual path; only the
-taken branch executes on TPU. cfg-skip changes shapes mid-trajectory and
-stays on the stepwise path. (Note the reference's 4-step fast config never
-actually skips: num_skip_start_steps=5 >= 4 steps — `fast_infer.py:158-160`.)
+taken branch executes on TPU. cfg-skip fuses too, as a STATIC two-phase
+split (CFG steps, then cond-only steps — `cfg_off_after`); only
+TeaCache + cfg-skip COMBINED stays stepwise, because their residual batch
+shapes disagree across the phase boundary. (Note the reference's 4-step
+fast config never actually skips: num_skip_start_steps=5 >= 4 steps —
+`fast_infer.py:158-160`.)
 """
 
 from __future__ import annotations

@@ -55,7 +55,7 @@ class Wan22Pipeline(WanPipeline):
                          guidance_scale_2: Optional[float] = None,
                          shift: float = 5.0, sampler: str = "unipc",
                          batch: int = 1, max_sequence_length: int = 512,
-                         cot: bool = False,
+                         cot: bool = True,
                          dit_param_abstract=None, dit_param_2_abstract=None,
                          layouts: str = "default"):
         """AOT-compile the dual-expert fused executable for one geometry and
@@ -122,9 +122,12 @@ class Wan22Pipeline(WanPipeline):
                             jax.device_put(rc, fmts[4]),
                             jax.device_put(rs, fmts[5]))
 
+        # shape-locked AOT runner: key carries the compiled geometry so
+        # other-geometry calls fall back to jit instead of crashing
         fkey = ("fused22", sampler, num_inference_steps, float(shift),
                 do_cfg, float(guidance_scale), float(g2), split_idx,
-                cond, self.attn_backend)
+                cond, self.attn_backend, tuple(lat_abs.shape),
+                tuple(ctx_abs.shape))
         self._jit_cache[fkey] = runner
         return fmts[0], fmts[1]
 
@@ -191,11 +194,21 @@ class Wan22Pipeline(WanPipeline):
         # count (monotone decreasing schedule, data-independent boundary)
         split_idx = self._split_idx(sched)
 
-        if fused_sampling is None or fused_sampling:
+        if fused_sampling is None:
+            # one-program trajectories past the remote worker's program-kill
+            # window go segmented (same wall model that sizes the segments)
+            from .fused_sampler import estimate_step_seconds
+            ph2, pw2 = self.dit_cfg.patch_size[1:]
+            L_tok = Tl * (Hl // ph2) * (Wl // pw2)
+            est_total = num_inference_steps * estimate_step_seconds(
+                L_tok, do_cfg, dit_cfg=self.dit_cfg)
+            fused_sampling = est_total <= 45.0
+        if fused_sampling:
             # whole trajectory (both expert phases) as ONE compiled program
             fkey = ("fused22", sampler, num_inference_steps, float(shift),
                     do_cfg, float(guidance_scale), float(g2), split_idx,
-                    condition_count, self.attn_backend)
+                    condition_count, self.attn_backend,
+                    tuple(latents.shape), tuple(context.shape))
             if fkey not in self._jit_cache:
                 from .fused_sampler import make_fused_sample_fn_moe
                 sp = self._sp_for(do_cfg)

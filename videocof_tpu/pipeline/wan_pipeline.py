@@ -293,7 +293,7 @@ class WanPipeline:
                          sampler: str = "unipc", batch: int = 1,
                          max_sequence_length: int = 512,
                          dit_param_abstract=None, scan_unroll: int = 1,
-                         layouts: str = "default"):
+                         layouts: str = "default", cot: bool = True):
         """AOT-compile the fused denoise executable for one geometry and
         return the DiT params' expected input Formats.
 
@@ -330,7 +330,7 @@ class WanPipeline:
         tc = self.vae_cfg.temporal_compression_ratio
         sc = self.vae_cfg.spatial_compression_ratio
         cond = latent_frame_count(source_frames, tc)
-        ground = latent_frame_count(reasoning_frames, tc)
+        ground = latent_frame_count(reasoning_frames, tc) if cot else 0
         Tl = cond + ground + cond
         Hl, Wl = height // sc, width // sc
         ph, pw = self.dit_cfg.patch_size[1:]
@@ -372,9 +372,13 @@ class WanPipeline:
                             jax.device_put(rc, fmts[3]),
                             jax.device_put(rs, fmts[4]))
 
+        # the key carries the compiled geometry: the runner is
+        # shape-locked AOT code, and a call at any other resolution /
+        # frame count / batch must fall back to plain jit, not crash
         fkey = ("fused", sampler, num_inference_steps, float(shift),
                 do_cfg, float(guidance_scale), cond, None, None,
-                self.attn_backend)
+                self.attn_backend, tuple(lat_abs.shape),
+                tuple(ctx_abs.shape))
         self._jit_cache[fkey] = runner
         return fmts[0]
 
@@ -546,7 +550,18 @@ class WanPipeline:
             cfg_off = num_inference_steps - int(
                 round(num_inference_steps * cfg_skip_ratio))
         if fused_sampling is None:
-            fused_sampling = not (enable_teacache and cfg_off is not None)
+            if enable_teacache and cfg_off is not None:
+                fused_sampling = False   # residual shapes disagree (below)
+            else:
+                # one-program trajectories longer than the remote worker's
+                # program-kill window must go segmented (measured: a 50-step
+                # fused CFG run crashed the worker 3/3; ~40 s programs
+                # survive) — the same wall model that sizes the segments
+                from .fused_sampler import estimate_step_seconds
+                L_tok = Tl * (Hl // ph) * (Wl // pw)
+                est_total = num_inference_steps * estimate_step_seconds(
+                    L_tok, do_cfg, dit_cfg=self.dit_cfg)
+                fused_sampling = est_total <= 45.0
         if fused_sampling and not (enable_teacache and cfg_off is not None):
             skip_mask = None
             if enable_teacache:
@@ -558,7 +573,8 @@ class WanPipeline:
                     teacache_threshold, teacache_skip_start_steps))
             fkey = ("fused", sampler, num_inference_steps, float(shift),
                     do_cfg, float(guidance_scale), condition_count,
-                    skip_mask, cfg_off, self.attn_backend)
+                    skip_mask, cfg_off, self.attn_backend,
+                    tuple(latents.shape), tuple(context.shape))
             if fkey not in self._jit_cache:
                 from .fused_sampler import make_fused_sample_fn
                 sp = self._sp_for(do_cfg)

@@ -56,17 +56,39 @@ def device_put_into(host_leaf: Any, fmt: Any) -> Any:
     return arr
 
 
-def ship_tree_into(host_tree: Any, formats: Any) -> Any:
+def ship_tree_into(host_tree: Any, formats: Any,
+                   release_host: bool = True) -> Any:
     """Leaf-wise `jax.device_put` of a host (numpy) pytree into target
-    Formats; each host leaf is released as soon as its device copy exists,
-    so peak device memory = accumulated tree + one leaf (plus one transient
-    relayout copy for leaves where device_put misses the target layout —
-    see :func:`device_put_into`)."""
-    leaves, tdef = jax.tree.flatten(host_tree)
+    Formats.
+
+    ``release_host=True`` (default) DETACHES each leaf from the source tree
+    (the containers are mutated to None) before its device put, so the host
+    copy is freed as soon as the transfer holds the last reference — peak
+    host RAM stays ~one-leaf above the un-shipped remainder even though the
+    caller still holds the (now-hollow) source tree, e.g.
+    ``pipe.dit_params = ship_tree_into(pipe.dit_params, fmts)``. Without
+    detaching, None-ing a flattened copy of the references frees nothing.
+    Device-side, peak = accumulated tree + one leaf (plus one transient
+    relayout copy where device_put misses the target layout — see
+    :func:`device_put_into`)."""
+    paths_leaves, tdef = jax.tree_util.tree_flatten_with_path(host_tree)
     fmts = jax.tree.flatten(formats)[0]
     out = []
-    for i in range(len(leaves)):
-        out.append(device_put_into(leaves[i], fmts[i]))
-        leaves[i] = None
+    for i, (path, leaf) in enumerate(paths_leaves):
+        if release_host and path:
+            # drop the source tree's reference so `leaf` is the last one
+            try:
+                parent = host_tree
+                for p in path[:-1]:
+                    parent = parent[getattr(p, "key",
+                                            getattr(p, "idx", None))]
+                last = path[-1]
+                parent[getattr(last, "key",
+                               getattr(last, "idx", None))] = None
+            except TypeError:
+                pass  # immutable container (tuple) — keep the reference
+        out.append(device_put_into(leaf, fmts[i]))
+        paths_leaves[i] = None
+        del leaf
     jax.block_until_ready(out)
     return jax.tree.unflatten(tdef, out)
