@@ -79,3 +79,25 @@ def test_dispatcher_falls_back():
     want = attention(q, q, q, backend="naive")
     np.testing.assert_allclose(np.asarray(out), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_masked_path_is_differentiable():
+    """The kv_mask path must support jax.grad (training with SP padding
+    reaches it): backward recomputes through XLA reference attention."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from videocof_tpu.ops.attention import attention
+    from videocof_tpu.ops.flash_attention import flash_attention
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 2, 128))
+    k = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 2, 128))
+    v = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 2, 128))
+    mask = jnp.arange(16)[None, :] < jnp.array([16, 11])[:, None]
+
+    gf = jax.grad(lambda a: jnp.sum(
+        flash_attention(a, k, v, kv_mask=mask) ** 2))(q)
+    gr = jax.grad(lambda a: jnp.sum(
+        attention(a, k, v, mask=mask, backend="naive") ** 2))(q)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=2e-4,
+                               rtol=2e-4)

@@ -159,6 +159,11 @@ def load_pipeline(
         from .pipeline import Wan22Pipeline
         sd2 = weights.load_state_dict(high_noise_model)
         dit2 = weights.convert_dit_state_dict(sd2, dit_cfg, dtype=npdt)
+        # LoRAs apply to BOTH experts (high-noise steps would otherwise run
+        # un-adapted weights), and before quantization like the primary
+        for path, mult in (lora_paths or ()):
+            from .models.lora import merge_lora
+            dit2 = merge_lora(dit2, dit_cfg, path, multiplier=mult)
         if quantize == "fp8":
             from .utils.fp8 import quantize_params_fp8
             dit2 = quantize_params_fp8(dit2)

@@ -7,14 +7,28 @@ Every model is a pure-functional (init, forward) pair over parameter pytrees:
                   clip_vision (i2v ViT-H), camera_adapter
   Sibling families cogvideox, cogvideox_vae, flux, qwenimage
   Acceleration    teacache, lora (weight fusion), weights (checkpoint IO)
+
+Submodules load lazily (PEP 562): importing one family does not pay for the
+rest — the same keep-bare-imports-light scheme as the top-level package.
 """
 
-from . import (camera_adapter, clip_vision, cogvideox, cogvideox_vae, flux, lora, qwenimage, qwenimage_vae, xlm_roberta,
-               rope, t5_encoder, teacache, wan_dit, wan_dit_s2v, wan_dit_vace,
-               wan_vae, wan_vae22, wan_vae_streaming, weights)
+import importlib
 
-__all__ = [
-    "camera_adapter", "clip_vision", "cogvideox", "cogvideox_vae", "flux", "lora", "xlm_roberta",
-    "qwenimage", "qwenimage_vae", "rope", "t5_encoder", "teacache", "wan_dit", "wan_dit_s2v",
-    "wan_dit_vace", "wan_vae", "wan_vae22", "wan_vae_streaming", "weights",
-]
+_SUBMODULES = (
+    "camera_adapter", "clip_vision", "cogvideox", "cogvideox_vae", "flux",
+    "lora", "qwenimage", "qwenimage_vae", "rope", "t5_encoder", "teacache",
+    "wan_dit", "wan_dit_s2v", "wan_dit_vace", "wan_vae", "wan_vae22",
+    "wan_vae22_streaming", "wan_vae_streaming", "weights", "xlm_roberta",
+)
+
+__all__ = list(_SUBMODULES)
+
+
+def __getattr__(name):
+    if name in _SUBMODULES:
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_SUBMODULES))

@@ -351,6 +351,46 @@ def _flash_core_bwd(scale, block_q, block_k, interpret, res, do):
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
+def _masked_ref_bnld(q, k, v, m):
+    """XLA reference attention with a key mask (scale pre-folded into q);
+    used only as the backward recompute for the masked flash path."""
+    s = jnp.einsum("bld,bmd->blm", q.astype(jnp.float32),
+                   k.astype(jnp.float32))
+    s = jnp.where(m[:, None, :], s, jnp.float32(-1e30))
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("blm,bmd->bld", p,
+                      v.astype(jnp.float32)).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_core_masked(q, k, v, m, block_q, block_k, interpret):
+    out, _ = _flash_bnld(q, k, v, 1.0, block_q, block_k,
+                         interpret=interpret, need_lse=False, kv_mask=m)
+    return out
+
+
+def _flash_core_masked_fwd(q, k, v, m, block_q, block_k, interpret):
+    return (_flash_core_masked(q, k, v, m, block_q, block_k, interpret),
+            (q, k, v, m))
+
+
+def _flash_core_masked_bwd(block_q, block_k, interpret, res, do):
+    # The masked Pallas kernel has no backward kernel (the inference path's
+    # no-LSE design); gradients recompute through the XLA reference
+    # attention instead of crashing with "no differentiation rule for
+    # pallas_call". O(L^2) memory in the backward — fine for the SP-padding
+    # tail this path exists for; large-scale training should use token
+    # counts that divide the mesh (the unmasked flash bwd kernels).
+    q, k, v, m = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _masked_ref_bnld(q_, k_, v_, m),
+                     q, k, v)
+    dq, dk, dv = vjp(do)
+    return dq, dk, dv, None
+
+
+_flash_core_masked.defvjp(_flash_core_masked_fwd, _flash_core_masked_bwd)
+
+
 def _to_bnld(x):
     B, L, N, D = x.shape
     return x.transpose(0, 2, 1, 3).reshape(B * N, L, D)
@@ -367,7 +407,8 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     differentiable (custom VJP backed by two Pallas backward kernels).
 
     ``kv_mask`` [B, Lk] bool: keys excluded from softmax inside the kernel
-    (SP padding / varlen). The masked path is forward-only (inference).
+    (SP padding / varlen). The masked path is differentiable too — its
+    backward recomputes through XLA reference attention (O(L^2) memory).
 
     Raises NotImplementedError for shapes/features the kernel doesn't cover
     (the dispatcher falls back to XLA).
@@ -395,8 +436,7 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     bk = min(block_k, _rup(Lk, 128))
     if kv_mask is not None:
         m = jnp.repeat(kv_mask, N, axis=0)               # [B*N, Lk]
-        out, _ = _flash_bnld(qt, kt, vt, 1.0, bq, bk, interpret=interpret,
-                             need_lse=False, kv_mask=m)
+        out = _flash_core_masked(qt, kt, vt, m, bq, bk, interpret)
     else:
         out = _flash_core(qt, kt, vt, 1.0, bq, bk, interpret)
     return out.reshape(B, N, Lq, D).transpose(0, 2, 1, 3)

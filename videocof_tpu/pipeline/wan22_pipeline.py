@@ -88,7 +88,7 @@ class Wan22Pipeline(WanPipeline):
         fn = make_fused_sample_fn_moe(
             self.dit_cfg, sampler, sched.plan_arrays(), split_idx, do_cfg,
             guidance_scale, g2, cond, self.dtype,
-            attn_backend=self.attn_backend, sp=sp)
+            attn_backend=self._backend_for(do_cfg), sp=sp)
 
         p_abs = (dit_param_abstract if dit_param_abstract is not None
                  else jax.eval_shape(lambda p: p, self.dit_params))
@@ -126,7 +126,7 @@ class Wan22Pipeline(WanPipeline):
         # other-geometry calls fall back to jit instead of crashing
         fkey = ("fused22", sampler, num_inference_steps, float(shift),
                 do_cfg, float(guidance_scale), float(g2), split_idx,
-                cond, self.attn_backend, tuple(lat_abs.shape),
+                cond, self._backend_for(do_cfg), tuple(lat_abs.shape),
                 tuple(ctx_abs.shape))
         self._jit_cache[fkey] = runner
         return fmts[0], fmts[1]
@@ -207,7 +207,7 @@ class Wan22Pipeline(WanPipeline):
             # whole trajectory (both expert phases) as ONE compiled program
             fkey = ("fused22", sampler, num_inference_steps, float(shift),
                     do_cfg, float(guidance_scale), float(g2), split_idx,
-                    condition_count, self.attn_backend,
+                    condition_count, self._backend_for(do_cfg),
                     tuple(latents.shape), tuple(context.shape))
             if fkey not in self._jit_cache:
                 from .fused_sampler import make_fused_sample_fn_moe
@@ -215,7 +215,7 @@ class Wan22Pipeline(WanPipeline):
                 self._jit_cache[fkey] = make_fused_sample_fn_moe(
                     self.dit_cfg, sampler, sched.plan_arrays(), split_idx,
                     do_cfg, guidance_scale, g2, condition_count, self.dtype,
-                    attn_backend=self.attn_backend, sp=sp)
+                    attn_backend=self._backend_for(do_cfg), sp=sp)
             params_2 = (self.dit_params_2 if self.dit_params_2 is not None
                         else self.dit_params)
             latents = self._jit_cache[fkey](self.dit_params, params_2,
@@ -236,14 +236,16 @@ class Wan22Pipeline(WanPipeline):
                     auto_segment_steps(L_tok, do_cfg, dit_cfg=self.dit_cfg))
                 skey = ("seg22", sampler, num_inference_steps, float(shift),
                         do_cfg, float(guidance_scale), float(g2), split_idx,
-                        condition_count, self.attn_backend, seg_n)
+                        condition_count, self._backend_for(do_cfg),
+                        seg_n)
                 if skey not in self._jit_cache:
                     sp = self._sp_for(do_cfg)
                     self._jit_cache[skey] = make_segmented_sample_fn_moe(
                         self.dit_cfg, sampler, sched.plan_arrays(),
                         split_idx, do_cfg, guidance_scale, g2,
                         condition_count, self.dtype,
-                        attn_backend=self.attn_backend, sp=sp,
+                        attn_backend=self._backend_for(do_cfg),
+                        sp=sp,
                         segment_steps=seg_n)
                 params_2 = (self.dit_params_2
                             if self.dit_params_2 is not None

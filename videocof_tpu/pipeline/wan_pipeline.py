@@ -119,6 +119,7 @@ class WanPipeline:
         if cfg_parallel and mesh.shape["data"] < 2:
             raise ValueError("cfg_parallel needs a data axis of >= 2")
         tp = dict(mesh.shape).get("model", 1)
+        self.attn_backend_cfgpar = None
         if tp > 1:
             validate_tp(self.dit_cfg, mesh)
             shardings = tp_param_shardings(mesh, self.dit_params)
@@ -127,12 +128,21 @@ class WanPipeline:
             if p2 is not None:
                 self.dit_params_2 = jax.device_put(
                     p2, tp_param_shardings(mesh, p2))
-            self.attn_backend = make_tp_attention(
-                mesh, seq_axis="seq" if mesh.shape["seq"] > 1 else None)
+            seq_ax = "seq" if mesh.shape["seq"] > 1 else None
+            self.attn_backend = make_tp_attention(mesh, seq_axis=seq_ax)
+            if cfg_parallel:
+                self.attn_backend_cfgpar = make_tp_attention(
+                    mesh, seq_axis=seq_ax, batch_axis="data")
         else:
             maker = {"ulysses": make_ulysses_attention,
                      "ring": make_ring_attention}[mode]
             self.attn_backend = maker(mesh)
+            if cfg_parallel:
+                # CFG steps shard the doubled batch over 'data'; the
+                # attention shard_map must carry that axis in its specs or
+                # GSPMD all-gathers the batch at EVERY block — each device
+                # would compute both guidance branches for the dominant op
+                self.attn_backend_cfgpar = maker(mesh, batch_axis="data")
         self.sp_mesh = mesh
         self.sp_ctx = SPContext(mesh)
         self.cfg_parallel = cfg_parallel
@@ -140,6 +150,7 @@ class WanPipeline:
 
     def disable_sequence_parallel(self) -> None:
         self.attn_backend = None
+        self.attn_backend_cfgpar = None
         self.sp_mesh = None
         self.sp_ctx = None
         self.cfg_parallel = False
@@ -201,6 +212,15 @@ class WanPipeline:
                 chunk_latent=self.vae_decode_chunk)
         return wan_vae.decode(self.vae_params, self.vae_cfg,
                               z.astype(self.dtype))
+
+    def _backend_for(self, do_cfg: bool):
+        """The attention backend for a trajectory: the batch-axis-aware
+        variant during CFG-parallel steps, the plain one otherwise."""
+        if do_cfg and getattr(self, "cfg_parallel", False):
+            alt = getattr(self, "attn_backend_cfgpar", None)
+            if alt is not None:
+                return alt
+        return self.attn_backend
 
     def _sp_for(self, do_cfg: bool):
         """SPContext for a trajectory: the cfg-parallel variant when CFG is
@@ -347,7 +367,8 @@ class WanPipeline:
         fn = make_fused_sample_fn(
             self.dit_cfg, sampler, sched.plan_arrays(), do_cfg,
             guidance_scale, cond, self.dtype,
-            attn_backend=self.attn_backend, sp=sp, scan_unroll=scan_unroll)
+            attn_backend=self._backend_for(do_cfg), sp=sp,
+            scan_unroll=scan_unroll)
 
         p_abs = (dit_param_abstract if dit_param_abstract is not None
                  else jax.eval_shape(lambda p: p, self.dit_params))
@@ -377,7 +398,7 @@ class WanPipeline:
         # frame count / batch must fall back to plain jit, not crash
         fkey = ("fused", sampler, num_inference_steps, float(shift),
                 do_cfg, float(guidance_scale), cond, None, None,
-                self.attn_backend, tuple(lat_abs.shape),
+                self._backend_for(do_cfg), tuple(lat_abs.shape),
                 tuple(ctx_abs.shape))
         self._jit_cache[fkey] = runner
         return fmts[0]
@@ -389,12 +410,12 @@ class WanPipeline:
         TeaCache residual in/out), guidance combine, source freeze. Compiled
         once per (cfg, skip) variant."""
         key = ("step", do_cfg, float(guidance_scale), condition_count,
-               skip_blocks, self.attn_backend)
+               skip_blocks, self._backend_for(do_cfg))
         if key in self._jit_cache:
             return self._jit_cache[key]
 
         dit_cfg = self.dit_cfg
-        backend = self.attn_backend
+        backend = self._backend_for(do_cfg)
         sp = self._sp_for(do_cfg)
 
         @jax.jit
@@ -571,9 +592,10 @@ class WanPipeline:
                 skip_mask = tuple(tcache.plan_teacache_skips(
                     self.dit_params, self.dit_cfg, sched.timesteps, coeffs,
                     teacache_threshold, teacache_skip_start_steps))
+            backend = self._backend_for(do_cfg)
             fkey = ("fused", sampler, num_inference_steps, float(shift),
                     do_cfg, float(guidance_scale), condition_count,
-                    skip_mask, cfg_off, self.attn_backend,
+                    skip_mask, cfg_off, backend,
                     tuple(latents.shape), tuple(context.shape))
             if fkey not in self._jit_cache:
                 from .fused_sampler import make_fused_sample_fn
@@ -581,7 +603,7 @@ class WanPipeline:
                 self._jit_cache[fkey] = make_fused_sample_fn(
                     self.dit_cfg, sampler, sched.plan_arrays(), do_cfg,
                     guidance_scale, condition_count, self.dtype,
-                    attn_backend=self.attn_backend, sp=sp,
+                    attn_backend=backend, sp=sp,
                     skip_mask=skip_mask, cfg_off_after=cfg_off)
             latents = self._jit_cache[fkey](self.dit_params, latents,
                                             context, cos, sin)
@@ -626,17 +648,18 @@ class WanPipeline:
             seg_env = _os.environ.get("VIDEOCOF_SEG_STEPS")
             seg_n = int(seg_env) if seg_env else auto_segment_steps(
                 L_tok, do_cfg, dit_cfg=self.dit_cfg)
+            backend = self._backend_for(do_cfg)
             skey = ("seg", sampler, num_inference_steps, float(shift),
                     do_cfg, float(guidance_scale), condition_count,
                     tuple(skips) if enable_teacache else None,
                     cfg_off_after if cfg_skip_ratio > 0.0 else None,
-                    self.attn_backend, seg_n)
+                    backend, seg_n)
             if skey not in self._jit_cache:
                 sp = self._sp_for(do_cfg)
                 self._jit_cache[skey] = make_segmented_sample_fn(
                     self.dit_cfg, sampler, sched.plan_arrays(), do_cfg,
                     guidance_scale, condition_count, self.dtype,
-                    attn_backend=self.attn_backend, sp=sp,
+                    attn_backend=backend, sp=sp,
                     skip_mask=(tuple(skips) if enable_teacache else None),
                     cfg_off_after=(cfg_off_after if cfg_skip_ratio > 0.0
                                    else None),

@@ -84,8 +84,11 @@ def _allowed_roots():
     VIDEOCOF_ASSET_DIRS (os.pathsep separated)."""
     here = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
+    # NOTE: no tempdir here — uploaded videos reach the controller through
+    # kwargs['video_path'] internally, and a world-writable /tmp in the
+    # CLIENT-visible allowlist would let any peer read files staged there
     roots = [os.path.join(here, "assets"),
-             os.path.join(os.getcwd(), "assets"), tempfile.gettempdir()]
+             os.path.join(os.getcwd(), "assets")]
     roots += os.environ.get("VIDEOCOF_ASSET_DIRS", "").split(os.pathsep)
     return roots
 

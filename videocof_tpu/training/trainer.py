@@ -86,6 +86,13 @@ class CoFTrainer:
         self.sampler = DiscreteSampling(group_num=max(1, tcfg.mesh_data))
         self._encode_jit = jax.jit(
             lambda v: wan_vae.encode(self.vae_params, self.vae_cfg, v)[0])
+        # jitted text encode: eager per-op dispatch over the remote tunnel
+        # costs ~50-100 ms/op — the same fix the pipeline's encode_prompt
+        # carries (hundreds of encoder ops would add minutes per step)
+        self._t5_jit = jax.jit(
+            lambda ids, mask: t5_encoder.t5_encode(
+                self.t5_params, self.t5_cfg, ids, mask)
+            * mask[..., None].astype(jnp.float32))
 
         # static CoF geometry
         tc = vae_cfg.temporal_compression_ratio
@@ -113,9 +120,7 @@ class CoFTrainer:
 
         texts = [s["text"] for s in samples]
         ids, mask = self.tokenizer(texts, max_length=self.dit_cfg.text_len)
-        ctx = t5_encoder.t5_encode(self.t5_params, self.t5_cfg,
-                                   jnp.asarray(ids), jnp.asarray(mask))
-        ctx = ctx * jnp.asarray(mask)[..., None].astype(ctx.dtype)
+        ctx = self._t5_jit(jnp.asarray(ids), jnp.asarray(mask))
 
         hl, wl = x0.shape[3], x0.shape[4]
         ph, pw = self.dit_cfg.patch_size[1:]

@@ -98,9 +98,12 @@ def dit_matmul_flops(cfg, num_tokens: int, text_len: int = None) -> float:
     L = num_tokens
     d, f = cfg.dim, cfg.ffn_dim
     Lt = text_len or cfg.text_len
+    # self q/k/v/o (4 proj over L) + cross q/o over L and k/v over Lt + ffn.
+    # NOTE recalibrated: an earlier revision double-counted the cross q/o
+    # projections (+4Ld^2/block, inflating reported MFU ~3.7% at the 1.3B
+    # and ~8.6% at the 14B 29.6k-token geometry).
     per_block = 2 * L * (4 * d * d) + 2 * (L + Lt) * d * d * 2 \
-        + 2 * L * d * d * 2 + 2 * L * (2 * d * f)
-    # ^ self q/k/v/o; cross k/v over text + cross q/o over tokens; ffn
+        + 2 * L * (2 * d * f)
     attn = 4 * L * L * d + 4 * L * Lt * d        # self + cross (qk + pv)
     pt, ph, pw = cfg.patch_size
     head = 2 * L * d * (pt * ph * pw * cfg.out_dim)
