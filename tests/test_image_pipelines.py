@@ -155,3 +155,23 @@ def test_ddim_non_divisor_step_count_terminates():
     assert ts[0] == 999 and ts[-1] <= 33
     sa_prev = s._coeffs[-1][2]
     assert sa_prev == 1.0  # terminal step denoises completely
+
+
+def test_qwenimage_pipeline_vae_decode_branch():
+    """With VAE params attached, the pipeline decodes the unpacked latents
+    through the Wan-VAE single-frame path to an image in [0, 1]."""
+    from videocof_tpu.configs import VAE_TINY
+    from videocof_tpu.models import wan_vae
+
+    cfg = qwen_lib.QWENIMAGE_TINY.replace(in_channels=4 * VAE_TINY.z_dim,
+                                          out_channels=VAE_TINY.z_dim)
+    pipe = QwenImagePipeline(
+        qwen_lib.init_qwenimage(jax.random.PRNGKey(0), cfg), cfg,
+        wan_vae.init_wan_vae(jax.random.PRNGKey(1), VAE_TINY), VAE_TINY)
+    rng = np.random.default_rng(8)
+    txt = jnp.asarray(rng.standard_normal(
+        (1, 5, cfg.joint_attention_dim)), jnp.float32)
+    img = pipe(txt, None, height=32, width=32, num_inference_steps=2,
+               true_cfg_scale=1.0, seed=9)
+    assert img.shape == (1, 3, 32, 32)
+    assert np.isfinite(img).all() and 0.0 <= img.min() and img.max() <= 1.0
