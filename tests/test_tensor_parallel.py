@@ -254,3 +254,50 @@ def test_tp_shardings_handle_fp8_storage(params):
     # across 4 shards reassociates bf16 partial sums -> bf16-ULP-level
     # differences, not exactness
     np.testing.assert_allclose(out_q, ref_q, atol=3e-2, rtol=3e-2)
+
+
+def test_tp_fsdp_training_step():
+    """3D training layout (dp x sp x tp): the train step runs with TP x
+    FSDP param/optimizer shardings and matches the single-device loss."""
+    import optax
+    from videocof_tpu.training import make_train_step
+
+    cfg = WanDiTConfig(dim=64, ffn_dim=128, num_heads=4, num_layers=2,
+                       text_dim=32, text_len=16, freq_dim=32)
+    params = wan_dit.init_wan_dit(jax.random.PRNGKey(0), cfg, jnp.float32)
+    f, h, w = 4, 2, 2
+    pt, ph, pw = cfg.patch_size
+    B = 2
+    rng = np.random.default_rng(3)
+    batch = {
+        "x0": jnp.asarray(rng.standard_normal(
+            (B, cfg.in_dim, f * pt, h * ph, w * pw)), jnp.float32),
+        "context": jnp.asarray(rng.standard_normal(
+            (B, cfg.text_len, cfg.text_dim)), jnp.float32),
+        "timesteps": jnp.asarray([200, 700], jnp.int32),
+    }
+    cos, sin = wan_dit.make_rope_for_geometry(cfg, (f, h, w))
+    batch["rope_cos"], batch["rope_sin"] = jnp.asarray(cos), jnp.asarray(sin)
+
+    def one_step(mesh):
+        init_fn, step_fn = make_train_step(
+            mesh, cfg, optax.adamw(1e-4), use_ulysses=True,
+            fsdp_min_size=1024)
+        state = init_fn(params)
+        state, loss = step_fn(state, dict(batch), jax.random.PRNGKey(7))
+        return state, float(loss)
+
+    state3d, loss3d = one_step(make_mesh(data=2, seq=2, model=2))
+    _, loss1d = one_step(make_mesh(data=1, seq=1, model=1))
+    assert np.isfinite(loss3d)
+    np.testing.assert_allclose(loss3d, loss1d, rtol=1e-4, atol=1e-4)
+    # TP column shard AND an FSDP shard both land on the kernels
+    # ([L, d, d]: model on the out dim, data on the biggest free dim)
+    qk = state3d.params["blocks"]["self_attn"]["q"]["kernel"]
+    assert qk.addressable_shards[0].data.shape == (
+        cfg.num_layers, cfg.dim // 2, cfg.dim // 2)
+    # optimizer state (adam mu) carries the same 2D layout
+    mu_q = jax.tree.leaves(jax.tree_util.tree_map_with_path(
+        lambda p, x: x, state3d.opt_state))  # smoke: tree is sharded+finite
+    assert all(np.isfinite(np.asarray(l)).all() for l in mu_q
+               if hasattr(l, 'shape') and l.size)

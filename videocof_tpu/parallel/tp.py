@@ -84,6 +84,32 @@ def tp_param_shardings(mesh: Mesh, params: Any, axis: str = "model") -> Any:
         params)
 
 
+def tp_fsdp_param_shardings(mesh: Mesh, params: Any, tp_axis: str = "model",
+                            fsdp_axis: str = "data",
+                            min_size: int = 2 ** 16) -> Any:
+    """Compose Megatron TP with FSDP (the standard 2D layout for training):
+    each leaf first gets its column/row TP spec, then — if it is large and
+    has a remaining divisible dim — its biggest free dim shards over the
+    FSDP axis, so params and optimizer state scale 1/(tp*dp). Works for
+    optimizer-state trees
+    too: adam mu/nu mirror the param paths one level deeper, and the rules
+    key on the projection names inside the path."""
+    n_fsdp = mesh.shape[fsdp_axis]
+
+    def rule(path, leaf):
+        spec = list(_spec_for(path, leaf, tp_axis))
+        spec += [None] * (leaf.ndim - len(spec))
+        if leaf.size >= min_size and n_fsdp > 1:
+            order = sorted(range(leaf.ndim), key=lambda d: -leaf.shape[d])
+            for d in order:
+                if spec[d] is None and leaf.shape[d] % n_fsdp == 0:
+                    spec[d] = fsdp_axis
+                    break
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
 def validate_tp(cfg, mesh: Mesh, axis: str = "model") -> None:
     tp = mesh.shape[axis]
     if cfg.num_heads % tp:

@@ -76,17 +76,33 @@ def make_train_step(
     """
     optimizer = optimizer or optax.adamw(1e-5, weight_decay=1e-3)
     sp_on = use_ulysses and mesh.shape["seq"] > 1
-    attn = make_ulysses_attention(mesh) if sp_on else None
+    tp_on = dict(mesh.shape).get("model", 1) > 1
+    if tp_on:
+        # Megatron TP composes with FSDP and the Ulysses all-to-all: heads
+        # and FFN shard over 'model', the residual stream over 'seq', and
+        # the layer axis of the stacked kernels (plus optimizer state) over
+        # 'data' — the standard 3D training layout
+        from ..parallel.tp import make_tp_attention, validate_tp
+        validate_tp(cfg, mesh)
+        attn = make_tp_attention(mesh,
+                                 seq_axis="seq" if sp_on else None)
+    else:
+        attn = make_ulysses_attention(mesh) if sp_on else None
     sp = SPContext(mesh) if sp_on else None
 
+    def _shardings(tree):
+        if tp_on:
+            from ..parallel.tp import tp_fsdp_param_shardings
+            return tp_fsdp_param_shardings(mesh, tree,
+                                           min_size=fsdp_min_size)
+        return fsdp_param_sharding(mesh, tree, min_size=fsdp_min_size)
+
     def init_fn(params) -> TrainState:
-        pshard = fsdp_param_sharding(mesh, params, min_size=fsdp_min_size)
-        params = jax.device_put(params, pshard)
+        params = jax.device_put(params, _shardings(params))
         opt_state = jax.jit(
             optimizer.init,
-            out_shardings=fsdp_param_sharding(
-                mesh, jax.eval_shape(optimizer.init, params),
-                min_size=fsdp_min_size))(params)
+            out_shardings=_shardings(
+                jax.eval_shape(optimizer.init, params)))(params)
         return TrainState(params=params, opt_state=opt_state,
                           step=jnp.zeros((), jnp.int32))
 
