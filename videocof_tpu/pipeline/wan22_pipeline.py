@@ -144,7 +144,7 @@ class Wan22Pipeline(WanPipeline):
                  num_inference_steps: int = 50, guidance_scale: float = 5.0,
                  guidance_scale_2: Optional[float] = None,
                  shift: float = 5.0, sampler: str = "unipc",
-                 repeat_rope: bool = True, cot: bool = False, seed: int = 0,
+                 repeat_rope: bool = True, cot: bool = True, seed: int = 0,
                  max_sequence_length: int = 512,
                  prompt_embeds=None, negative_prompt_embeds=None,
                  fused_sampling: Optional[bool] = None,
@@ -194,21 +194,28 @@ class Wan22Pipeline(WanPipeline):
         # count (monotone decreasing schedule, data-independent boundary)
         split_idx = self._split_idx(sched)
 
+        fkey = ("fused22", sampler, num_inference_steps, float(shift),
+                do_cfg, float(guidance_scale), float(g2), split_idx,
+                condition_count, self._backend_for(do_cfg),
+                tuple(latents.shape), tuple(context.shape))
         if fused_sampling is None:
-            # one-program trajectories past the remote worker's program-kill
-            # window go segmented (same wall model that sizes the segments)
-            from .fused_sampler import estimate_step_seconds
-            ph2, pw2 = self.dit_cfg.patch_size[1:]
-            L_tok = Tl * (Hl // ph2) * (Wl // pw2)
-            est_total = num_inference_steps * estimate_step_seconds(
-                L_tok, do_cfg, dit_cfg=self.dit_cfg)
-            fused_sampling = est_total <= 45.0
+            if fkey in self._jit_cache:
+                # a precompiled AOT runner exists for exactly this geometry:
+                # always use it (the weights were shipped into ITS formats —
+                # re-jitting would relayout-copy the whole tree)
+                fused_sampling = True
+            else:
+                # one-program trajectories past the remote worker's
+                # program-kill window go segmented (same wall model that
+                # sizes the segments)
+                from .fused_sampler import estimate_step_seconds
+                ph2, pw2 = self.dit_cfg.patch_size[1:]
+                L_tok = Tl * (Hl // ph2) * (Wl // pw2)
+                est_total = num_inference_steps * estimate_step_seconds(
+                    L_tok, do_cfg, dit_cfg=self.dit_cfg)
+                fused_sampling = est_total <= 45.0
         if fused_sampling:
             # whole trajectory (both expert phases) as ONE compiled program
-            fkey = ("fused22", sampler, num_inference_steps, float(shift),
-                    do_cfg, float(guidance_scale), float(g2), split_idx,
-                    condition_count, self._backend_for(do_cfg),
-                    tuple(latents.shape), tuple(context.shape))
             if fkey not in self._jit_cache:
                 from .fused_sampler import make_fused_sample_fn_moe
                 sp = self._sp_for(do_cfg)

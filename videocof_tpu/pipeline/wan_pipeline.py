@@ -570,20 +570,9 @@ class WanPipeline:
         if do_cfg and cfg_skip_ratio > 0.0:
             cfg_off = num_inference_steps - int(
                 round(num_inference_steps * cfg_skip_ratio))
-        if fused_sampling is None:
-            if enable_teacache and cfg_off is not None:
-                fused_sampling = False   # residual shapes disagree (below)
-            else:
-                # one-program trajectories longer than the remote worker's
-                # program-kill window must go segmented (measured: a 50-step
-                # fused CFG run crashed the worker 3/3; ~40 s programs
-                # survive) — the same wall model that sizes the segments
-                from .fused_sampler import estimate_step_seconds
-                L_tok = Tl * (Hl // ph) * (Wl // pw)
-                est_total = num_inference_steps * estimate_step_seconds(
-                    L_tok, do_cfg, dit_cfg=self.dit_cfg)
-                fused_sampling = est_total <= 45.0
-        if fused_sampling and not (enable_teacache and cfg_off is not None):
+        can_fuse = not (enable_teacache and cfg_off is not None)
+        fkey = None
+        if can_fuse:
             skip_mask = None
             if enable_teacache:
                 from ..models import teacache as tcache
@@ -597,6 +586,26 @@ class WanPipeline:
                     do_cfg, float(guidance_scale), condition_count,
                     skip_mask, cfg_off, backend,
                     tuple(latents.shape), tuple(context.shape))
+        if fused_sampling is None:
+            if not can_fuse:
+                fused_sampling = False   # residual shapes disagree (below)
+            elif fkey in self._jit_cache:
+                # a precompiled AOT runner exists for exactly this geometry:
+                # always use it — the weights were shipped into ITS input
+                # formats, and re-jitting elsewhere would relayout-copy the
+                # whole tree (OOM-fatal for the 14B, see utils/layouts.py)
+                fused_sampling = True
+            else:
+                # one-program trajectories longer than the remote worker's
+                # program-kill window must go segmented (measured: a 50-step
+                # fused CFG run crashed the worker 3/3; ~40 s programs
+                # survive) — the same wall model that sizes the segments
+                from .fused_sampler import estimate_step_seconds
+                L_tok = Tl * (Hl // ph) * (Wl // pw)
+                est_total = num_inference_steps * estimate_step_seconds(
+                    L_tok, do_cfg, dit_cfg=self.dit_cfg)
+                fused_sampling = est_total <= 45.0
+        if fused_sampling and can_fuse:
             if fkey not in self._jit_cache:
                 from .fused_sampler import make_fused_sample_fn
                 sp = self._sp_for(do_cfg)

@@ -167,11 +167,14 @@ def make_handler(controller: VideoCoFController, lock: threading.Lock,
                     kwargs["sampler"] = ("unipc" if "unipc" in s
                                          else "dpm++" if "dpm" in s
                                          else "euler")
-                # LoRA merge-state tracking like the reference controller
-                lora = req.get("lora_model_path")
-                if lora and lora != "none":
-                    controller.ensure_lora(
-                        lora, float(req.get("lora_alpha_slider", 1.0)))
+                # LoRA merge-state handled under the generation lock below
+                # (ensure_lora mutates pipeline weights); "none" unmerges,
+                # mirroring the reference controller semantics
+                lora_req = None
+                if "lora_model_path" in req:
+                    p = req["lora_model_path"]
+                    lora_req = (None if not p or p == "none" else p,
+                                float(req.get("lora_alpha_slider", 1.0)))
                 if req.get("source_video"):
                     tmp = tempfile.NamedTemporaryFile(suffix=".mp4",
                                                       delete=False)
@@ -204,6 +207,8 @@ def make_handler(controller: VideoCoFController, lock: threading.Lock,
                     metrics.busy += 1
                 try:
                     with lock:  # one generation at a time per chip
+                        if lora_req is not None:
+                            controller.ensure_lora(*lora_req)
                         result = controller.generate(**kwargs)
                 finally:
                     with metrics._lock:

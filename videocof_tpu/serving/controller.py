@@ -29,18 +29,37 @@ class VideoCoFController:
 
     # ---------------------------------------------------------------- LoRA
     def ensure_lora(self, path: Optional[str], multiplier: float = 1.0):
-        """Merge/unmerge so that exactly the requested LoRA set is fused."""
+        """Merge/unmerge so that EXACTLY the requested LoRA set is fused:
+        a different path (or multiplier) first unmerges what no longer
+        belongs, path=None unmerges everything. Callers that share the
+        pipeline across threads must hold the generation lock — this
+        mutates pipeline.dit_params."""
         from ..models.lora import merge_lora, unmerge_lora
-        if path and path not in self._merged_loras:
-            self.pipeline.dit_params = merge_lora(
-                self.pipeline.dit_params, self.pipeline.dit_cfg, path,
-                multiplier)
-            self._merged_loras[path] = multiplier
-        elif not path:
-            for p, m in list(self._merged_loras.items()):
+        want = {path: multiplier} if path else {}
+        if self._merged_loras == want:
+            return
+        if want and self._params_quantized():
+            raise RuntimeError(
+                "cannot merge a LoRA into fp8-quantized weights at serve "
+                "time; fuse it at load time via "
+                "load_pipeline(lora_paths=[(path, mult)], quantize='fp8')")
+        for p, m in list(self._merged_loras.items()):
+            if want.get(p) != m:
                 self.pipeline.dit_params = unmerge_lora(
                     self.pipeline.dit_params, self.pipeline.dit_cfg, p, m)
                 del self._merged_loras[p]
+        for p, m in want.items():
+            if p not in self._merged_loras:
+                self.pipeline.dit_params = merge_lora(
+                    self.pipeline.dit_params, self.pipeline.dit_cfg, p, m)
+                self._merged_loras[p] = m
+
+    def _params_quantized(self) -> bool:
+        blocks = self.pipeline.dit_params.get("blocks", {})
+        try:
+            return "fp8" in blocks["self_attn"]["q"]["kernel"]
+        except (KeyError, TypeError):
+            return False
 
     # ------------------------------------------------------------- generate
     def generate(
