@@ -19,9 +19,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..configs import WanDiTConfig
 from ..models import wan_dit
-from .timestep_sampler import DiscreteSampling
 from ..parallel import (SPContext, fsdp_param_sharding,
-                        make_ulysses_attention, replicate)
+                        make_ulysses_attention)
 
 
 class TrainState(NamedTuple):
