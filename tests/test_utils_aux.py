@@ -143,3 +143,28 @@ def test_device_put_into_relayout_fallback():
     np.testing.assert_allclose(np.asarray(arr), host)
     np.testing.assert_allclose(np.asarray(compiled({"w": arr})),
                                host.T.sum(axis=1))
+
+
+def test_i2v_export_convert_roundtrip():
+    """i2v weights (cross_attn k_img/v_img/norm_k_img + the CLIP MLPProj
+    img_emb) survive the export -> convert roundtrip — they used to be
+    silently dropped, leaving an i2v checkpoint running plain t2v."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from videocof_tpu.configs import WAN_TINY
+    from videocof_tpu.models import wan_dit, weights
+
+    cfg = WAN_TINY.replace(model_type="i2v", in_dim=WAN_TINY.in_dim * 2)
+    params = wan_dit.init_wan_dit(jax.random.PRNGKey(0), cfg, jnp.float32)
+    assert "k_img" in params["blocks"]["cross_attn"]
+    assert "img_emb" in params
+    sd = export_dit_state_dict(params, cfg)
+    assert "blocks.0.cross_attn.k_img.weight" in sd
+    assert "img_emb.proj.1.weight" in sd
+    back = weights.convert_dit_state_dict(sd, cfg, dtype=np.float32)
+    assert "k_img" in back["blocks"]["cross_attn"]
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), atol=1e-6),
+        params, back)

@@ -57,16 +57,18 @@ def load_state_dict(path: str) -> StateDict:
     if path.endswith(".safetensors"):
         import safetensors
         sd = {}
+        complete = True
         with safetensors.safe_open(path, framework="np") as f:
             for key in f.keys():
                 try:
                     sd[key] = f.get_tensor(key)
                 except TypeError:
-                    pass
-        if sd:
+                    # bf16 tensors are not representable in the numpy
+                    # framework; a MIXED file must not return partial
+                    complete = False
+                    break
+        if sd and complete:
             return sd
-        # bf16 tensors are not representable in the numpy framework; fall
-        # back to torch
         from safetensors.torch import load_file
         return {k: _to_numpy(v) for k, v in load_file(path).items()}
     # torch pickle
@@ -135,6 +137,14 @@ def convert_block_state_dict(sd: StateDict, prefix: str, cfg: WanDiTConfig,
         "modulation": sd[prefix + "modulation"].reshape(6, -1).astype(
             np.float32),
     }
+    if prefix + "cross_attn.k_img.weight" in sd:
+        # i2v image K/V branch (`wan_transformer3d.py:339-393`)
+        p["cross_attn"]["k_img"] = _lin(sd, prefix + "cross_attn.k_img",
+                                        dtype)
+        p["cross_attn"]["v_img"] = _lin(sd, prefix + "cross_attn.v_img",
+                                        dtype)
+        p["cross_attn"]["norm_k_img"] = {"weight": sd[
+            prefix + "cross_attn.norm_k_img.weight"].astype(dtype)}
     if cfg.cross_attn_norm:
         p["norm3"] = {"scale": sd[prefix + "norm3.weight"].astype(dtype),
                       "bias": sd[prefix + "norm3.bias"].astype(dtype)}
@@ -163,6 +173,18 @@ def convert_dit_state_dict(sd: StateDict, cfg: WanDiTConfig,
             "modulation": sd["head.modulation"].reshape(2, -1).astype(f32),
         },
     }
+
+    if "img_emb.proj.0.weight" in sd:
+        # i2v CLIP-feature MLPProj (`wan_transformer3d.py:551-563`:
+        # Sequential(LN, Linear, GELU, Linear, LN))
+        params["img_emb"] = {
+            "ln1": {"scale": sd["img_emb.proj.0.weight"].astype(dtype),
+                    "bias": sd["img_emb.proj.0.bias"].astype(dtype)},
+            "fc1": _lin(sd, "img_emb.proj.1", dtype),
+            "fc2": _lin(sd, "img_emb.proj.3", dtype),
+            "ln2": {"scale": sd["img_emb.proj.4.weight"].astype(dtype),
+                    "bias": sd["img_emb.proj.4.bias"].astype(dtype)},
+        }
 
     blocks = [convert_block_state_dict(sd, f"blocks.{i}.", cfg, dtype)
               for i in range(cfg.num_layers)]

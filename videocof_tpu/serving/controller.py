@@ -115,6 +115,13 @@ class VideoCoFController:
         with tempfile.TemporaryDirectory() as td:
             path = os.path.join(td, "out.mp4")
             save_video(video, path, fps=fps)
+            if not os.path.exists(path):
+                # save_video's last-resort PNG-sequence fallback (no native
+                # encoder AND no cv2 mp4 codec) can't satisfy the base64-mp4
+                # API contract — fail with the reason, not FileNotFoundError
+                raise RuntimeError(
+                    "no mp4 encoder available on this host (native libav "
+                    "runtime unavailable and cv2 lacks an mp4 codec)")
             with open(path, "rb") as f:
                 return base64.b64encode(f.read()).decode()
 

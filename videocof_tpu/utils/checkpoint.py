@@ -89,12 +89,25 @@ def export_dit_state_dict(params: Dict[str, Any], cfg: WanDiTConfig
                 bp[which]["norm_q"]["weight"])
             sd[b + f"{which}.norm_k.weight"] = np.asarray(
                 bp[which]["norm_k"]["weight"])
+        if "k_img" in bp["cross_attn"]:
+            lin(b + "cross_attn.k_img", bp["cross_attn"]["k_img"])
+            lin(b + "cross_attn.v_img", bp["cross_attn"]["v_img"])
+            sd[b + "cross_attn.norm_k_img.weight"] = np.asarray(
+                bp["cross_attn"]["norm_k_img"]["weight"])
         lin(b + "ffn.0", bp["ffn"]["fc1"])
         lin(b + "ffn.2", bp["ffn"]["fc2"])
         sd[b + "modulation"] = f32(bp["modulation"])[None]
         if cfg.cross_attn_norm:
             sd[b + "norm3.weight"] = np.asarray(bp["norm3"]["scale"])
             sd[b + "norm3.bias"] = np.asarray(bp["norm3"]["bias"])
+    if "img_emb" in params:
+        ie = params["img_emb"]
+        sd["img_emb.proj.0.weight"] = np.asarray(ie["ln1"]["scale"])
+        sd["img_emb.proj.0.bias"] = np.asarray(ie["ln1"]["bias"])
+        lin("img_emb.proj.1", ie["fc1"])
+        lin("img_emb.proj.3", ie["fc2"])
+        sd["img_emb.proj.4.weight"] = np.asarray(ie["ln2"]["scale"])
+        sd["img_emb.proj.4.bias"] = np.asarray(ie["ln2"]["bias"])
     return sd
 
 
