@@ -910,3 +910,59 @@ def test_xlm_roberta_text_tower_parity():
     got = np.asarray(xr.xlm_roberta_clip_text(params, cfg, jnp.asarray(ids)))
     np.testing.assert_allclose(got_h, want_h, atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_i2v_dit_forward_parity():
+    """i2v variant: image-latent channel concat + CLIP MLPProj image tokens
+    through the dual-K/V cross attention, converted weights included
+    (`wan_transformer3d.py:339-393,551-563,944-946`)."""
+    cfg = WAN_TINY.replace(model_type="i2v", in_dim=WAN_TINY.in_dim * 2)
+    torch.manual_seed(4)
+    ref = REF.wan_transformer3d.WanTransformer3DModel(
+        model_type="i2v", patch_size=tuple(cfg.patch_size),
+        text_len=cfg.text_len, in_dim=cfg.in_dim, dim=cfg.dim,
+        ffn_dim=cfg.ffn_dim, freq_dim=cfg.freq_dim, text_dim=cfg.text_dim,
+        out_dim=cfg.out_dim, num_heads=cfg.num_heads,
+        num_layers=cfg.num_layers, qk_norm=cfg.qk_norm,
+        cross_attn_norm=cfg.cross_attn_norm, eps=cfg.eps,
+        in_channels=cfg.in_dim, hidden_size=cfg.dim).float().eval()
+    params = weights.convert_dit_state_dict(_sd_to_numpy(ref), cfg,
+                                            dtype=np.float32)
+    assert "k_img" in params["blocks"]["cross_attn"]
+    assert "img_emb" in params
+    params = jax.tree.map(jnp.asarray, params)
+
+    f, h, w = 3, 4, 4
+    pt, ph, pw = cfg.patch_size
+    F, H, W = f * pt, h * ph, w * pw
+    L = f * h * w
+    C = cfg.in_dim // 2
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((1, C, F, H, W)).astype(np.float32)
+    y = rng.standard_normal((1, C, F, H, W)).astype(np.float32)
+    clip = rng.standard_normal((1, 257, 1280)).astype(np.float32)
+    ctx_short = rng.standard_normal((9, cfg.text_dim)).astype(np.float32)
+    t_val = 512.0
+
+    os.environ.setdefault("VIDEOX_ATTENTION_TYPE", "SDPA")
+    with torch.no_grad():
+        # forward reads x.dtype before iterating (same stacked-tensor
+        # contract the t2v test uses); y zips per sample
+        ref_out = ref(
+            torch.from_numpy(x), torch.tensor([t_val]),
+            [torch.from_numpy(ctx_short)], seq_len=L,
+            clip_fea=torch.from_numpy(clip),
+            y=torch.from_numpy(y))
+    ref_np = torch.stack(list(ref_out)).numpy() if isinstance(
+        ref_out, (list, tuple)) else ref_out.numpy()
+    ref_np = ref_np.reshape(1, cfg.out_dim, F, H, W)
+
+    ctx = np.zeros((1, cfg.text_len, cfg.text_dim), np.float32)
+    ctx[0, :9] = ctx_short
+    cos, sin = wan_dit.make_rope_for_geometry(cfg, (f, h, w))
+    ours, _ = wan_dit.wan_dit_forward_with_residual(
+        params, cfg, jnp.asarray(np.concatenate([x, y], axis=1)),
+        jnp.asarray([t_val]), jnp.asarray(ctx), jnp.asarray(cos),
+        jnp.asarray(sin), clip_fea=jnp.asarray(clip))
+    np.testing.assert_allclose(np.asarray(ours), ref_np, atol=1e-3,
+                               rtol=1e-3)
