@@ -115,3 +115,26 @@ def test_fused_cfg_skip_matches_stepwise(pipe, video):
                 source_frames=9, reasoning_frames=4, num_inference_steps=4,
                 guidance_scale=4.0, negative_prompt="blurry", seed=6)
     assert np.abs(b.videos - full.videos).max() > 1e-4
+
+
+def test_trajectory_auto_select_wall_model():
+    """fused_sampling=None picks fused only when the whole trajectory fits
+    the remote worker's program-kill window (model-size-aware)."""
+    from videocof_tpu.configs import WAN21_T2V_1_3B, WAN21_T2V_14B
+    from videocof_tpu.pipeline.fused_sampler import (auto_segment_steps,
+                                                     estimate_step_seconds)
+
+    # calibration points (BASELINE.md): 1.3B 1.80 s/step, 14B 9.97 s/step
+    # at 29,640 tokens; 1.3B 17.8 s/step at 107,640
+    assert abs(estimate_step_seconds(29640, False, WAN21_T2V_1_3B)
+               - 1.8) < 0.2
+    assert abs(estimate_step_seconds(29640, False, WAN21_T2V_14B)
+               - 9.97) < 1.5
+    assert abs(estimate_step_seconds(107640, False, WAN21_T2V_1_3B)
+               - 17.8) < 1.5
+    # 4-step 1.3B fits one program; 50-step CFG must not; the 14B gets
+    # fewer steps per segment than the 1.3B
+    assert 4 * estimate_step_seconds(29640, False, WAN21_T2V_1_3B) <= 45
+    assert 50 * estimate_step_seconds(29640, True, WAN21_T2V_1_3B) > 45
+    assert auto_segment_steps(29640, False, dit_cfg=WAN21_T2V_14B) < \
+        auto_segment_steps(29640, False, dit_cfg=WAN21_T2V_1_3B)
