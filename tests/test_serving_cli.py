@@ -295,3 +295,39 @@ def test_http_api_reference_payload_fields(controller, test_video):
         assert resp["message"] == "Success"
     finally:
         server.shutdown()
+
+
+def test_healthz_degraded_on_stuck_generation(controller):
+    """A generation running far past any legitimate compile (a wedged TPU
+    tunnel blocks forever with no error) flips /healthz to 503 'degraded'
+    so load balancers can route away."""
+    import time
+    from videocof_tpu.serving.api import make_handler, Metrics
+    from http.server import ThreadingHTTPServer
+
+    metrics = Metrics()
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(controller, threading.Lock(),
+                                       metrics))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz") as r:
+            assert json.load(r)["status"] == "ok"
+        with metrics._lock:
+            metrics.generating_since = time.time() - 99999
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz",
+                                   timeout=30)
+            assert False, "expected 503"
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+            assert json.load(e)["status"] == "degraded"
+        with metrics._lock:
+            metrics.generating_since = None
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/metrics") as r:
+            assert "videocof_generating_for_seconds 0.0" in r.read().decode()
+    finally:
+        server.shutdown()

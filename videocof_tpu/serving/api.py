@@ -45,8 +45,19 @@ class Metrics:
         self.requests_total = 0
         self.failures_total = 0
         self.busy = 0                     # generations in flight or queued
+        self.generating_since = None      # wall time the running gen began
         self.generate_seconds_sum = 0.0
         self.generate_seconds_count = 0
+
+    def stuck_seconds(self) -> float:
+        """How long the current generation has been running (0 if idle).
+        A dead TPU tunnel blocks the first dispatch forever at 0% CPU with
+        no error (observed); load balancers should watch /healthz for the
+        'degraded' status this feeds."""
+        import time
+        with self._lock:
+            t0 = self.generating_since
+        return 0.0 if t0 is None else time.time() - t0
 
     def observe(self, seconds: float, ok: bool):
         with self._lock:
@@ -74,6 +85,9 @@ class Metrics:
                 f"{self.generate_seconds_count}",
                 "# TYPE videocof_uptime_seconds gauge",
                 f"videocof_uptime_seconds {time.time() - self.started:.1f}",
+                "# TYPE videocof_generating_for_seconds gauge",
+                f"videocof_generating_for_seconds "
+                f"{0.0 if self.generating_since is None else time.time() - self.generating_since:.1f}",
             ]
         return "\n".join(lines) + "\n"
 
@@ -111,7 +125,17 @@ def make_handler(controller: VideoCoFController, lock: threading.Lock,
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._reply(200, {"status": "ok"})
+                stuck = metrics.stuck_seconds()
+                limit = float(os.environ.get("VIDEOCOF_STUCK_AFTER",
+                                             "1800"))
+                if stuck > limit:
+                    # a generation has been running far beyond any legit
+                    # compile: likely a wedged device transport
+                    self._reply(503, {"status": "degraded",
+                                      "generating_for_s": round(stuck, 1)})
+                else:
+                    self._reply(200, {"status": "ok",
+                                      "generating_for_s": round(stuck, 1)})
             elif self.path == "/metrics":
                 body = metrics.render().encode()
                 self.send_response(200)
@@ -207,9 +231,15 @@ def make_handler(controller: VideoCoFController, lock: threading.Lock,
                     metrics.busy += 1
                 try:
                     with lock:  # one generation at a time per chip
-                        if lora_req is not None:
-                            controller.ensure_lora(*lora_req)
-                        result = controller.generate(**kwargs)
+                        with metrics._lock:
+                            metrics.generating_since = _time.time()
+                        try:
+                            if lora_req is not None:
+                                controller.ensure_lora(*lora_req)
+                            result = controller.generate(**kwargs)
+                        finally:
+                            with metrics._lock:
+                                metrics.generating_since = None
                 finally:
                     with metrics._lock:
                         metrics.busy -= 1
