@@ -331,3 +331,74 @@ def test_healthz_degraded_on_stuck_generation(controller):
             assert "videocof_generating_for_seconds 0.0" in r.read().decode()
     finally:
         server.shutdown()
+
+
+def test_http_api_update_diffusion_transformer(controller, tmp_path,
+                                               monkeypatch):
+    """Model-switch endpoint twin of `videox_fun/api/api.py:23-39`:
+    hot-swaps the resident DiT weights from an allowlisted checkpoint path,
+    clears the LoRA merge state, no-ops on 'none', and refuses paths
+    outside VIDEOCOF_MODEL_DIRS."""
+    from videocof_tpu.serving.api import (make_handler, UPDATE_ENDPOINT,
+                                          LEGACY_UPDATE_ENDPOINT)
+    from videocof_tpu.utils.checkpoint import save_dit_safetensors
+    from http.server import ThreadingHTTPServer
+
+    pipe = controller.pipeline
+    orig = pipe.dit_params
+    scaled = jax.tree.map(lambda a: a * 2.0, orig)
+    ckpt = str(tmp_path / "dit_v2.safetensors")
+    save_dit_safetensors(ckpt, scaled, pipe.dit_cfg)
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0),
+                                 make_handler(controller, threading.Lock()))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    def post(endpoint, payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{endpoint}",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req, timeout=60) as r:
+                return r.status, json.load(r)
+        except urllib.error.HTTPError as e:
+            return e.code, json.load(e)
+
+    try:
+        # not allowlisted -> 403, weights untouched
+        monkeypatch.delenv("VIDEOCOF_MODEL_DIRS", raising=False)
+        code, out = post(UPDATE_ENDPOINT,
+                         {"diffusion_transformer_path": ckpt})
+        assert code == 403
+        assert pipe.dit_params is orig
+
+        # allowlisted -> Success, weights swapped, LoRA state cleared
+        monkeypatch.setenv("VIDEOCOF_MODEL_DIRS", str(tmp_path))
+        controller._merged_loras["stale"] = 1.0
+        code, out = post(LEGACY_UPDATE_ENDPOINT,
+                         {"diffusion_transformer_path": ckpt})
+        assert code == 200 and out["message"] == "Success"
+        assert controller._merged_loras == {}
+        np.testing.assert_allclose(
+            np.asarray(pipe.dit_params["text_mlp"]["fc1"]["kernel"]),
+            2.0 * np.asarray(orig["text_mlp"]["fc1"]["kernel"]),
+            rtol=1e-6)
+
+        # 'none' / missing field is a no-op Success (reference default)
+        swapped = pipe.dit_params
+        code, out = post(UPDATE_ENDPOINT, {})
+        assert code == 200 and out["message"] == "Success"
+        assert pipe.dit_params is swapped
+
+        # unreadable checkpoint inside the allowlist -> reference-style
+        # 200 "Error. error information is ..." reply
+        code, out = post(UPDATE_ENDPOINT,
+                         {"diffusion_transformer_path":
+                          str(tmp_path / "missing.safetensors")})
+        assert code == 200 and out["message"].startswith("Error.")
+    finally:
+        pipe.dit_params = orig
+        controller._merged_loras.clear()
+        server.shutdown()

@@ -10,8 +10,8 @@ per-channel latent stats over 48 channels.
 
 Whole-sequence implementation (shares every primitive with `wan_vae.py`; the
 first-chunk temporal-resample semantics are identical to Wan2.1's and the
-derived full-seq equivalents carry over). A cache-carrying streaming variant
-like `wan_vae_streaming.py` is a round-2 item.
+derived full-seq equivalents carry over). The cache-carrying streaming
+variant lives in `wan_vae22_streaming.py` (exact-equality tested).
 """
 
 from __future__ import annotations

@@ -29,6 +29,9 @@ from .controller import VideoCoFController
 
 ENDPOINT = "/videocof/infer_forward"
 LEGACY_ENDPOINT = "/videox_fun/infer_forward"
+# model-switch endpoint (`videox_fun/api/api.py:23-39`)
+UPDATE_ENDPOINT = "/videocof/update_diffusion_transformer"
+LEGACY_UPDATE_ENDPOINT = "/videox_fun/update_diffusion_transformer"
 MAX_BODY_BYTES = int(os.environ.get("VIDEOCOF_MAX_BODY_BYTES",
                                     512 * 1024 * 1024))
 
@@ -107,6 +110,17 @@ def _allowed_roots():
     return roots
 
 
+def _model_roots():
+    """Directories the model-switch endpoint may load checkpoints from.
+    EMPTY by default — remote weight swapping is disabled until the operator
+    opts in via VIDEOCOF_MODEL_DIRS (os.pathsep separated). The reference
+    exposes the endpoint unrestricted (`videox_fun/api/api.py:23-39`); an
+    unauthenticated remote surface that re-points the resident weights at an
+    arbitrary server-side path needs an explicit allowlist here."""
+    dirs = os.environ.get("VIDEOCOF_MODEL_DIRS", "")
+    return [d for d in dirs.split(os.pathsep) if d]
+
+
 def make_handler(controller: VideoCoFController, lock: threading.Lock,
                  metrics: Metrics = None):
     metrics = metrics or Metrics()
@@ -155,7 +169,46 @@ def make_handler(controller: VideoCoFController, lock: threading.Lock,
             else:
                 self._reply(404, {"message": "not found"})
 
+        def _update_transformer(self):
+            """Model-switch endpoint twin (`videox_fun/api/api.py:23-39`):
+            body {"diffusion_transformer_path": ...} hot-swaps the DiT
+            weights. Reference reply contract: 200 with "Success" or
+            "Error. error information is ..."; path 'none' is a no-op."""
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                if n > MAX_BODY_BYTES:
+                    self._reply(413, {"message": "request body too large"})
+                    return
+                req = json.loads(self.rfile.read(n) or b"{}")
+            except Exception as e:
+                self._reply(400, {"message": f"bad request: {e}"})
+                return
+            path = req.get("diffusion_transformer_path", "none")
+            if path and path != "none":
+                real = os.path.realpath(str(path))
+                roots = [os.path.realpath(r) for r in _model_roots()]
+                if not any(real == r or real.startswith(r + os.sep)
+                           for r in roots):
+                    self._reply(403, {"message":
+                                      "diffusion_transformer_path outside "
+                                      "VIDEOCOF_MODEL_DIRS (remote weight "
+                                      "swap requires an operator allowlist)"})
+                    return
+                path = real
+            try:
+                with lock:  # weight swap excludes in-flight generations
+                    controller.update_diffusion_transformer(path)
+                self._reply(200, {"message": "Success"})
+            except Exception as e:
+                import traceback
+                traceback.print_exc()
+                self._reply(200, {"message":
+                                  f"Error. error information is {e}"})
+
         def do_POST(self):
+            if self.path in (UPDATE_ENDPOINT, LEGACY_UPDATE_ENDPOINT):
+                self._update_transformer()
+                return
             if self.path not in (ENDPOINT, LEGACY_ENDPOINT):
                 self._reply(404, {"message": "not found"})
                 return

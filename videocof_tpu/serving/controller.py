@@ -54,6 +54,35 @@ class VideoCoFController:
                     self.pipeline.dit_params, self.pipeline.dit_cfg, p, m)
                 self._merged_loras[p] = m
 
+    # ---------------------------------------------------------- weight swap
+    def update_diffusion_transformer(self, path: Optional[str]) -> None:
+        """Hot-swap the DiT weights from a checkpoint path — the reference's
+        model-switch endpoint (`videox_fun/api/api.py:23-39` ->
+        `Fun_Controller.update_diffusion_transformer`,
+        `videox_fun/ui/wan_ui.py:43-147`). ``'none'``/empty is a no-op
+        (reference semantics). TPU-side contract: the checkpoint must match
+        the resident architecture config, so every compiled executable stays
+        valid (shape-identical swap = zero recompiles); fp8-resident params
+        are re-quantized on the way in. Clears the LoRA merge state — the
+        new checkpoint is pristine."""
+        if not path or path == "none":
+            return
+        import jax
+        import jax.numpy as jnp
+        import ml_dtypes
+        from ..models import weights
+        sd = weights.load_state_dict(path)
+        npdt = (np.dtype(ml_dtypes.bfloat16)
+                if self.pipeline.dtype == jnp.bfloat16
+                else np.dtype("float32"))
+        params = weights.convert_dit_state_dict(
+            sd, self.pipeline.dit_cfg, dtype=npdt)
+        if self._params_quantized():
+            from ..utils.fp8 import quantize_params_fp8
+            params = quantize_params_fp8(params)
+        self.pipeline.dit_params = jax.tree.map(jnp.asarray, params)
+        self._merged_loras.clear()
+
     def _params_quantized(self) -> bool:
         blocks = self.pipeline.dit_params.get("blocks", {})
         try:
