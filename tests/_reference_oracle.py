@@ -879,6 +879,9 @@ def load_reference():
     ns.wan_transformer3d_vace = importlib.import_module(
         "videox_fun.models.wan_transformer3d_vace")
     ns.lora_utils = importlib.import_module("videox_fun.utils.lora_utils")
+    # utils.utils: i2v/v2v conditioning builders + misc helpers (imageio and
+    # PIL are real on this box; torchvision is the stub above)
+    ns.utils = importlib.import_module("videox_fun.utils.utils")
     # wan_transformer3d_s2v imports wan_audio_injector, which is ABSENT from
     # the reference snapshot (dangling import). Name shells let the module
     # import; the oracle only exercises the first-party block/rope math.

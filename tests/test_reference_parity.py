@@ -966,3 +966,81 @@ def test_i2v_dit_forward_parity():
         jnp.asarray(sin), clip_fea=jnp.asarray(clip))
     np.testing.assert_allclose(np.asarray(ours), ref_np, atol=1e-3,
                                rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# i2v / v2v conditioning builders (`videox_fun/utils/utils.py:145-300`)
+# ---------------------------------------------------------------------------
+
+def test_image_to_video_latent_matches_reference(tmp_path):
+    """get_image_to_video_latent: start/end frame packing + 0/255 keep mask
+    vs the reference function (exact-size inputs so no resampler is hit)."""
+    PIL = pytest.importorskip("PIL.Image")
+    from videocof_tpu.utils import video_io as vio
+    H, W, T = 16, 24, 7
+    rng = np.random.default_rng(0)
+    s0, s1, e0 = (rng.integers(0, 255, (H, W, 3)).astype(np.uint8)
+                  for _ in range(3))
+    ref_v, ref_m, ref_clip = REF.utils.get_image_to_video_latent(
+        [PIL.fromarray(s0), PIL.fromarray(s1)], [PIL.fromarray(e0)],
+        T, (H, W))
+    our_v, our_m, our_clip = vio.get_image_to_video_latent(
+        [s0, s1], [e0], T, (H, W))
+    np.testing.assert_allclose(our_v, ref_v.numpy(), atol=1e-6)
+    np.testing.assert_array_equal(our_m, ref_m.numpy())
+    np.testing.assert_array_equal(our_clip, np.array(ref_clip))
+
+    # start-only file-path branch (mask keeps only frame 0)
+    import cv2
+    p = str(tmp_path / "start.png")
+    cv2.imwrite(p, cv2.cvtColor(s0, cv2.COLOR_RGB2BGR))
+    ref_v, ref_m, ref_clip = REF.utils.get_image_to_video_latent(
+        p, None, T, (H, W))
+    our_v, our_m, our_clip = vio.get_image_to_video_latent(p, None, T, (H, W))
+    np.testing.assert_allclose(our_v, ref_v.numpy(), atol=1e-6)
+    np.testing.assert_array_equal(our_m, ref_m.numpy())
+    np.testing.assert_array_equal(our_clip, np.array(ref_clip))
+
+    # no conditioning: zero video, all-generate mask
+    our_v, our_m, our_clip = vio.get_image_to_video_latent(
+        None, None, T, (H, W))
+    ref_v, ref_m, ref_clip = REF.utils.get_image_to_video_latent(
+        None, None, T, (H, W))
+    np.testing.assert_array_equal(our_v, ref_v.numpy())
+    np.testing.assert_array_equal(our_m, ref_m.numpy())
+    assert our_clip is None and ref_clip is None
+
+
+def test_video_to_video_latent_matches_reference(tmp_path):
+    """get_video_to_video_latent: frame packing, mask-image thresholding,
+    ref-image tensor layout vs the reference (array video input so both
+    sides see identical pixels; exact-size mask/ref so no resampler)."""
+    pytest.importorskip("PIL.Image")
+    import cv2
+    from videocof_tpu.utils import video_io as vio
+    H, W, T = 12, 20, 5
+    rng = np.random.default_rng(1)
+    frames = [rng.integers(0, 255, (H, W, 3)).astype(np.uint8)
+              for _ in range(T + 2)]
+    mask_img = np.where(rng.random((H, W)) < 0.5, 10, 250).astype(np.uint8)
+    mask_p = str(tmp_path / "mask.png")
+    cv2.imwrite(mask_p, mask_img)
+    ref_img = rng.integers(0, 255, (H, W, 3)).astype(np.uint8)
+    ref_p = str(tmp_path / "ref.png")
+    cv2.imwrite(ref_p, cv2.cvtColor(ref_img, cv2.COLOR_RGB2BGR))
+
+    ref_v, ref_m, ref_r, ref_c = REF.utils.get_video_to_video_latent(
+        frames, T, (H, W), validation_video_mask=mask_p, ref_image=ref_p)
+    our_v, our_m, our_r, our_c = vio.get_video_to_video_latent(
+        frames, T, (H, W), validation_video_mask=mask_p, ref_image=ref_p)
+    np.testing.assert_allclose(our_v, ref_v.numpy(), atol=1e-6)
+    np.testing.assert_array_equal(our_m, ref_m.numpy().astype(np.float32))
+    np.testing.assert_allclose(our_r, ref_r.numpy(), atol=1e-6)
+    np.testing.assert_array_equal(our_c, np.array(ref_c))
+
+    # no mask image: all-255 (generate everything)
+    _, ref_m, _, _ = REF.utils.get_video_to_video_latent(frames, T, (H, W))
+    _, our_m, _, _ = vio.get_video_to_video_latent(frames, T, (H, W))
+    np.testing.assert_array_equal(our_m, ref_m.numpy())
+    # no video: all None
+    assert vio.get_video_to_video_latent(None, T, (H, W))[:2] == (None, None)

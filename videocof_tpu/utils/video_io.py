@@ -181,3 +181,100 @@ def merge_video_audio(video_path: str, audio_path: str) -> None:
     finally:
         if os.path.exists(temp_output):
             os.remove(temp_output)
+
+
+def _read_image_rgb(img, size: Optional[Tuple[int, int]] = None
+                    ) -> np.ndarray:
+    """-> HWC uint8 RGB. ``img``: path, HWC array, or PIL-like object;
+    ``size`` = (H, W) resize (PIL bilinear default == cv2 bilinear)."""
+    if isinstance(img, str):
+        import cv2
+        a = cv2.imread(img, cv2.IMREAD_COLOR)
+        if a is None:
+            raise IOError(f"cannot read image {img}")
+        a = cv2.cvtColor(a, cv2.COLOR_BGR2RGB)
+    else:
+        a = np.asarray(img, np.uint8)             # PIL images coerce too
+    if size is not None and a.shape[:2] != tuple(size):
+        import cv2
+        a = cv2.resize(a, (size[1], size[0]))
+    return a
+
+
+def get_image_to_video_latent(image_start, image_end, video_length: int,
+                              sample_size: Tuple[int, int]):
+    """i2v conditioning builder — twin of the reference
+    `get_image_to_video_latent` (`videox_fun/utils/utils.py:145-242`).
+
+    ``image_start``/``image_end``: path | HWC array | PIL image | list of
+    those | None. -> ``(input_video [1,3,T,H,W] float 0..1,
+    input_video_mask [1,1,T,H,W] 0/255, clip_image HWC uint8 | None)``:
+    the start frame(s) fill the head (mask 0 = keep), the rest is 255
+    (= generate); end frame(s) overwrite the tail with mask 0.
+    """
+    H, W = sample_size
+    if image_start is None:
+        video = np.zeros((1, 3, video_length, H, W), np.float32)
+        mask = np.full((1, 1, video_length, H, W), 255.0, np.float32)
+        return video, mask, None
+    starts = image_start if isinstance(image_start, list) else [image_start]
+    starts = [_read_image_rgb(s, (H, W)) for s in starts]
+    clip_image = starts[0]
+    head = np.stack(starts).transpose(3, 0, 1, 2)[None]   # [1,3,k,H,W]
+    video = np.tile(head[:, :, :1], (1, 1, video_length, 1, 1))
+    video[:, :, :len(starts)] = head
+    mask = np.zeros((1, 1, video_length, H, W), np.float32)
+    mask[:, :, len(starts):] = 255.0
+    if image_end is not None:
+        ends = image_end if isinstance(image_end, list) else [image_end]
+        ends = [_read_image_rgb(e, (H, W)) for e in ends]
+        tail = np.stack(ends).transpose(3, 0, 1, 2)[None]
+        video[:, :, -len(ends):] = tail
+        mask[:, :, -len(ends):] = 0.0
+    return video.astype(np.float32) / 255.0, mask, clip_image
+
+
+def get_video_to_video_latent(input_video_path, video_length: int,
+                              sample_size: Tuple[int, int],
+                              fps: Optional[int] = None,
+                              validation_video_mask: Optional[str] = None,
+                              ref_image=None):
+    """v2v conditioning builder — twin of the reference
+    `get_video_to_video_latent` (`videox_fun/utils/utils.py:244-300`).
+
+    -> ``(input_video [1,3,T,H,W] 0..1 | None, input_video_mask [1,1,T,H,W]
+    | None, ref_image [1,3,1,H,W] 0..1 | None, clip_image HWC uint8 |
+    None)``. Path input decodes through the native runtime (fps-downsampled
+    like the reference's `frame_count % frame_skip` walk); the mask image
+    thresholds <240 -> 0 (keep) else 255 (generate), tiled over T.
+    """
+    H, W = sample_size
+    video = mask = None
+    if input_video_path is not None:
+        if isinstance(input_video_path, str):
+            from ..runtime import decode_frames, video_info
+            total, _, _, src_fps = video_info(input_video_path)
+            skip = 1 if fps is None else max(1, int(src_fps // fps))
+            idx = list(range(0, total, skip))[:video_length]
+            dec = decode_frames(input_video_path, idx, H, W)  # [T,3,H,W] ±1
+            video = ((dec + 1.0) * 0.5).clip(0, 1).transpose(1, 0, 2, 3)[None]
+        else:
+            arr = np.asarray(input_video_path)[:video_length]  # [T,H,W,3]
+            video = arr.transpose(3, 0, 1, 2)[None].astype(np.float32) / 255.0
+        T = video.shape[2]
+        if validation_video_mask is not None:
+            import cv2
+            m = cv2.imread(validation_video_mask, cv2.IMREAD_GRAYSCALE)
+            if m is None:
+                raise IOError(f"cannot read mask {validation_video_mask}")
+            m = cv2.resize(m, (W, H))
+            m = np.where(m < 240, 0.0, 255.0).astype(np.float32)
+            mask = np.tile(m[None, None, None], (1, 1, T, 1, 1))
+        else:
+            mask = np.full((1, 1, T) + video.shape[3:], 255.0, np.float32)
+    clip_image = None if ref_image is None else _read_image_rgb(ref_image)
+    ref = None
+    if ref_image is not None:
+        r = _read_image_rgb(ref_image, (H, W))
+        ref = r.transpose(2, 0, 1)[None, :, None].astype(np.float32) / 255.0
+    return video, mask, ref, clip_image
