@@ -168,3 +168,14 @@ def test_i2v_export_convert_roundtrip():
         lambda a, b: np.testing.assert_allclose(np.asarray(a),
                                                 np.asarray(b), atol=1e-6),
         params, back)
+
+
+def test_size_from_base_resolution():
+    """AR-aware sizing rule matches the reference formula
+    (`videox_fun/utils/utils.py:23-29`) and preserves aspect/pixel budget."""
+    from videocof_tpu.utils.video_io import size_from_base_resolution
+    h, w = size_from_base_resolution(480, 832, 512)
+    assert (h, w) == (389, 674)
+    assert abs(h * w - 512 * 512) / (512 * 512) < 0.01
+    assert abs(h / w - 480 / 832) < 0.01
+    assert size_from_base_resolution(512, 512, 512) == (512, 512)

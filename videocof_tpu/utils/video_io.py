@@ -278,3 +278,16 @@ def get_video_to_video_latent(input_video_path, video_length: int,
         r = _read_image_rgb(ref_image, (H, W))
         ref = r.transpose(2, 0, 1)[None, :, None].astype(np.float32) / 255.0
     return video, mask, ref, clip_image
+
+
+def size_from_base_resolution(height: int, width: int,
+                              base_resolution: int = 512
+                              ) -> Tuple[int, int]:
+    """-> (H, W) scaled so H*W ~= base_resolution^2 at the input's aspect
+    ratio — the reference's AR-aware sizing rule
+    (`get_width_and_height_from_image_and_base_resolution`,
+    `videox_fun/utils/utils.py:23-29`; controllers feed it the reference
+    image to pick the generation resolution)."""
+    target = float(base_resolution) ** 2
+    ratio = (target / (float(width) * float(height))) ** 0.5
+    return round(height * ratio), round(width * ratio)
