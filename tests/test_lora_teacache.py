@@ -100,6 +100,44 @@ def test_teacache_coefficients_lookup():
     assert get_teacache_coefficients("unknown-model") is None
 
 
+def test_teacache_alias_table_matches_reference():
+    """Every checkpoint-name alias the reference maps
+    (`videox_fun/models/cache_utils.py:5-15`) resolves to the same
+    coefficient set here — including the Fun/VACE/Wan2.2 names that
+    previously fell through to the wrong size-based fallback."""
+    from videocof_tpu.models.teacache import TEACACHE_COEFFICIENTS as C
+    cases = {
+        "models/Wan2.1-Fun-1.3B-InP": "wan2.1-t2v-1.3b",
+        "Wan2.1-Fun-V1.1-1.3B-Control": "wan2.1-t2v-1.3b",
+        "wan2.1-vace-1.3b": "wan2.1-t2v-1.3b",
+        "Wan2.1-T2V-14B": "wan2.1-t2v-14b",
+        "Wan2.1-I2V-14B-480P": "wan2.1-i2v-14b-480p",
+        "Wan2.1-I2V-14B-720P": "wan2.1-i2v-14b-720p",
+        # the 720p set covers the whole Fun-14B / Wan2.2 family
+        "Wan2.1-Fun-14B-InP": "wan2.1-i2v-14b-720p",
+        "Wan2.2-Fun-A14B-Control": "wan2.1-i2v-14b-720p",
+        "Wan2.2-I2V-A14B": "wan2.1-i2v-14b-720p",
+        "Wan2.2-T2V-A14B": "wan2.1-i2v-14b-720p",
+        "Wan2.2-TI2V-5B": "wan2.1-i2v-14b-720p",
+        "Wan2.2-S2V-14B": "wan2.1-i2v-14b-720p",
+        "Wan2.1-VACE-14B": "wan2.1-i2v-14b-720p",
+        "Wan2.2-VACE-Fun-A14B": "wan2.1-i2v-14b-720p",
+    }
+    for name, key in cases.items():
+        assert get_teacache_coefficients(name) == C[key], name
+
+    # oracle: the reference function itself (standalone file, torch+numpy
+    # imports only) must agree on every alias above
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_cache_utils", "/root/reference/videox_fun/models/cache_utils.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+    for name in cases:
+        assert get_teacache_coefficients(name) == \
+            ref.get_teacache_coefficients(name), name
+
+
 def test_teacache_plan_structure(params):
     ts = np.array([999, 900, 800, 700, 600, 500, 400, 300], np.float32)
     skips = plan_teacache_skips(params, CFG, ts,

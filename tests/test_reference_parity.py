@@ -1044,3 +1044,99 @@ def test_video_to_video_latent_matches_reference(tmp_path):
     np.testing.assert_array_equal(our_m, ref_m.numpy())
     # no video: all None
     assert vio.get_video_to_video_latent(None, T, (H, W))[:2] == (None, None)
+
+
+def test_conditioning_resample_matches_reference(tmp_path):
+    """The RESAMPLE path: inputs NOT at target size, so the resampler is
+    exercised. The reference resizes conditioning images through PIL
+    ``Image.resize`` with its default filter (BICUBIC in installed Pillow);
+    byte-exact parity here pins our resampler choice."""
+    PIL = pytest.importorskip("PIL.Image")
+    from videocof_tpu.utils import video_io as vio
+    H, W = 16, 24                                  # target
+    H0, W0 = 23, 37                                # off-size source
+    rng = np.random.default_rng(7)
+    s0 = rng.integers(0, 255, (H0, W0, 3)).astype(np.uint8)
+    e0 = rng.integers(0, 255, (H0 + 4, W0 - 5, 3)).astype(np.uint8)
+    T = 5
+
+    # i2v: PIL-list input, both start and end need resampling
+    ref_v, ref_m, ref_clip = REF.utils.get_image_to_video_latent(
+        [PIL.fromarray(s0)], [PIL.fromarray(e0)], T, (H, W))
+    our_v, our_m, our_clip = vio.get_image_to_video_latent(
+        [s0], [e0], T, (H, W))
+    np.testing.assert_allclose(our_v, ref_v.numpy(), atol=1e-6)
+    np.testing.assert_array_equal(our_m, ref_m.numpy())
+    np.testing.assert_array_equal(our_clip, np.array(ref_clip))
+
+    # i2v: file-path input
+    p = str(tmp_path / "start.png")
+    PIL.fromarray(s0).save(p)
+    ref_v, _, ref_clip = REF.utils.get_image_to_video_latent(
+        p, None, T, (H, W))
+    our_v, _, our_clip = vio.get_image_to_video_latent(p, None, T, (H, W))
+    np.testing.assert_allclose(our_v, ref_v.numpy(), atol=1e-6)
+    np.testing.assert_array_equal(our_clip, np.array(ref_clip))
+
+    # v2v mask image loaded+resized through PIL 'L'
+    mask_img = np.where(rng.random((H0, W0)) < 0.5, 10, 250).astype(np.uint8)
+    mask_p = str(tmp_path / "mask.png")
+    PIL.fromarray(mask_img).save(mask_p)
+    frames = [rng.integers(0, 255, (H, W, 3)).astype(np.uint8)
+              for _ in range(T)]
+    _, ref_m, _, _ = REF.utils.get_video_to_video_latent(
+        frames, T, (H, W), validation_video_mask=mask_p)
+    _, our_m, _, _ = vio.get_video_to_video_latent(
+        frames, T, (H, W), validation_video_mask=mask_p)
+    np.testing.assert_array_equal(our_m, ref_m.numpy().astype(np.float32))
+
+    # v2v ref image: str path IS resized; array ref is NOT (reference
+    # `utils.py:288-299` only resizes the path branch)
+    ref_img = rng.integers(0, 255, (H0, W0, 3)).astype(np.uint8)
+    ref_p = str(tmp_path / "ref.png")
+    PIL.fromarray(ref_img).save(ref_p)
+    _, _, ref_r, _ = REF.utils.get_video_to_video_latent(
+        frames, T, (H, W), ref_image=ref_p)
+    _, _, our_r, _ = vio.get_video_to_video_latent(
+        frames, T, (H, W), ref_image=ref_p)
+    assert our_r.shape == (1, 3, 1, H, W)
+    np.testing.assert_allclose(our_r, ref_r.numpy(), atol=1e-6)
+    _, _, ref_r, _ = REF.utils.get_video_to_video_latent(
+        frames, T, (H, W), ref_image=ref_img)
+    _, _, our_r, _ = vio.get_video_to_video_latent(
+        frames, T, (H, W), ref_image=ref_img)
+    assert our_r.shape == (1, 3, 1, H0, W0)        # original size kept
+    np.testing.assert_allclose(our_r, ref_r.numpy(), atol=1e-6)
+
+
+def test_v2v_file_path_decode_close_to_reference():
+    """File-path v2v conditioning: the reference walks the video with
+    cv2.VideoCapture + cv2.resize INTER_LINEAR (`utils.py:246-266`); ours
+    decodes through the native libav runtime (SWS_BILINEAR). Same codec
+    underneath, but the scaler/colorspace rounding may differ by a ULP of
+    u8 — assert near-equality and identical frame selection."""
+    import cv2
+    pytest.importorskip("PIL.Image")
+    from videocof_tpu.utils import video_io as vio
+    path = "assets/dog.mp4"
+    if not os.path.exists(path):
+        pytest.skip("synthetic assets not present")
+    cap = cv2.VideoCapture(path)
+    H = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    W = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    cap.release()
+    T = 4
+    ref_v, ref_m, _, _ = REF.utils.get_video_to_video_latent(
+        path, T, (H, W))                            # native size: no scaler
+    our_v, our_m, _, _ = vio.get_video_to_video_latent(path, T, (H, W))
+    assert our_v.shape == tuple(ref_v.shape)
+    diff = np.abs(our_v - ref_v.numpy())
+    assert diff.max() <= 3.0 / 255.0 + 1e-6, diff.max()
+    assert diff.mean() <= 0.5 / 255.0, diff.mean()
+    np.testing.assert_array_equal(our_m, ref_m.numpy())
+    # resized path: scalers differ (cv2 INTER_LINEAR vs swscale bilinear)
+    ref_v, _, _, _ = REF.utils.get_video_to_video_latent(
+        path, T, (H // 2, W // 2))
+    our_v, _, _, _ = vio.get_video_to_video_latent(path, T, (H // 2, W // 2))
+    assert our_v.shape == tuple(ref_v.shape)
+    assert np.abs(our_v - ref_v.numpy()).mean() <= 2.0 / 255.0

@@ -346,6 +346,9 @@ def test_http_api_update_diffusion_transformer(controller, tmp_path,
 
     pipe = controller.pipeline
     orig = pipe.dit_params
+    # the swap DELETES the old device buffers (HBM headroom for the 14B
+    # deployment) — snapshot reference values to host first
+    orig_host = jax.tree.map(np.asarray, orig)
     scaled = jax.tree.map(lambda a: a * 2.0, orig)
     ckpt = str(tmp_path / "dit_v2.safetensors")
     save_dit_safetensors(ckpt, scaled, pipe.dit_cfg)
@@ -383,8 +386,11 @@ def test_http_api_update_diffusion_transformer(controller, tmp_path,
         assert controller._merged_loras == {}
         np.testing.assert_allclose(
             np.asarray(pipe.dit_params["text_mlp"]["fc1"]["kernel"]),
-            2.0 * np.asarray(orig["text_mlp"]["fc1"]["kernel"]),
+            2.0 * orig_host["text_mlp"]["fc1"]["kernel"],
             rtol=1e-6)
+        # the OLD device tree was released (no transient 2x HBM hold)
+        assert all(leaf.is_deleted() for leaf in jax.tree.leaves(orig)
+                   if isinstance(leaf, jax.Array))
 
         # 'none' / missing field is a no-op Success (reference default)
         swapped = pipe.dit_params
@@ -399,6 +405,6 @@ def test_http_api_update_diffusion_transformer(controller, tmp_path,
                           str(tmp_path / "missing.safetensors")})
         assert code == 200 and out["message"].startswith("Error.")
     finally:
-        pipe.dit_params = orig
+        pipe.dit_params = jax.tree.map(jnp.asarray, orig_host)
         controller._merged_loras.clear()
         server.shutdown()

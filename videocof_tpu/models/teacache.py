@@ -38,12 +38,27 @@ TEACACHE_COEFFICIENTS = {
                             1.66203073e+01, -4.17769401e-02],
 }
 
+# Checkpoint-name alias -> coefficient set, in the reference's elif order
+# (`cache_utils.py:5-15`): every Fun/VACE/Wan2.2 family name maps onto one
+# of the four published polynomials. Substring match, first hit wins.
+_ALIAS_CHAIN = (
+    (("wan2.1-t2v-1.3b", "wan2.1-fun-1.3b", "wan2.1-fun-v1.1-1.3b",
+      "wan2.1-vace-1.3b"), "wan2.1-t2v-1.3b"),
+    (("wan2.1-t2v-14b",), "wan2.1-t2v-14b"),
+    (("wan2.1-i2v-14b-480p",), "wan2.1-i2v-14b-480p"),
+    (("wan2.1-i2v-14b-720p", "wan2.1-fun-14b", "wan2.2-fun",
+      "wan2.2-i2v-a14b", "wan2.2-t2v-a14b", "wan2.2-ti2v-5b",
+      "wan2.2-s2v", "wan2.1-vace-14b", "wan2.2-vace-fun"),
+     "wan2.1-i2v-14b-720p"),
+)
+
 
 def get_teacache_coefficients(model_name: str) -> Optional[List[float]]:
     low = model_name.lower()
-    for key, coeffs in TEACACHE_COEFFICIENTS.items():
-        if key in low:
-            return coeffs
+    for aliases, key in _ALIAS_CHAIN:
+        if any(a in low for a in aliases):
+            return TEACACHE_COEFFICIENTS[key]
+    # size-only fallback (rebuild convenience; the reference returns None)
     if "1.3b" in low:
         return TEACACHE_COEFFICIENTS["wan2.1-t2v-1.3b"]
     if "14b" in low:

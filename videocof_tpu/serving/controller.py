@@ -80,7 +80,20 @@ class VideoCoFController:
         if self._params_quantized():
             from ..utils.fp8 import quantize_params_fp8
             params = quantize_params_fp8(params)
+        # Release the OLD device tree before shipping the new one: holding
+        # both would transiently double model HBM, which the 14B fp8
+        # deployment (13.83 GiB resident on a 16 GB chip) cannot afford.
+        # The controller owns the canonical param tree (LoRA state is about
+        # to be cleared), so explicit buffer deletion is safe here.
+        old = self.pipeline.dit_params
+        self.pipeline.dit_params = None
+        if old is not None:
+            for leaf in jax.tree.leaves(old):
+                if isinstance(leaf, jax.Array) and not leaf.is_deleted():
+                    leaf.delete()
+            del old
         self.pipeline.dit_params = jax.tree.map(jnp.asarray, params)
+        jax.block_until_ready(self.pipeline.dit_params)
         self._merged_loras.clear()
 
     def _params_quantized(self) -> bool:

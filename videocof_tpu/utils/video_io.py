@@ -186,18 +186,20 @@ def merge_video_audio(video_path: str, audio_path: str) -> None:
 def _read_image_rgb(img, size: Optional[Tuple[int, int]] = None
                     ) -> np.ndarray:
     """-> HWC uint8 RGB. ``img``: path, HWC array, or PIL-like object;
-    ``size`` = (H, W) resize (PIL bilinear default == cv2 bilinear)."""
+    ``size`` = (H, W) resize via PIL ``Image.resize`` with its default
+    resample (BICUBIC) — the reference resizes conditioning images through
+    PIL (`videox_fun/utils/utils.py:148-162`), so matching the resampler
+    matters for pixel parity."""
     if isinstance(img, str):
-        import cv2
-        a = cv2.imread(img, cv2.IMREAD_COLOR)
-        if a is None:
-            raise IOError(f"cannot read image {img}")
-        a = cv2.cvtColor(a, cv2.COLOR_BGR2RGB)
+        from PIL import Image
+        with Image.open(img) as im:
+            a = np.asarray(im.convert("RGB"), np.uint8)
     else:
         a = np.asarray(img, np.uint8)             # PIL images coerce too
     if size is not None and a.shape[:2] != tuple(size):
-        import cv2
-        a = cv2.resize(a, (size[1], size[0]))
+        from PIL import Image
+        a = np.asarray(Image.fromarray(a).resize((size[1], size[0])),
+                       np.uint8)
     return a
 
 
@@ -263,11 +265,11 @@ def get_video_to_video_latent(input_video_path, video_length: int,
             video = arr.transpose(3, 0, 1, 2)[None].astype(np.float32) / 255.0
         T = video.shape[2]
         if validation_video_mask is not None:
-            import cv2
-            m = cv2.imread(validation_video_mask, cv2.IMREAD_GRAYSCALE)
-            if m is None:
-                raise IOError(f"cannot read mask {validation_video_mask}")
-            m = cv2.resize(m, (W, H))
+            # reference loads/resizes the mask through PIL ('L', default
+            # BICUBIC resample) before thresholding (`utils.py:275-277`)
+            from PIL import Image
+            with Image.open(validation_video_mask) as im:
+                m = np.asarray(im.convert("L").resize((W, H)))
             m = np.where(m < 240, 0.0, 255.0).astype(np.float32)
             mask = np.tile(m[None, None, None], (1, 1, T, 1, 1))
         else:
@@ -275,7 +277,10 @@ def get_video_to_video_latent(input_video_path, video_length: int,
     clip_image = None if ref_image is None else _read_image_rgb(ref_image)
     ref = None
     if ref_image is not None:
-        r = _read_image_rgb(ref_image, (H, W))
+        # reference only resizes a str-path ref image to (H, W); an array
+        # ref keeps its original size (`utils.py:288-299`)
+        r = _read_image_rgb(ref_image,
+                            (H, W) if isinstance(ref_image, str) else None)
         ref = r.transpose(2, 0, 1)[None, :, None].astype(np.float32) / 255.0
     return video, mask, ref, clip_image
 
