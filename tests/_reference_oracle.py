@@ -62,6 +62,20 @@ def _install_diffusers_stub():
                 self.config = _AttrDict()
             self.config.update(kwargs)
 
+        def __getattr__(self, name):
+            # diffusers ConfigMixin falls back to registered config values
+            # for attribute access (with a deprecation warning); the Wan
+            # pipeline relies on it for vae.latent_channels /
+            # *_compression_ratio (`pipeline_wan.py:136,628,684`)
+            if name.startswith("_") or name in ("config",):
+                raise AttributeError(name)
+            cfg = self.__dict__.get("config")
+            if cfg is None and hasattr(type(self), "config"):
+                cfg = getattr(type(self), "config")
+            if cfg is not None and name in cfg:
+                return cfg[name]
+            raise AttributeError(name)
+
     def register_to_config(init):
         @functools.wraps(init)
         def wrapped(self, *args, **kwargs):
@@ -100,6 +114,15 @@ def _install_diffusers_stub():
 
     class ModelMixin(nn.Module):
         config = None
+
+        def __getattr__(self, name):
+            # nn.Module.__getattr__ precedes ConfigMixin's in the MRO of
+            # `class X(ModelMixin, ConfigMixin)`; chain to the config
+            # fallback like real diffusers ModelMixin does
+            try:
+                return nn.Module.__getattr__(self, name)
+            except AttributeError:
+                return ConfigMixin.__getattr__(self, name)
 
         @property
         def dtype(self):
@@ -683,6 +706,11 @@ def _install_diffusers_stub():
         def __init__(self, latent_dist):
             self.latent_dist = latent_dist
 
+        def __getitem__(self, i):
+            # diffusers BaseOutput supports tuple-style indexing; the Wan
+            # pipeline uses `vae.encode(v)[0]` (`pipeline_wan.py:406`)
+            return (self.latent_dist,)[i]
+
     mo.AutoencoderKLOutput = AutoencoderKLOutput
 
     class Transformer2DModelOutput:  # anchor
@@ -748,6 +776,139 @@ def _install_diffusers_stub():
     su.KarrasDiffusionSchedulers = KarrasDiffusionSchedulers
     su.SchedulerMixin = SchedulerMixin
     su.SchedulerOutput = SchedulerOutput
+
+    # --- FlowMatchEulerDiscreteScheduler: a faithful reimplementation of the
+    # published diffusers scheduler (scheduling_flow_match_euler_discrete.py)
+    # for the surface the Wan pipeline exercises: the static-shift sigma grid
+    # (NOTE: set_timesteps re-derives the grid from the ALREADY-shifted
+    # sigma_min and shifts again — genuine diffusers behaviour the reference
+    # inherits), the exponential dynamic shift under use_dynamic_shifting
+    # (where the pipeline's mu=1 applies), and the first-order step.
+    class FlowMatchEulerDiscreteScheduler(SchedulerMixin, ConfigMixin):
+        order = 1
+
+        @register_to_config
+        def __init__(self, num_train_timesteps=1000, shift=1.0,
+                     use_dynamic_shifting=False, base_shift=0.5,
+                     max_shift=1.15, base_image_seq_len=256,
+                     max_image_seq_len=4096):
+            import numpy as np
+            ts = np.linspace(1, num_train_timesteps, num_train_timesteps,
+                             dtype=np.float32)[::-1].copy()
+            sigmas = torch.from_numpy(ts).to(torch.float32) \
+                / num_train_timesteps
+            if not use_dynamic_shifting:
+                sigmas = shift * sigmas / (1 + (shift - 1) * sigmas)
+            self.timesteps = sigmas * num_train_timesteps
+            self.sigmas = sigmas
+            self.sigma_min = self.sigmas[-1].item()
+            self.sigma_max = self.sigmas[0].item()
+            self._step_index = None
+
+        def scale_model_input(self, sample, timestep=None):
+            return sample
+
+        def _sigma_to_t(self, sigma):
+            return sigma * self.config.num_train_timesteps
+
+        def time_shift(self, mu, sigma, t):
+            import math as m
+            return m.exp(mu) / (m.exp(mu) + (1 / t - 1) ** sigma)
+
+        def set_timesteps(self, num_inference_steps=None, device=None,
+                          sigmas=None, mu=None, timesteps=None):
+            import numpy as np
+            if self.config.use_dynamic_shifting and mu is None:
+                raise ValueError("`mu` required with use_dynamic_shifting")
+            if sigmas is None:
+                ts = np.linspace(self._sigma_to_t(self.sigma_max),
+                                 self._sigma_to_t(self.sigma_min),
+                                 num_inference_steps)
+                sigmas = ts / self.config.num_train_timesteps
+            if self.config.use_dynamic_shifting:
+                sigmas = self.time_shift(mu, 1.0, sigmas)
+            else:
+                sigmas = (self.config.shift * sigmas
+                          / (1 + (self.config.shift - 1) * sigmas))
+            sigmas = torch.from_numpy(np.asarray(sigmas)).to(torch.float32)
+            self.timesteps = sigmas * self.config.num_train_timesteps
+            self.num_inference_steps = num_inference_steps
+            self.sigmas = torch.cat([sigmas, torch.zeros(1)])
+            self._step_index = None
+
+        def step(self, model_output, timestep, sample, generator=None,
+                 return_dict=True):
+            if self._step_index is None:
+                self._step_index = 0
+            sample = sample.to(torch.float32)
+            sigma = self.sigmas[self._step_index]
+            sigma_next = self.sigmas[self._step_index + 1]
+            prev_sample = sample + (sigma_next - sigma) * model_output
+            prev_sample = prev_sample.to(model_output.dtype)
+            self._step_index += 1
+            if not return_dict:
+                return (prev_sample,)
+            return SchedulerOutput(prev_sample)
+
+    diffusers.FlowMatchEulerDiscreteScheduler = FlowMatchEulerDiscreteScheduler
+
+    # --- pipeline machinery (pipeline_wan.py's import surface)
+    pipelines = mod("diffusers.pipelines")
+    pu = mod("diffusers.pipelines.pipeline_utils")
+
+    class _ProgressBar:
+        def update(self, n=1):
+            pass
+
+    class DiffusionPipeline(ConfigMixin):
+        def __init__(self):
+            pass
+
+        def register_modules(self, **kwargs):
+            for k, v in kwargs.items():
+                setattr(self, k, v)
+
+        @property
+        def _execution_device(self):
+            return torch.device("cpu")
+
+        def progress_bar(self, total=None, **kw):
+            import contextlib
+
+            @contextlib.contextmanager
+            def _cm():
+                yield _ProgressBar()
+
+            return _cm()
+
+        def maybe_free_model_hooks(self):
+            pass
+
+    pu.DiffusionPipeline = DiffusionPipeline
+    pipelines.pipeline_utils = pu
+    diffusers.pipelines = pipelines
+    diffusers.DiffusionPipeline = DiffusionPipeline
+
+    cb_mod = mod("diffusers.callbacks")
+
+    class PipelineCallback:  # anchors: isinstance checks only
+        pass
+
+    class MultiPipelineCallbacks:
+        pass
+
+    cb_mod.PipelineCallback = PipelineCallback
+    cb_mod.MultiPipelineCallbacks = MultiPipelineCallbacks
+
+    vp_mod = mod("diffusers.video_processor")
+
+    class VideoProcessor:
+        def __init__(self, vae_scale_factor=8, **kw):
+            self.vae_scale_factor = vae_scale_factor
+
+    vp_mod.VideoProcessor = VideoProcessor
+
+    du.replace_example_docstring = lambda doc: (lambda fn: fn)
 
     diffusers.ConfigMixin = ConfigMixin
     diffusers.ModelMixin = ModelMixin
@@ -915,4 +1076,19 @@ def load_reference():
     sys.modules.setdefault("videox_fun.data", data_pkg)
     ns.dataset_image_video = importlib.import_module(
         "videox_fun.data.dataset_image_video")
+    # the real pipeline file imports `from ..models import (AutoencoderKLWan,
+    # AutoTokenizer, WanT5EncoderModel, WanTransformer3DModel)` — resolve
+    # those names on the synthetic package from the already-loaded real
+    # modules (AutoTokenizer is a name anchor; tests inject instances)
+    models_pkg = sys.modules["videox_fun.models"]
+    models_pkg.AutoencoderKLWan = ns.wan_vae.AutoencoderKLWan
+    models_pkg.WanT5EncoderModel = ns.wan_text_encoder.WanT5EncoderModel
+    models_pkg.WanTransformer3DModel = \
+        ns.wan_transformer3d.WanTransformer3DModel
+    models_pkg.AutoTokenizer = object
+    pipeline_pkg = types.ModuleType("videox_fun.pipeline")
+    pipeline_pkg.__path__ = [f"{REF_ROOT}/videox_fun/pipeline"]
+    sys.modules.setdefault("videox_fun.pipeline", pipeline_pkg)
+    ns.pipeline_wan = importlib.import_module(
+        "videox_fun.pipeline.pipeline_wan")
     return ns

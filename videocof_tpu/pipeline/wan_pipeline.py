@@ -41,6 +41,8 @@ class WanPipelineOutput:
     videos: np.ndarray
     ground_videos: Optional[np.ndarray] = None
     edit_videos: Optional[np.ndarray] = None
+    # final denoised latents, attached when __call__(output_latents=True)
+    latents: Optional[np.ndarray] = None
 
 
 def latent_frame_count(pixel_frames: int, ratio: int = 4) -> int:
@@ -289,20 +291,32 @@ class WanPipeline:
         return host.astype(np.float32) / 255.0
 
     def prepare_cot_latents(self, video: jax.Array, ground_latent_count: int,
-                            key: jax.Array) -> jax.Array:
+                            key: jax.Array,
+                            noise: Optional[jax.Array] = None) -> jax.Array:
         """[src | noise(ground+tgt)] — `prepare_cot_video_latents:381-419`.
-        Source latents use the distribution mode (mu)."""
+        Source latents use the distribution mode (mu). ``noise`` overrides
+        the PRNG draw (deterministic cross-framework runs / oracle tests)."""
         mu = self.vae_encode(video)
         B, C, Tl, H, W = mu.shape
-        noise = jax.random.normal(
-            key, (B, C, Tl + ground_latent_count, H, W), jnp.float32)
+        if noise is None:
+            noise = jax.random.normal(
+                key, (B, C, Tl + ground_latent_count, H, W), jnp.float32)
+        else:
+            noise = jnp.asarray(noise, jnp.float32)
+            assert noise.shape == (B, C, Tl + ground_latent_count, H, W), \
+                (noise.shape, (B, C, Tl + ground_latent_count, H, W))
         return jnp.concatenate([mu.astype(jnp.float32), noise], axis=2)
 
-    def prepare_paired_latents(self, video: jax.Array, key: jax.Array
+    def prepare_paired_latents(self, video: jax.Array, key: jax.Array,
+                               noise: Optional[jax.Array] = None
                                ) -> jax.Array:
         """[src | noise(tgt)] — `prepare_video_latents_new:343-378`."""
         mu = self.vae_encode(video)
-        noise = jax.random.normal(key, mu.shape, jnp.float32)
+        if noise is None:
+            noise = jax.random.normal(key, mu.shape, jnp.float32)
+        else:
+            noise = jnp.asarray(noise, jnp.float32)
+            assert noise.shape == mu.shape, (noise.shape, mu.shape)
         return jnp.concatenate([mu.astype(jnp.float32), noise], axis=2)
 
     # -------------------------------------------------- AOT fused precompile
@@ -474,6 +488,10 @@ class WanPipeline:
         riflex_L_test: Optional[int] = None,
         riflex_L_test_scale: Optional[float] = None,
         fused_sampling: Optional[bool] = None,
+        noise: Optional[Union[np.ndarray, jax.Array]] = None,
+        latents: Optional[Union[np.ndarray, jax.Array]] = None,
+        output_latents: bool = False,
+        solver_order: Optional[int] = None,
     ) -> WanPipelineOutput:
         """Edit ``video`` ([B, 3, T, H, W] in [-1, 1]) per ``prompt``.
 
@@ -482,6 +500,14 @@ class WanPipeline:
 
         ``video`` may be float in [-1, 1] or uint8 in [0, 255]; uint8 crosses
         the host->device link 4x cheaper and is normalized on device.
+
+        ``latents`` skips latent preparation entirely (the reference's
+        `latents` passthrough — `pipeline_wan.py:399-402`); ``noise``
+        overrides only the PRNG draw inside latent prep (reference
+        `randn_tensor`), keeping the VAE-encode glue on the hot path —
+        the hook the end-to-end reference-parity oracle drives.
+        ``output_latents=True`` attaches the final denoised latents to the
+        output.
         """
         import time as _time
         _t0 = _time.perf_counter()
@@ -523,10 +549,13 @@ class WanPipeline:
 
         # ---- latents
         key = jax.random.PRNGKey(seed)
-        if cot:
-            latents = self.prepare_cot_latents(video, ground_latent_count, key)
+        if latents is not None:
+            latents = jnp.asarray(latents, jnp.float32)
+        elif cot:
+            latents = self.prepare_cot_latents(video, ground_latent_count,
+                                               key, noise=noise)
         else:
-            latents = self.prepare_paired_latents(video, key)
+            latents = self.prepare_paired_latents(video, key, noise=noise)
         _, C, Tl, Hl, Wl = latents.shape
         _tick("encode+latents", latents)
 
@@ -555,8 +584,12 @@ class WanPipeline:
             self._rope_cache[rope_key] = (cos, sin)
         _tick("rope", (cos, sin))
 
-        # ---- sampler
-        sched = get_scheduler(sampler)
+        # ---- sampler (`solver_order` reaches the multistep solvers only —
+        # reference `fm_solvers_unipc.py:80` / `fm_solvers.py:132` cap at 3)
+        sched_kw = ({"solver_order": solver_order}
+                    if solver_order is not None
+                    and sampler in ("unipc", "dpm++") else {})
+        sched = get_scheduler(sampler, **sched_kw)
         sched.set_timesteps(num_inference_steps, shift=shift)
         state = sched.init_state(latents)
 
@@ -585,7 +618,8 @@ class WanPipeline:
             fkey = ("fused", sampler, num_inference_steps, float(shift),
                     do_cfg, float(guidance_scale), condition_count,
                     skip_mask, cfg_off, backend,
-                    tuple(latents.shape), tuple(context.shape))
+                    tuple(latents.shape), tuple(context.shape),
+                    solver_order)
         if fused_sampling is None:
             if not can_fuse:
                 fused_sampling = False   # residual shapes disagree (below)
@@ -619,6 +653,8 @@ class WanPipeline:
             _tick("denoise(fused)", latents)
             out = self._decode_outputs(latents, cot, condition_count,
                                        ground_latent_count)
+            if output_latents:
+                out.latents = np.asarray(latents)
             _tick("decode")
             return out
 
@@ -662,7 +698,7 @@ class WanPipeline:
                     do_cfg, float(guidance_scale), condition_count,
                     tuple(skips) if enable_teacache else None,
                     cfg_off_after if cfg_skip_ratio > 0.0 else None,
-                    backend, seg_n)
+                    backend, seg_n, solver_order)
             if skey not in self._jit_cache:
                 sp = self._sp_for(do_cfg)
                 self._jit_cache[skey] = make_segmented_sample_fn(
@@ -678,13 +714,16 @@ class WanPipeline:
             _tick("denoise(segmented)", latents)
             out = self._decode_outputs(latents, cot, condition_count,
                                        ground_latent_count)
+            if output_latents:
+                out.latents = np.asarray(latents)
             _tick("decode")
             return out
 
         # jit the sampler update per step index (the per-step coefficients
         # are host floats baked in as constants; eager elementwise updates
         # would each round-trip the device transport)
-        sched_key = ("sched", sampler, num_inference_steps, float(shift))
+        sched_key = ("sched", sampler, num_inference_steps, float(shift),
+                     solver_order)
         if sched_key not in self._jit_cache:
             self._jit_cache[sched_key] = jax.jit(
                 sched.step, static_argnums=(1,))
@@ -714,6 +753,8 @@ class WanPipeline:
 
         out = self._decode_outputs(latents, cot, condition_count,
                                    ground_latent_count)
+        if output_latents:
+            out.latents = np.asarray(latents)
         _tick("decode")
         return out
 

@@ -34,16 +34,27 @@ class FlowEulerScheduler:
     def set_timesteps(self, num_inference_steps: int,
                       shift: Optional[float] = None,
                       mu: Optional[float] = None) -> np.ndarray:
-        # diffusers' FlowMatchEuler grid runs sigma_max=1.0 -> sigma_min=1/T
-        # over `steps` points; with mu given it applies the dynamic time shift
-        # (the Wan pipeline passes mu=1 — `pipeline_wan.py:611-612`).
+        # Faithful to diffusers' FlowMatchEulerDiscreteScheduler (which the
+        # reference uses verbatim — `inference.py:9`, `pipeline_wan.py:611`):
+        #   * mu given (use_dynamic_shifting): grid linspace(1, 1/T) then the
+        #     exponential time shift exp(mu)/(exp(mu) + (1/s - 1)).
+        #   * static shift: __init__ shifts the train sigmas, so sigma_min is
+        #     ALREADY shifted when set_timesteps re-derives the grid from it
+        #     and shifts AGAIN — the grid runs linspace(1, shift(1/T)) with
+        #     one more shift applied. Quirky, but it is what the reference
+        #     samples with when sampler="Flow" (shift=5 per wan_civitai.yaml,
+        #     whose use_dynamic_shifting=false makes the pipeline's mu=1
+        #     a no-op); pinned by the e2e pipeline oracle.
         shift = self.default_shift if shift is None else shift
         T = self.num_train_timesteps
-        sigmas = np.linspace(1.0, 1.0 / T, num_inference_steps,
-                             dtype=np.float64)
         if mu is not None:
+            sigmas = np.linspace(1.0, 1.0 / T, num_inference_steps,
+                                 dtype=np.float64)
             sigmas = np.exp(mu) / (np.exp(mu) + (1.0 / sigmas - 1.0))
         else:
+            smin = (shift * (1.0 / T)) / (1.0 + (shift - 1.0) * (1.0 / T))
+            sigmas = np.linspace(1.0, smin, num_inference_steps,
+                                 dtype=np.float64)
             sigmas = shift * sigmas / (1.0 + (shift - 1.0) * sigmas)
         # float timesteps (sigma*T), matching diffusers'
         # FlowMatchEulerDiscreteScheduler — no int truncation; UniPC/DPM
