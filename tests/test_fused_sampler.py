@@ -38,6 +38,19 @@ def test_fused_matches_stepwise(pipe, video, sampler):
     np.testing.assert_allclose(b.videos, a.videos, rtol=2e-3, atol=5e-3)
 
 
+@pytest.mark.parametrize("sampler", ["unipc", "dpm++"])
+def test_fused_matches_stepwise_order3(pipe, video, sampler, monkeypatch):
+    """solver_order=3: the scan carries one extra model output (m2); the
+    fused trajectory must still equal the per-step path exactly."""
+    monkeypatch.setenv("VIDEOCOF_STEPWISE", "1")
+    kw = dict(source_frames=9, reasoning_frames=4, num_inference_steps=6,
+              sampler=sampler, seed=7, solver_order=3)
+    a = pipe(video, "remove the box", fused_sampling=False, **kw)
+    monkeypatch.delenv("VIDEOCOF_STEPWISE")
+    b = pipe(video, "remove the box", fused_sampling=True, **kw)
+    np.testing.assert_allclose(b.videos, a.videos, rtol=2e-3, atol=5e-3)
+
+
 def test_fused_with_cfg(pipe, video):
     kw = dict(source_frames=9, reasoning_frames=4, num_inference_steps=3,
               guidance_scale=4.0, negative_prompt="blurry", seed=2)

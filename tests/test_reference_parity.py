@@ -201,9 +201,10 @@ def _drive_ref_scheduler(sched, timesteps, x0, vfield):
     return x.numpy()
 
 
-def _drive_ours(sched, steps, shift, x0, vfield, **set_kw):
+def _drive_ours(sched, steps, shift, x0, vfield, solver_order=None, **set_kw):
     from videocof_tpu.schedulers import get_scheduler
-    s = get_scheduler(sched)
+    kw = {} if solver_order is None else {"solver_order": solver_order}
+    s = get_scheduler(sched, **kw)
     s.set_timesteps(steps, shift=shift, **set_kw)
     x = jnp.asarray(x0)
     state = s.init_state(x)
@@ -218,32 +219,40 @@ def _linear_vfield(x, t):
     return (0.3 * x + np.cos(t / 1000.0)).astype(np.float32)
 
 
+@pytest.mark.parametrize("order", [2, 3])
 @pytest.mark.parametrize("steps", [4, 10])
-def test_unipc_trajectory_parity(steps):
+def test_unipc_trajectory_parity(steps, order):
     x0 = np.random.default_rng(3).standard_normal((1, 4, 3, 4, 4)).astype(
         np.float32)
-    ref = REF.fm_solvers_unipc.FlowUniPCMultistepScheduler(shift=1.0)
+    ref = REF.fm_solvers_unipc.FlowUniPCMultistepScheduler(
+        shift=1.0, solver_order=order)
     ref.set_timesteps(steps, shift=3.0)
     ref_x = _drive_ref_scheduler(ref, ref.timesteps, x0, _linear_vfield)
 
-    ours, s = _drive_ours("unipc", steps, 3.0, x0, _linear_vfield)
+    ours, s = _drive_ours("unipc", steps, 3.0, x0, _linear_vfield,
+                          solver_order=order)
     np.testing.assert_allclose(np.asarray(s.timesteps, np.float64),
                                ref.timesteps.numpy().astype(np.float64),
                                atol=1e-6)
     np.testing.assert_allclose(ours, ref_x, atol=1e-3, rtol=1e-3)
 
 
-@pytest.mark.parametrize("steps", [4, 10])
-def test_dpm_trajectory_parity(steps):
+@pytest.mark.parametrize("order", [2, 3])
+@pytest.mark.parametrize("steps", [4, 10, 16])
+def test_dpm_trajectory_parity(steps, order):
+    # steps=16 exercises the N >= 15 branch where the reference runs the
+    # SECOND-last step at full order (`fm_solvers.py:750-752`)
     x0 = np.random.default_rng(4).standard_normal((1, 4, 2, 4, 4)).astype(
         np.float32)
     from videocof_tpu.schedulers.flow_dpm import get_sampling_sigmas
-    ref = REF.fm_solvers.FlowDPMSolverMultistepScheduler(shift=1.0)
+    ref = REF.fm_solvers.FlowDPMSolverMultistepScheduler(
+        shift=1.0, solver_order=order)
     ref.set_timesteps(num_inference_steps=steps,
                       sigmas=get_sampling_sigmas(steps, 3.0))
     ref_x = _drive_ref_scheduler(ref, ref.timesteps, x0, _linear_vfield)
 
-    ours, s = _drive_ours("dpm++", steps, 3.0, x0, _linear_vfield)
+    ours, s = _drive_ours("dpm++", steps, 3.0, x0, _linear_vfield,
+                          solver_order=order)
     np.testing.assert_allclose(np.asarray(s.timesteps, np.float64),
                                ref.timesteps.numpy().astype(np.float64),
                                atol=1e-6)

@@ -43,6 +43,10 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--sampler", type=str, default="unipc",
                         choices=["unipc", "euler", "dpm++"])
     parser.add_argument("--shift", type=float, default=3.0)
+    parser.add_argument("--solver_order", type=int, default=None,
+                        choices=(1, 2, 3),
+                        help="UniPC/DPM++ multistep order (reference caps at "
+                             "3; default 2)")
     parser.add_argument("--fps", type=int, default=10)
     parser.add_argument("--random_init", action="store_true",
                         help="Random weights (weight-free smoke runs)")
@@ -120,6 +124,7 @@ def run_items(pipe, args, subset, rank: int, *, num_inference_steps: int,
                    num_inference_steps=num_inference_steps,
                    guidance_scale=guidance_scale,
                    shift=args.shift, sampler=args.sampler,
+                   solver_order=getattr(args, "solver_order", None),
                    repeat_rope=args.repeat_rope, cot=True,
                    seed=args.seed + rank, **(gen_kwargs or {}))
 

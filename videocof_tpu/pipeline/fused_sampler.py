@@ -55,22 +55,26 @@ def _sampler_defs(sampler_name: str):
             return carry[0]
 
         def update(carry, x_t, v):
-            latents, m0, m1, last = carry
+            # third-order terms carry zero coefficients (c_d2s/p_d2 = 0,
+            # finite r1inv = 0) on order-<=2 plans, so they vanish exactly
+            latents, m0, m1, m2, last = carry
             model_t = latents - x_t["sigma"] * v
             corrected = (x_t["c_ratio"] * last + x_t["c_m0"] * m0
                          + x_t["c_d1t"] * (model_t - m0)
-                         + x_t["c_d1s"] * ((m1 - m0) * x_t["c_r0inv"]))
+                         + x_t["c_d1s"] * ((m1 - m0) * x_t["c_r0inv"])
+                         + x_t["c_d2s"] * ((m2 - m0) * x_t["c_r1inv"]))
             sample = jnp.where(x_t["use_corrector"], corrected, latents)
-            m1n, m0n = m0, model_t
+            m2n, m1n, m0n = m1, m0, model_t
             nxt = (x_t["p_ratio"] * sample + x_t["p_m0"] * m0n
                    + jnp.where(x_t["p_order2"],
                                x_t["p_d1"] * ((m1n - m0n) * x_t["p_r0inv"]),
-                               0.0))
-            return (nxt, m0n, m1n, sample)
+                               0.0)
+                   + x_t["p_d2"] * ((m2n - m0n) * x_t["p_r1inv"]))
+            return (nxt, m0n, m1n, m2n, sample)
 
         def init_carry(latents):
             z = jnp.zeros_like(latents)
-            return (latents, z, z, z)
+            return (latents, z, z, z, z)
 
         def final(carry):
             return carry[0]
@@ -80,16 +84,18 @@ def _sampler_defs(sampler_name: str):
             return carry[0]
 
         def update(carry, x_t, v):
-            latents, m_prev = carry
+            latents, m_prev, m_prev2 = carry
             m0 = latents - x_t["sigma"] * v
+            d1_0 = (m0 - m_prev) * x_t["r0inv"]
             nxt = (x_t["ratio"] * latents + x_t["c_m0"] * m0
-                   + jnp.where(x_t["order2"],
-                               x_t["c_d1"] * ((m0 - m_prev) * x_t["r0inv"]),
-                               0.0))
-            return (nxt, m0)
+                   + jnp.where(x_t["order2"], x_t["c_d1"] * d1_0, 0.0)
+                   + x_t["c_diff"] * (d1_0 - (m_prev - m_prev2)
+                                      * x_t["r1inv"]))
+            return (nxt, m0, m_prev)
 
         def init_carry(latents):
-            return (latents, jnp.zeros_like(latents))
+            z = jnp.zeros_like(latents)
+            return (latents, z, z)
 
         def final(carry):
             return carry[0]

@@ -30,6 +30,7 @@ class UniPCState(NamedTuple):
     """Loop-carried sampler state (all entries latent-shaped)."""
     m0: jax.Array          # newest converted model output (x0 prediction)
     m1: jax.Array          # second newest
+    m2: jax.Array          # third newest (order-3 only; zeros otherwise)
     last_sample: jax.Array # sample before the last predictor update
 
 
@@ -40,14 +41,18 @@ class _StepPlan:
     c_ratio: float = 0.0     # sigma_t / sigma_s0
     c_m0: float = 0.0        # coefficient on m0 (= -alpha_t * h_phi_1)
     c_d1s: float = 0.0       # coefficient on (m1 - m0)/r0 term
+    c_d2s: float = 0.0       # coefficient on (m2 - m0)/r1 term (order 3)
     c_d1t: float = 0.0       # coefficient on (model_t - m0)
     c_r0inv: float = 0.0     # 1/r0 for the D1s term
+    c_r1inv: float = 0.0     # 1/r1 for the D2s term
     # predictor
     p_order: int = 1
     p_ratio: float = 0.0
     p_m0: float = 0.0
     p_d1: float = 0.0        # coefficient on (m1 - m0)/r0
+    p_d2: float = 0.0        # coefficient on (m2 - m0)/r1 (order 3)
     p_r0inv: float = 0.0
+    p_r1inv: float = 0.0
 
 
 class FlowUniPCScheduler:
@@ -65,7 +70,7 @@ class FlowUniPCScheduler:
     ):
         assert solver_type in ("bh1", "bh2")
         assert prediction_type == "flow_prediction"
-        assert solver_order in (1, 2), "orders >2 not supported (reference default is 2)"
+        assert solver_order in (1, 2, 3), solver_order
         self.num_train_timesteps = num_train_timesteps
         self.solver_order = solver_order
         self.default_shift = shift
@@ -90,6 +95,21 @@ class FlowUniPCScheduler:
     def _bh(self, hh: float) -> float:
         return hh if self.solver_type == "bh1" else float(np.expm1(hh))
 
+    def _rb_system(self, rks: np.ndarray, hh: float, B_h: float, order: int):
+        """The UniPC Vandermonde system R rho = b (reference
+        `fm_solvers_unipc.py:443-456` / `:578-598`), shared by predictor
+        and corrector; rks carries the trailing 1.0 like the reference."""
+        h_phi_1 = float(np.expm1(hh))
+        R, b = [], []
+        h_phi_k = h_phi_1 / hh - 1.0
+        fact = 1
+        for k in range(1, order + 1):
+            R.append(rks ** (k - 1))
+            b.append(h_phi_k * fact / B_h)
+            fact *= k + 1
+            h_phi_k = h_phi_k / hh - 1.0 / fact
+        return np.stack(R), np.array(b)
+
     def _build_plans(self) -> List[_StepPlan]:
         s = self.sigmas
         N = self.num_inference_steps
@@ -98,6 +118,8 @@ class FlowUniPCScheduler:
         with np.errstate(divide="ignore", invalid="ignore"):
             for i in range(N):
                 # ---------------- corrector on the sample entering step i
+                # (UniC over the predictor of step i-1; its history indices
+                # run s[i-1-k] — reference `fm_solvers_unipc.py:559-570`)
                 use_c = i > 0 and (i - 1) not in self.disable_corrector
                 ckw = {}
                 if use_c:
@@ -108,30 +130,27 @@ class FlowUniPCScheduler:
                     hh = -h
                     h_phi_1 = float(np.expm1(hh))
                     B_h = self._bh(hh)
+                    rks = np.array(
+                        [(lam(s[i - 1 - k]) - lam(sig_s0)) / h
+                         for k in range(1, order_c)] + [1.0])
+                    c_d1s = c_d2s = r0inv = r1inv = 0.0
                     if order_c == 1:
-                        rhos = np.array([0.5])
-                        r0inv = 0.0
-                        c_d1s = 0.0
                         c_d1t = -a_t * B_h * 0.5
                     else:
-                        r0 = (lam(s[i - 2]) - lam(sig_s0)) / h
-                        r0inv = 1.0 / r0
-                        # R rho = b with R = [[1,1],[r0,1]]
-                        h_phi_k = h_phi_1 / hh - 1.0
-                        b1 = h_phi_k * 1.0 / B_h
-                        h_phi_k = h_phi_k / hh - 1.0 / 2.0
-                        b2 = h_phi_k * 2.0 / B_h
-                        rhos = np.linalg.solve(
-                            np.array([[1.0, 1.0], [r0, 1.0]]),
-                            np.array([b1, b2]))
+                        R, b = self._rb_system(rks, hh, B_h, order_c)
+                        rhos = np.linalg.solve(R, b)
                         c_d1s = -a_t * B_h * rhos[0]
-                        c_d1t = -a_t * B_h * rhos[1]
+                        r0inv = 1.0 / rks[0]
+                        if order_c >= 3:
+                            c_d2s = -a_t * B_h * rhos[1]
+                            r1inv = 1.0 / rks[1]
+                        c_d1t = -a_t * B_h * rhos[-1]
                     ckw = dict(
                         c_ratio=float(sig_t / sig_s0),
                         c_m0=float(-a_t * h_phi_1),
-                        c_d1s=float(c_d1s),
+                        c_d1s=float(c_d1s), c_d2s=float(c_d2s),
                         c_d1t=float(c_d1t),
-                        c_r0inv=float(r0inv),
+                        c_r0inv=float(r0inv), c_r1inv=float(r1inv),
                     )
 
                 # ---------------- predictor i -> i+1
@@ -146,23 +165,29 @@ class FlowUniPCScheduler:
                 a_t = 1.0 - sig_t
                 if sig_t == 0.0:
                     # final step: x_{t} = x0 prediction exactly
-                    pkw = dict(p_order=1, p_ratio=0.0, p_m0=1.0,
-                               p_d1=0.0, p_r0inv=0.0)
+                    pkw = dict(p_order=1, p_ratio=0.0, p_m0=1.0)
                 else:
                     h = lam(sig_t) - lam(sig_s0)
                     hh = -h
                     h_phi_1 = float(np.expm1(hh))
                     B_h = self._bh(hh)
-                    if this_order == 1:
-                        pkw = dict(p_order=1, p_ratio=float(sig_t / sig_s0),
-                                   p_m0=float(-a_t * h_phi_1),
-                                   p_d1=0.0, p_r0inv=0.0)
-                    else:
-                        r0 = (lam(s[i - 1]) - lam(sig_s0)) / h
-                        pkw = dict(p_order=2, p_ratio=float(sig_t / sig_s0),
-                                   p_m0=float(-a_t * h_phi_1),
-                                   p_d1=float(-a_t * B_h * 0.5),
-                                   p_r0inv=float(1.0 / r0))
+                    pkw = dict(p_order=this_order,
+                               p_ratio=float(sig_t / sig_s0),
+                               p_m0=float(-a_t * h_phi_1))
+                    if this_order >= 2:
+                        rks = np.array(
+                            [(lam(s[i - k]) - lam(sig_s0)) / h
+                             for k in range(1, this_order)] + [1.0])
+                        if this_order == 2:
+                            rhos = np.array([0.5])
+                        else:
+                            R, b = self._rb_system(rks, hh, B_h, this_order)
+                            rhos = np.linalg.solve(R[:-1, :-1], b[:-1])
+                        pkw.update(p_d1=float(-a_t * B_h * rhos[0]),
+                                   p_r0inv=float(1.0 / rks[0]))
+                        if this_order >= 3:
+                            pkw.update(p_d2=float(-a_t * B_h * rhos[1]),
+                                       p_r1inv=float(1.0 / rks[1]))
 
                 plans.append(_StepPlan(use_corrector=use_c, **ckw, **pkw))
         return plans
@@ -170,7 +195,7 @@ class FlowUniPCScheduler:
     # ------------------------------------------------------------------- step
     def init_state(self, latents: jax.Array) -> UniPCState:
         z = jnp.zeros_like(latents)
-        return UniPCState(m0=z, m1=z, last_sample=z)
+        return UniPCState(m0=z, m1=z, m2=z, last_sample=z)
 
     def convert_model_output(self, model_output: jax.Array, step_index: int,
                              sample: jax.Array) -> jax.Array:
@@ -194,17 +219,22 @@ class FlowUniPCScheduler:
                  + plan.c_d1t * d1t)
             if plan.c_d1s != 0.0:
                 x = x + plan.c_d1s * ((state.m1 - state.m0) * plan.c_r0inv)
+            if plan.c_d2s != 0.0:
+                x = x + plan.c_d2s * ((state.m2 - state.m0) * plan.c_r1inv)
             sample = x.astype(sample.dtype)
 
         # shift history
-        m1, m0 = state.m0, model_t
+        m2, m1, m0 = state.m1, state.m0, model_t
 
         x = plan.p_ratio * sample + plan.p_m0 * m0
         if plan.p_order >= 2:
             x = x + plan.p_d1 * ((m1 - m0) * plan.p_r0inv)
+        if plan.p_order >= 3:
+            x = x + plan.p_d2 * ((m2 - m0) * plan.p_r1inv)
         prev_sample = x.astype(sample.dtype)
 
-        return prev_sample, UniPCState(m0=m0, m1=m1, last_sample=sample)
+        return prev_sample, UniPCState(m0=m0, m1=m1, m2=m2,
+                                       last_sample=sample)
 
     # ---------------------------------------------------------------- training
     def add_noise(self, original: jax.Array, noise: jax.Array,
@@ -223,9 +253,11 @@ class FlowUniPCScheduler:
             "use_corrector": np.array(
                 [p.use_corrector for p in self.plans], dtype=np.bool_),
             "c_ratio": f("c_ratio"), "c_m0": f("c_m0"), "c_d1s": f("c_d1s"),
-            "c_d1t": f("c_d1t"), "c_r0inv": f("c_r0inv"),
+            "c_d2s": f("c_d2s"), "c_d1t": f("c_d1t"),
+            "c_r0inv": f("c_r0inv"), "c_r1inv": f("c_r1inv"),
             "p_order2": np.array(
                 [p.p_order >= 2 for p in self.plans], dtype=np.bool_),
             "p_ratio": f("p_ratio"), "p_m0": f("p_m0"), "p_d1": f("p_d1"),
-            "p_r0inv": f("p_r0inv"),
+            "p_d2": f("p_d2"), "p_r0inv": f("p_r0inv"),
+            "p_r1inv": f("p_r1inv"),
         }
