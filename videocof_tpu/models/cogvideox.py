@@ -298,26 +298,37 @@ def _head_ln(x, p_norm, eps):
 
 
 def cog_block_apply(p, cfg: CogVideoXConfig, vid, txt, temb, rope_cs,
-                    attn_backend=None):
+                    attn_backend=None, seq_mask=None):
     eps = cfg.norm_eps
     B, Lv, D = vid.shape
     Lt = txt.shape[1]
     N, hd = cfg.num_attention_heads, cfg.attention_head_dim
 
     nv, nt, gate, egate = _ln_zero(p["norm1"], vid, txt, temb, eps)
-    joint = jnp.concatenate([nt, nv], axis=1).astype(
-        p["attn"]["q"]["kernel"].dtype)
-    q = W._linear(joint, p["attn"]["q"]).reshape(B, Lt + Lv, N, hd)
-    k = W._linear(joint, p["attn"]["k"]).reshape(B, Lt + Lv, N, hd)
-    v = W._linear(joint, p["attn"]["v"]).reshape(B, Lt + Lv, N, hd)
-    q = _head_ln(q, p["attn"]["norm_q"], eps)
-    k = _head_ln(k, p["attn"]["norm_k"], eps)
+    cdtype = p["attn"]["q"]["kernel"].dtype
+    nt, nv = nt.astype(cdtype), nv.astype(cdtype)
+
+    # project PER STREAM then concat (identical math to projecting the
+    # concat — linears are per-token) so rope applies to the video tokens
+    # without a dynamic-slice update on the (possibly seq-sharded) joint axis
+    def heads(x, name):
+        h = W._linear(x, p["attn"][name])
+        return h.reshape(x.shape[0], x.shape[1], N, hd)
+
+    q_t = _head_ln(heads(nt, "q"), p["attn"]["norm_q"], eps)
+    q_v = _head_ln(heads(nv, "q"), p["attn"]["norm_q"], eps)
+    k_t = _head_ln(heads(nt, "k"), p["attn"]["norm_k"], eps)
+    k_v = _head_ln(heads(nv, "k"), p["attn"]["norm_k"], eps)
     if rope_cs is not None:
         cos, sin = rope_cs
         from . import rope as rope_lib
-        q = q.at[:, Lt:].set(rope_lib.apply_rope(q[:, Lt:], cos, sin))
-        k = k.at[:, Lt:].set(rope_lib.apply_rope(k[:, Lt:], cos, sin))
-    o = attention(q, k, v, backend=attn_backend).reshape(B, Lt + Lv, D)
+        q_v = rope_lib.apply_rope(q_v, cos, sin)
+        k_v = rope_lib.apply_rope(k_v, cos, sin)
+    q = jnp.concatenate([q_t, q_v], axis=1)
+    k = jnp.concatenate([k_t, k_v], axis=1)
+    v = jnp.concatenate([heads(nt, "v"), heads(nv, "v")], axis=1)
+    o = attention(q, k, v, mask=seq_mask, backend=attn_backend
+                  ).reshape(B, Lt + Lv, D)
     o = W._linear(o, p["attn"]["o"]).astype(jnp.float32)
     txt = txt + egate * o[:, :Lt]
     vid = vid + gate * o[:, Lt:]
@@ -352,6 +363,7 @@ def cogvideox_forward(
     encoder_hidden_states: jax.Array,  # [B, Lt, text_embed_dim]
     timestep: jax.Array,             # [B]
     attn_backend=None,
+    sp=None,                         # parallel.SPContext or None
 ) -> jax.Array:
     B, F, C, H, W_ = hidden_states.shape
     p = cfg.patch_size
@@ -381,13 +393,37 @@ def cogvideox_forward(
             cfg.temporal_interpolation_scale).reshape(1, -1, cfg.inner_dim)
         vid = vid + jnp.asarray(pos)
 
+    # ---- whole-forward sequence parallelism over the joint text+video
+    # sequence (reference adapter: `dist/cogvideox_xfuser.py:13-105`): pad
+    # EACH stream to a multiple of the seq axis, shard both residual streams
+    # (+ the video rope tables), and mask padded keys out of every softmax.
+    Lv_real = vid.shape[1]
+    seq_mask = None
+    if sp is not None and sp.size > 1:
+        from ..parallel import joint_pad_masks, pad_rope_tables, pad_stream
+        vid = pad_stream(vid, sp.size)
+        txt = pad_stream(txt, sp.size)
+        if rope_cs is not None:
+            rope_cs = pad_rope_tables(*rope_cs, vid.shape[1])
+            rope_cs = (sp.shard_rope(rope_cs[0]), sp.shard_rope(rope_cs[1]))
+        if txt.shape[1] != Lt or vid.shape[1] != Lv_real:
+            seq_mask = joint_pad_masks(B, Lt, txt.shape[1], Lv_real,
+                                       vid.shape[1])
+        vid = sp.shard_tokens(vid)
+        txt = sp.shard_tokens(txt)
+
     def body(carry, bp):
         v_, t_ = carry
         v_, t_ = cog_block_apply(bp, cfg, v_, t_, temb, rope_cs,
-                                 attn_backend=attn_backend)
+                                 attn_backend=attn_backend,
+                                 seq_mask=seq_mask)
         return (v_, t_), None
 
     (vid, txt), _ = jax.lax.scan(body, (vid, txt), params["blocks"])
+
+    if sp is not None and sp.size > 1:
+        vid = sp.gather(vid)[:, :Lv_real]
+        txt = sp.gather(txt)[:, :Lt]
 
     if cfg.use_rotary_positional_embeddings:
         joint = jnp.concatenate([txt, vid], axis=1)

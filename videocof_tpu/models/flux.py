@@ -283,7 +283,7 @@ def _proj_heads(x, p, name, norm_name, N, hd, eps):
 
 
 def flux_dual_block(p, cfg: FluxConfig, img, txt, temb, rope_cs,
-                    attn_backend=None):
+                    attn_backend=None, seq_mask=None):
     eps = cfg.eps
     N, hd = cfg.num_attention_heads, cfg.attention_head_dim
     B, Li, D = img.shape
@@ -310,7 +310,8 @@ def flux_dual_block(p, cfg: FluxConfig, img, txt, temb, rope_cs,
     if rope_cs is not None:
         q = rope_lib.apply_rope(q, *rope_cs)
         k = rope_lib.apply_rope(k, *rope_cs)
-    o = attention(q, k, v, backend=attn_backend).reshape(B, Lt + Li, D)
+    o = attention(q, k, v, mask=seq_mask, backend=attn_backend
+                  ).reshape(B, Lt + Li, D)
     o_txt = W._linear(o[:, :Lt], p["attn"]["add_o"]).astype(jnp.float32)
     o_img = W._linear(o[:, Lt:], p["attn"]["o"]).astype(jnp.float32)
 
@@ -331,7 +332,7 @@ def flux_dual_block(p, cfg: FluxConfig, img, txt, temb, rope_cs,
 
 
 def flux_single_block(p, cfg: FluxConfig, x, temb, rope_cs,
-                      attn_backend=None):
+                      attn_backend=None, seq_mask=None):
     eps = cfg.eps
     N, hd = cfg.num_attention_heads, cfg.attention_head_dim
     B, L, D = x.shape
@@ -346,7 +347,8 @@ def flux_single_block(p, cfg: FluxConfig, x, temb, rope_cs,
     if rope_cs is not None:
         q = rope_lib.apply_rope(q, *rope_cs)
         k = rope_lib.apply_rope(k, *rope_cs)
-    att = attention(q, k, v, backend=attn_backend).reshape(B, L, D)
+    att = attention(q, k, v, mask=seq_mask, backend=attn_backend
+                    ).reshape(B, L, D)
     mlp = jax.nn.gelu(W._linear(nx, p["proj_mlp"]), approximate=True)
     h = jnp.concatenate([att, mlp], axis=-1)
     out = W._linear(h, p["proj_out"]).astype(jnp.float32)
@@ -374,12 +376,30 @@ def flux_forward(
     txt_ids: jax.Array,              # [L_txt, 3]
     guidance: Optional[jax.Array] = None,
     attn_backend=None,
+    sp=None,                         # parallel.SPContext or None
 ) -> jax.Array:
     cdtype = params["x_embedder"]["kernel"].dtype
     img = W._linear(hidden_states.astype(cdtype), params["x_embedder"]
                     ).astype(jnp.float32)
     txt = W._linear(encoder_hidden_states.astype(cdtype),
                     params["context_embedder"]).astype(jnp.float32)
+
+    # whole-forward SP over the joint txt+img sequence (reference adapter:
+    # `dist/flux_xfuser.py:1-167`): pad per stream, shard both residual
+    # streams, key-mask the pad slots. Ids pad with zeros = identity rope.
+    Lt_real, Li_real = txt.shape[1], img.shape[1]
+    seq_mask = None
+    if sp is not None and sp.size > 1:
+        from ..parallel import joint_pad_masks, pad_stream
+        img = pad_stream(img, sp.size)
+        txt = pad_stream(txt, sp.size)
+        txt_ids = jnp.pad(txt_ids, ((0, txt.shape[1] - Lt_real), (0, 0)))
+        img_ids = jnp.pad(img_ids, ((0, img.shape[1] - Li_real), (0, 0)))
+        if txt.shape[1] != Lt_real or img.shape[1] != Li_real:
+            seq_mask = joint_pad_masks(img.shape[0], Lt_real, txt.shape[1],
+                                       Li_real, img.shape[1])
+        img = sp.shard_tokens(img)
+        txt = sp.shard_tokens(txt)
 
     temb = _sincos_256(timestep * 1000.0)
     temb = W._linear(temb, params["time_embed"]["fc1"], jnp.float32)
@@ -399,11 +419,13 @@ def flux_forward(
 
     ids = jnp.concatenate([txt_ids, img_ids], axis=0)
     rope_cs = rope_from_ids(cfg, ids)
+    if sp is not None and sp.size > 1:
+        rope_cs = (sp.shard_rope(rope_cs[0]), sp.shard_rope(rope_cs[1]))
 
     def dual_body(carry, bp):
         i, t = carry
         i, t = flux_dual_block(bp, cfg, i, t, temb, rope_cs,
-                               attn_backend=attn_backend)
+                               attn_backend=attn_backend, seq_mask=seq_mask)
         return (i, t), None
 
     (img, txt), _ = jax.lax.scan(dual_body, (img, txt), params["blocks"])
@@ -412,10 +434,13 @@ def flux_forward(
 
     def single_body(carry, bp):
         return flux_single_block(bp, cfg, carry, temb, rope_cs,
-                                 attn_backend=attn_backend), None
+                                 attn_backend=attn_backend,
+                                 seq_mask=seq_mask), None
 
     x, _ = jax.lax.scan(single_body, x, params["single_blocks"])
     img = x[:, txt.shape[1]:]
+    if sp is not None and sp.size > 1:
+        img = sp.gather(img)[:, :Li_real]
 
     # AdaLayerNormContinuous: chunk order (scale, shift)
     m = W._linear(jax.nn.silu(temb), params["norm_out"]["lin"], jnp.float32)

@@ -208,7 +208,7 @@ def _modulate(x, mod, eps):
 
 
 def qwen_block_apply(p, cfg: QwenImageConfig, img, txt, temb, rope_cs,
-                     txt_mask=None, attn_backend=None):
+                     txt_mask=None, attn_backend=None, seq_mask=None):
     eps = cfg.eps
     N, hd = cfg.num_attention_heads, cfg.attention_head_dim
     B, Li, D = img.shape
@@ -240,8 +240,8 @@ def qwen_block_apply(p, cfg: QwenImageConfig, img, txt, temb, rope_cs,
     if rope_cs is not None:
         q = rope_lib.apply_rope(q, *rope_cs)
         k = rope_lib.apply_rope(k, *rope_cs)
-    mask = None
-    if txt_mask is not None:
+    mask = seq_mask
+    if mask is None and txt_mask is not None:
         mask = jnp.concatenate(
             [txt_mask.astype(bool),
              jnp.ones((B, Li), bool)], axis=1)
@@ -275,6 +275,7 @@ def qwenimage_forward(
     txt_ids: jax.Array,                # [L_txt, 3]
     encoder_hidden_states_mask: Optional[jax.Array] = None,
     attn_backend=None,
+    sp=None,                           # parallel.SPContext or None
 ) -> jax.Array:
     cdtype = params["img_in"]["kernel"].dtype
     img = W._linear(hidden_states.astype(cdtype), params["img_in"]
@@ -288,17 +289,43 @@ def qwenimage_forward(
     temb = W._linear(jax.nn.silu(temb), params["time_embed"]["fc2"],
                      jnp.float32)
 
+    # whole-forward SP over the joint txt+img sequence (reference adapter:
+    # `dist/qwen_xfuser.py:1-175`): pad per stream, shard both streams,
+    # fold the ragged text mask into the joint key mask. Ids pad with zeros
+    # = identity rope.
+    Lt_real, Li_real = txt.shape[1], img.shape[1]
+    seq_mask = None
+    if sp is not None and sp.size > 1:
+        from ..parallel import joint_pad_masks, pad_stream
+        img = pad_stream(img, sp.size)
+        txt = pad_stream(txt, sp.size)
+        txt_ids = jnp.pad(txt_ids, ((0, txt.shape[1] - Lt_real), (0, 0)))
+        img_ids = jnp.pad(img_ids, ((0, img.shape[1] - Li_real), (0, 0)))
+        padded = (txt.shape[1] != Lt_real or img.shape[1] != Li_real)
+        if padded or encoder_hidden_states_mask is not None:
+            lt = (encoder_hidden_states_mask
+                  if encoder_hidden_states_mask is not None else Lt_real)
+            seq_mask = joint_pad_masks(img.shape[0], lt, txt.shape[1],
+                                       Li_real, img.shape[1])
+        img = sp.shard_tokens(img)
+        txt = sp.shard_tokens(txt)
+
     ids = jnp.concatenate([txt_ids, img_ids], axis=0)
     rope_cs = _flux_rope_from_ids(cfg, ids)
+    if sp is not None and sp.size > 1:
+        rope_cs = (sp.shard_rope(rope_cs[0]), sp.shard_rope(rope_cs[1]))
 
     def body(carry, bp):
         i, t = carry
         i, t = qwen_block_apply(bp, cfg, i, t, temb, rope_cs,
                                 txt_mask=encoder_hidden_states_mask,
-                                attn_backend=attn_backend)
+                                attn_backend=attn_backend,
+                                seq_mask=seq_mask)
         return (i, t), None
 
     (img, txt), _ = jax.lax.scan(body, (img, txt), params["blocks"])
+    if sp is not None and sp.size > 1:
+        img = sp.gather(img)[:, :Li_real]
 
     m = W._linear(jax.nn.silu(temb), params["norm_out"]["lin"], jnp.float32)
     scale, shift = jnp.split(m, 2, axis=1)

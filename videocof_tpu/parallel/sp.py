@@ -17,6 +17,7 @@ from __future__ import annotations
 import dataclasses
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -80,3 +81,42 @@ class SPContext:
         (`wan_transformer3d.py:1085-1086`)."""
         return jax.lax.with_sharding_constraint(
             x, NamedSharding(self.mesh, P()))
+
+
+# ---------------------------------------------------------- joint-stream SP
+# The image/video families (CogVideoX / Flux / QwenImage) run a JOINT
+# text+image sequence through every block (the reference's per-family xfuser
+# adapters: `dist/cogvideox_xfuser.py:13-105`, `flux_xfuser.py`,
+# `qwen_xfuser.py`). TPU-native recipe: pad EACH stream to a multiple of the
+# seq axis (so both the per-stream residuals and their concatenation divide),
+# shard both streams, and key-mask the pad slots out of every softmax.
+
+def pad_stream(x: jax.Array, mult: int) -> jax.Array:
+    """Zero-pad the token axis (axis 1) up to a multiple of ``mult``."""
+    L = x.shape[1]
+    Lp = pad_tokens_for_sp(L, mult)
+    if Lp == L:
+        return x
+    return jnp.pad(x, ((0, 0), (0, Lp - L), (0, 0)))
+
+
+def pad_rope_tables(cos: jax.Array, sin: jax.Array, new_len: int):
+    """Pad [L, c] cos/sin tables with identity rotations (cos 1, sin 0)."""
+    pad = new_len - cos.shape[0]
+    if pad <= 0:
+        return cos, sin
+    return (jnp.pad(cos, ((0, pad), (0, 0)), constant_values=1.0),
+            jnp.pad(sin, ((0, pad), (0, 0))))
+
+
+def joint_pad_masks(B: int, lt_real, lt_pad: int, li_real: int, li_pad: int):
+    """Joint [B, lt_pad + li_pad] key mask (True = real token). ``lt_real``
+    may be an int or a [B] / [B, lt] array (ragged text lengths — QwenImage's
+    encoder_hidden_states_mask)."""
+    if hasattr(lt_real, "ndim") and getattr(lt_real, "ndim", 0) >= 2:
+        tmask = jnp.pad(lt_real.astype(bool),
+                        ((0, 0), (0, lt_pad - lt_real.shape[1])))
+    else:
+        tmask = jnp.broadcast_to(jnp.arange(lt_pad) < lt_real, (B, lt_pad))
+    imask = jnp.broadcast_to(jnp.arange(li_pad) < li_real, (B, li_pad))
+    return jnp.concatenate([tmask, imask], axis=1)

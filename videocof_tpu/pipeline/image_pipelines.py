@@ -48,10 +48,40 @@ def calculate_mu_shift(seq_len: int, base_seq_len: int = 256,
     return seq_len * m + (base_shift - m * base_seq_len)
 
 
+class _SPMixin:
+    """Sequence parallelism for the image/video family pipelines, matching
+    the reference's per-family xfuser adapters (`dist/cogvideox_xfuser.py`,
+    `flux_xfuser.py`, `qwen_xfuser.py`) with the repo's whole-forward SP:
+    both joint streams token-sharded (padded per stream), Ulysses/ring
+    attention over the ICI mesh."""
+
+    attn_backend = None
+    sp_ctx = None
+
+    def enable_sequence_parallel(self, mesh=None, data: int = 1,
+                                 seq: Optional[int] = None,
+                                 mode: str = "ulysses") -> None:
+        from ..parallel import (SPContext, make_mesh, make_ring_attention,
+                                make_ulysses_attention)
+        if mesh is None:
+            mesh = make_mesh(data=data,
+                             seq=seq or max(1, len(jax.devices()) // data))
+        maker = {"ulysses": make_ulysses_attention,
+                 "ring": make_ring_attention}[mode]
+        self.attn_backend = maker(mesh)
+        self.sp_ctx = SPContext(mesh)
+        self._jit_cache.clear()
+
+    def disable_sequence_parallel(self) -> None:
+        self.attn_backend = None
+        self.sp_ctx = None
+        self._jit_cache.clear()
+
+
 # ------------------------------------------------------------------ CogVideoX
 
 @dataclasses.dataclass
-class CogVideoXPipeline:
+class CogVideoXPipeline(_SPMixin):
     dit_params: Any
     dit_cfg: cog.CogVideoXConfig
     vae_params: Any
@@ -99,7 +129,9 @@ class CogVideoXPipeline:
             else:
                 xin, ctx = x, txt
             tt = jnp.full((xin.shape[0],), t, jnp.float32)
-            v = cog.cogvideox_forward(params, cfg, xin, ctx, tt)
+            v = cog.cogvideox_forward(params, cfg, xin, ctx, tt,
+                                      attn_backend=self.attn_backend,
+                                      sp=self.sp_ctx)
             if do_cfg:
                 vu, vc = jnp.split(v, 2, axis=0)
                 v = vu + g * (vc - vu)
@@ -173,7 +205,7 @@ def _unpack_latents(x: jax.Array, h: int, w: int) -> jax.Array:
 
 
 @dataclasses.dataclass
-class QwenImagePipeline:
+class QwenImagePipeline(_SPMixin):
     dit_params: Any
     dit_cfg: qwen_lib.QwenImageConfig
     vae_params: Any = None           # Wan-VAE-layout params (qwenimage_vae)
@@ -227,12 +259,14 @@ class QwenImagePipeline:
         if key not in self._jit_cache:
             @jax.jit
             def step_fn(params, x, txt, neg, t, g, iids, tids):
-                vc = qwen_lib.qwenimage_forward(params, cfg, x, txt, t,
-                                                iids, tids)
+                vc = qwen_lib.qwenimage_forward(
+                    params, cfg, x, txt, t, iids, tids,
+                    attn_backend=self.attn_backend, sp=self.sp_ctx)
                 if not do_cfg:
                     return vc
-                vu = qwen_lib.qwenimage_forward(params, cfg, x, neg, t,
-                                                iids, tids)
+                vu = qwen_lib.qwenimage_forward(
+                    params, cfg, x, neg, t, iids, tids,
+                    attn_backend=self.attn_backend, sp=self.sp_ctx)
                 return vu + g * (vc - vu)
 
             self._jit_cache[key] = step_fn
@@ -259,7 +293,7 @@ class QwenImagePipeline:
 # ----------------------------------------------------------------------- Flux
 
 @dataclasses.dataclass
-class FluxPipeline:
+class FluxPipeline(_SPMixin):
     dit_params: Any
     dit_cfg: flux_lib.FluxConfig
     decode_fn: Optional[Callable[[jax.Array], jax.Array]] = None
@@ -307,8 +341,9 @@ class FluxPipeline:
         if key not in self._jit_cache:
             @jax.jit
             def step_fn(params, x, txt, pooled, t, gg, iids, tids):
-                return flux_lib.flux_forward(params, cfg, x, txt, pooled, t,
-                                             iids, tids, guidance=gg)
+                return flux_lib.flux_forward(
+                    params, cfg, x, txt, pooled, t, iids, tids, guidance=gg,
+                    attn_backend=self.attn_backend, sp=self.sp_ctx)
 
             self._jit_cache[key] = step_fn
         step_fn = self._jit_cache[key]
