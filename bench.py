@@ -19,12 +19,20 @@ vs_baseline compares against the reference's published ~30 s/video on H100
 honest per-chip efficiency number is `mfu` (measured DiT FLOP/s over the
 v5e's 197 bf16 TFLOP/s peak).
 
+On the default configuration the bench ALSO runs the flagship 14B fp8
+end-to-end probe (subprocess, clean chip) and makes ITS number the headline —
+apples-to-apples against the reference's 14B-on-H100 ~30 s/video — with the
+1.3B fast-path record attached under "fast_1.3b". BENCH_14B=0 skips it.
+
 Variants: BENCH_STEPS=50 BENCH_CFG=1  -> the reference standard path
           BENCH_TEACACHE=1            -> TeaCache on (the reference 50-step
                                          CLI default: threshold 0.10, skip
                                          first 5 steps)
+          BENCH_TEACACHE_PIN=0.4      -> pin a realistic 40% skip plan
+                                         (random weights over-skip)
           BENCH_4X=1                  -> 133-frame (4x) length extrapolation
           BENCH_SMALL=1               -> CPU smoke geometry
+          BENCH_14B=0                 -> skip the 14B fp8 e2e headline probe
 """
 
 import json
@@ -161,8 +169,24 @@ def main():
     fused = ((fused == "1") if fused else
              (steps * (2 if do_cfg else 1) <= 16 and est_tokens <= 40_000))
 
+    # BENCH_TEACACHE_PIN=<rate>: inject a fixed skip plan at a realistic
+    # trained-weight skip rate instead of planning from the random bench
+    # weights (which skip ~90% of steps at threshold 0.10 — an
+    # unrepresentative best case; see BASELINE.md). Bresenham spread after
+    # the 5-step warmup, like trained TeaCache's interleaved skips.
+    pinned_rate = os.environ.get("BENCH_TEACACHE_PIN")
+    forced_plan = None
+    if teacache and pinned_rate:
+        rate = float(pinned_rate)
+        forced_plan, acc = [], 0.0
+        for i in range(steps):
+            acc += rate if i >= 5 else 0.0
+            forced_plan.append(acc >= 1.0)
+            acc -= int(acc)
+
     moe_kw = ({"guidance_scale_2": max(1.0, guidance - 1.5)} if moe else
               {"enable_teacache": teacache,
+               "teacache_forced_plan": forced_plan,
                "teacache_coefficients": (
                    None if not teacache else __import__(
                        "videocof_tpu.models.teacache", fromlist=["x"]
@@ -296,20 +320,16 @@ def main():
     pipe._decode_outputs(lat_out, True, cond, ground)
     t_decode = time.time() - t0
 
-    # transport health: one 8 MB device->host fetch. The remote tunnel's
-    # bandwidth swings 0.2-32 MB/s across sessions and dominates the decode
-    # stage (one ~40 MB uint8 readback), so the headline is only
-    # interpretable next to this number (compute stages are unaffected).
-    # the transfer must be timed end-to-end (the axon client pushes outputs
-    # to the host during block_until_ready) and the payload must be
-    # INCOMPRESSIBLE (constant buffers compress to nothing on the wire and
-    # report absurd bandwidth) — random uint8, warm executable
-    fetch_fn = jax.jit(lambda k: jax.random.randint(
-        k, (8 * 1024 * 1024,), 0, 256, jnp.int32).astype(jnp.uint8))
-    np.asarray(fetch_fn(jax.random.PRNGKey(0)))   # compile + warm channel
-    t0 = time.time()
-    np.asarray(fetch_fn(jax.random.PRNGKey(1)))
-    fetch_mbps = 8.0 / max(time.time() - t0, 1e-9)
+    # transport health: one 8 MB incompressible device->host fetch (shared
+    # helper — the pipeline uses the same measurement to auto-select the
+    # half-size I420 decode fetch on slow tunnels; see utils/transport.py).
+    # The remote tunnel's bandwidth swings 0.2-32 MB/s across sessions and
+    # dominates the decode stage, so the headline is only interpretable
+    # next to this number.
+    from videocof_tpu.utils import transport
+    fetch_mbps = transport.measured_fetch_mbps(8, refresh=True)
+    if not np.isfinite(fetch_mbps):
+        fetch_mbps = None  # non-TPU platform: local memory, not a transport
 
     flops_step = dit_matmul_flops(dit_cfg, L_tokens) * (2 if do_cfg else 1)
     tflops = flops_step / per_step / 1e12
@@ -321,20 +341,29 @@ def main():
 
     extra = {}
     if teacache:
-        from videocof_tpu.models import teacache as _tc
-        from videocof_tpu.schedulers import get_scheduler as _gs
-        sched = _gs("unipc")
-        sched.set_timesteps(steps, shift=3.0)
-        skips = _tc.plan_teacache_skips(
-            pipe.dit_params, dit_cfg, sched.timesteps,
-            _tc.TEACACHE_COEFFICIENTS["wan2.1-t2v-1.3b"], 0.10, 5)
-        extra["teacache_skipped_steps"] = int(sum(skips))
+        if forced_plan is not None:
+            extra["teacache_skipped_steps"] = int(sum(forced_plan))
+            extra["teacache_pinned_skip_rate"] = float(pinned_rate)
+        else:
+            from videocof_tpu.models import teacache as _tc
+            from videocof_tpu.schedulers import get_scheduler as _gs
+            sched = _gs("unipc")
+            sched.set_timesteps(steps, shift=3.0)
+            skips = _tc.plan_teacache_skips(
+                pipe.dit_params, dit_cfg, sched.timesteps,
+                _tc.TEACACHE_COEFFICIENTS["wan2.1-t2v-1.3b"], 0.10, 5)
+            extra["teacache_skipped_steps"] = int(sum(skips))
+            extra["teacache_note"] = ("random-weight skip plan; pass "
+                                      "BENCH_TEACACHE_PIN=0.4 for a "
+                                      "trained-weight-realistic rate")
 
     name = f"sec_per_video_{steps}step" + ("_cfg" if do_cfg else "")
-    name += ("_teacache" if teacache else "")
+    if teacache:
+        name += "_teacache" + (f"_pin{int(float(pinned_rate) * 100)}"
+                               if forced_plan is not None else "")
     name += "_480p_1.3b" + ("_moe" if moe else "") \
         + ("_4x" if source_frames == 133 else "")
-    print(json.dumps({
+    record_1p3b = {
         "metric": name if (do_cfg or steps != 4 or source_frames == 133
                            or teacache or moe)
         else "sec_per_video_4step_480p_1.3b",
@@ -353,9 +382,66 @@ def main():
         "stages": {"encode_s": round(t_encode, 2),
                    "denoise_s": round(t_denoise, 2),
                    "decode_s": round(t_decode, 2)},
-        "transport_fetch_mbps": round(fetch_mbps, 1),
+        "transport_fetch_mbps": (None if fetch_mbps is None
+                                 else round(fetch_mbps, 1)),
         **extra,
-    }))
+    }
+
+    # ---- flagship: the 14B fp8 END-TO-END on this same chip — the
+    # apples-to-apples comparison against the reference's ~30 s/video
+    # 14B-on-H100 headline (`README.md:46,124`). Runs in a SUBPROCESS so its
+    # 15.75 GiB peak gets a clean chip (this process frees every live device
+    # array first). Only on the default bench configuration; skip with
+    # BENCH_14B=0 or when a variant/smoke mode is selected.
+    fp8_14b = None
+    run_14b = (os.environ.get("BENCH_14B", "1") == "1" and not small
+               and dev.platform == "tpu" and steps == 4 and not do_cfg
+               and not teacache and not moe and source_frames == 33)
+    if run_14b:
+        import gc
+        import subprocess
+        for arr in jax.live_arrays():
+            try:
+                arr.delete()
+            except Exception:
+                pass
+        jax.clear_caches()
+        gc.collect()
+        cmd = [sys.executable, "scripts/probe_14b_e2e.py", "--keep-decoder",
+               "--ffn-chunks", "4", "--reps", "1"]
+        timeout_s = float(os.environ.get("BENCH_14B_TIMEOUT", "2400"))
+        for attempt in (1, 2):
+            # a run right after another TPU process frees 13.8 GiB can hit
+            # a transient ResourceExhausted (worker reclaim lag) — retry once
+            try:
+                r = subprocess.run(cmd, capture_output=True, text=True,
+                                   timeout=timeout_s)
+                log("--- 14b probe stderr tail ---")
+                log(r.stderr[-1500:])
+                lines = [ln for ln in r.stdout.strip().splitlines() if ln]
+                fp8_14b = (json.loads(lines[-1])
+                           if r.returncode == 0 and lines
+                           else {"error": f"probe exit {r.returncode}"})
+            except subprocess.TimeoutExpired:
+                fp8_14b = {"error": f"probe timeout after {timeout_s:.0f}s"}
+            except Exception as e:  # noqa: BLE001
+                fp8_14b = {"error": f"{type(e).__name__}: {e}"}
+            if fp8_14b.get("value"):
+                break
+            log(f"14b probe attempt {attempt} failed: "
+                f"{fp8_14b.get('error', 'no value')}")
+            time.sleep(20.0)
+
+    if fp8_14b and fp8_14b.get("value"):
+        # headline = the flagship 14B number; the 1.3B fast-path record
+        # rides along in full
+        out = dict(fp8_14b)
+        out["fast_1.3b"] = record_1p3b
+        print(json.dumps(out))
+    else:
+        if run_14b:
+            record_1p3b["fp8_14b"] = fp8_14b
+        print(json.dumps(record_1p3b))
 
 
 if __name__ == "__main__":

@@ -72,6 +72,52 @@ def test_numpy_unpack_matches_cv2():
     assert np.abs(via_np - via_cv2).max() <= 4 / 255.0
 
 
+def test_yuv420_auto_selection_policy():
+    """Transport-adaptive fetch (utils/transport.py): env override beats the
+    measurement; auto engages below the slow-tunnel threshold; non-TPU
+    platforms measure +inf and never auto-enable."""
+    from videocof_tpu.utils import transport
+
+    assert transport.should_fetch_yuv420("1", mbps=1000.0)
+    assert not transport.should_fetch_yuv420("0", mbps=0.5)
+    assert transport.should_fetch_yuv420(env_value="", mbps=5.0)
+    assert not transport.should_fetch_yuv420(env_value="", mbps=50.0)
+    transport._CACHE.clear()
+    assert transport.measured_fetch_mbps() == float("inf")   # CPU here
+    assert not transport.should_fetch_yuv420(env_value="")
+
+
+def test_pipeline_auto_yuv420_on_slow_transport(monkeypatch):
+    """With no env override and a (mocked) slow transport measurement, the
+    decode fetch auto-selects I420 — output equals the explicit
+    VIDEOCOF_FETCH_YUV420=1 path."""
+    from videocof_tpu.utils import transport
+
+    vcfg = VAE_TINY
+    dcfg = WAN_TINY.replace(in_dim=vcfg.z_dim, out_dim=vcfg.z_dim,
+                            text_dim=T5_TINY.dim)
+    pipe = WanPipeline(
+        dit_params=wan_dit.init_wan_dit(jax.random.PRNGKey(4), dcfg),
+        dit_cfg=dcfg,
+        vae_params=wan_vae.init_wan_vae(jax.random.PRNGKey(5), vcfg),
+        vae_cfg=vcfg,
+        t5_params=t5_encoder.init_t5_encoder(jax.random.PRNGKey(6), T5_TINY),
+        t5_cfg=T5_TINY,
+        dtype=jnp.float32,
+    )
+    video = np.random.default_rng(1).uniform(
+        -1, 1, (1, 3, 9, 32, 32)).astype(np.float32)
+    kw = dict(source_frames=9, reasoning_frames=4, num_inference_steps=2,
+              seed=6)
+    monkeypatch.setenv("VIDEOCOF_FETCH_YUV420", "1")
+    explicit = pipe(video, "remove the ball", **kw)
+    monkeypatch.delenv("VIDEOCOF_FETCH_YUV420")
+    monkeypatch.setattr(transport, "measured_fetch_mbps",
+                        lambda *a, **k: 5.0)
+    auto = pipe(video, "remove the ball", **kw)
+    np.testing.assert_allclose(auto.videos, explicit.videos, atol=1e-6)
+
+
 def test_pipeline_yuv420_fetch_matches_host_twin(monkeypatch):
     """The opt-in fetch path must equal pack+unpack applied to the default
     path's uint8 output (same seed -> identical latents -> identical u8)."""

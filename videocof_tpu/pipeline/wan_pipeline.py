@@ -319,6 +319,187 @@ class WanPipeline:
             assert noise.shape == mu.shape, (noise.shape, mu.shape)
         return jnp.concatenate([mu.astype(jnp.float32), noise], axis=2)
 
+    # ------------------------------------------------------------------ i2v
+    def prepare_i2v_conditioning(self, video01, mask255):
+        """(video in [0,1] [B,3,T,H,W], mask [B,1,T,H,W] 255=generate) ->
+        y [B, 4+z, Tl, h, w]: the Wan-i2v channel layout the i2v DiT
+        consumes (in_dim = z + 4 + z, `wan_transformer3d.py:866-867`;
+        WAN21_I2V_14B in_dim 36). Track 1 is the keep-mask with the first
+        frame's flag repeated 4x then folded into the temporal compression;
+        track 2 is the VAE mode of the conditioning video (generate-region
+        frames zeroed, i.e. pixel value 0 -> -1 after normalization is NOT
+        used — the masked frames are mid-gray 0 in [-1,1] space)."""
+        video01 = jnp.asarray(video01, jnp.float32)
+        mask255 = jnp.asarray(mask255, jnp.float32)
+        B, _, T, H, W = video01.shape
+        tc = self.vae_cfg.temporal_compression_ratio
+        sc = self.vae_cfg.spatial_compression_ratio
+        Tl, h, w = latent_frame_count(T, tc), H // sc, W // sc
+        keep = 1.0 - mask255 / 255.0                     # 1 = conditioned
+        cond_vid = (video01 * 2.0 - 1.0) * keep          # zeros where free
+        y_lat = self.vae_encode(cond_vid).astype(jnp.float32)
+        # per-frame keep flags -> latent-time 4-channel mask (the official
+        # Wan i2v msk fold: frame 0 repeated 4x, then [T+3] -> [Tl, 4])
+        flags = keep[:, 0].max(axis=(2, 3))              # [B, T]
+        flags = jnp.concatenate(
+            [jnp.repeat(flags[:, :1], tc, axis=1), flags[:, 1:]], axis=1)
+        msk = flags.reshape(B, Tl, tc).transpose(0, 2, 1)  # [B, 4, Tl]
+        msk = jnp.broadcast_to(msk[:, :, :, None, None], (B, tc, Tl, h, w))
+        return jnp.concatenate([msk, y_lat], axis=1)
+
+    def image_to_video(
+        self,
+        start_image,
+        prompt: Union[str, Sequence[str]],
+        *,
+        end_image=None,
+        num_frames: int = 33,
+        height: int = 480,
+        width: int = 832,
+        negative_prompt: str = "",
+        num_inference_steps: int = 40,
+        guidance_scale: float = 5.0,
+        shift: float = 5.0,
+        sampler: str = "unipc",
+        seed: int = 0,
+        max_sequence_length: int = 512,
+        clip_params=None,
+        clip_cfg=None,
+        clip_fea: Optional[jax.Array] = None,
+        noise: Optional[jax.Array] = None,
+        output_latents: bool = False,
+        solver_order: Optional[int] = None,
+    ) -> WanPipelineOutput:
+        """Image-to-video: animate ``start_image`` (path / array / PIL; an
+        optional ``end_image`` pins the last frame). Consumes an i2v DiT
+        (model_type 'i2v': channel-concat conditioning + CLIP image tokens —
+        `wan_transformer3d.py:339-393,551-563,866-867,944-946`). The
+        reference snapshot's own i2v UI path is dangling (its inpaint
+        pipeline file is absent), so this follows the published Wan2.1-i2v
+        conditioning convention the checkpoints were trained with.
+
+        ``clip_fea`` may be precomputed [B, 257, 1280]; otherwise pass
+        ``clip_params``/``clip_cfg`` (models/clip_vision) to encode the
+        start image, or leave both None to run without image tokens."""
+        from ..utils import video_io as vio
+
+        video01, mask255, clip_img = vio.get_image_to_video_latent(
+            start_image, end_image, num_frames, (height, width))
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        B = 1
+        do_cfg = guidance_scale > 1.0
+
+        embeds = self.encode_prompt(prompts, max_sequence_length)
+        if do_cfg:
+            neg = self.encode_prompt([negative_prompt] * B,
+                                     max_sequence_length)
+            context = jnp.concatenate([neg, embeds], axis=0)
+        else:
+            context = embeds
+        context = context.astype(self.dtype)
+
+        y = self.prepare_i2v_conditioning(video01, mask255)
+        if clip_fea is None and clip_params is not None and clip_img is not None:
+            from ..models import clip_vision as cv
+            frames = jnp.asarray(np.asarray(clip_img), jnp.float32)[None]
+            frames = frames.transpose(0, 3, 1, 2) / 255.0   # [1,3,H,W] 0..1
+            pre = cv.preprocess_frames(frames, clip_cfg)
+            clip_fea = cv.clip_vision_forward(clip_params, clip_cfg, pre)
+        if clip_fea is not None:
+            clip_fea = jnp.asarray(clip_fea, self.dtype)
+
+        tc = self.vae_cfg.temporal_compression_ratio
+        Tl = latent_frame_count(num_frames, tc)
+        h, w = y.shape[3], y.shape[4]
+        key = jax.random.PRNGKey(seed)
+        if noise is None:
+            latents = jax.random.normal(
+                key, (B, self.vae_cfg.z_dim, Tl, h, w), jnp.float32)
+        else:
+            latents = jnp.asarray(noise, jnp.float32)
+
+        ph, pw = self.dit_cfg.patch_size[1:]
+        grid = (Tl, h // ph, w // pw)
+        rope_key = (grid, None, 0, None, None, None)
+        if rope_key in self._rope_cache:
+            cos, sin = self._rope_cache[rope_key]
+        else:
+            cos, sin = wan_dit.make_rope_for_geometry(self.dit_cfg, grid)
+            cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+            self._rope_cache[rope_key] = (cos, sin)
+
+        sched_kw = ({"solver_order": solver_order}
+                    if solver_order is not None
+                    and sampler in ("unipc", "dpm++") else {})
+        sched = get_scheduler(sampler, **sched_kw)
+        sched.set_timesteps(num_inference_steps, shift=shift)
+
+        from .fused_sampler import estimate_step_seconds, make_fused_sample_fn
+        L_tok = grid[0] * grid[1] * grid[2]
+        est = num_inference_steps * estimate_step_seconds(
+            L_tok, do_cfg, dit_cfg=self.dit_cfg)
+        fkey = ("i2v_fused", sampler, num_inference_steps, float(shift),
+                do_cfg, float(guidance_scale), self._backend_for(do_cfg),
+                tuple(latents.shape), tuple(context.shape),
+                clip_fea is not None, solver_order)
+        if est <= 45.0:
+            # fused trajectory: the whole i2v denoise as one scan (the
+            # conditioning operands are step-invariant)
+            if fkey not in self._jit_cache:
+                self._jit_cache[fkey] = make_fused_sample_fn(
+                    self.dit_cfg, sampler, sched.plan_arrays(), do_cfg,
+                    guidance_scale, 0, self.dtype,
+                    attn_backend=self._backend_for(do_cfg),
+                    sp=self._sp_for(do_cfg))
+            latents = self._jit_cache[fkey](self.dit_params, latents,
+                                            context, cos, sin,
+                                            clip_fea=clip_fea, y=y)
+        else:
+            skey = ("i2v_step", do_cfg, float(guidance_scale),
+                    self._backend_for(do_cfg), clip_fea is not None)
+            if skey not in self._jit_cache:
+                dit_cfg, dtype = self.dit_cfg, self.dtype
+                backend = self._backend_for(do_cfg)
+                sp = self._sp_for(do_cfg)
+
+                @jax.jit
+                def step(p, lat, t_scalar, ctx, rc, rs, cf, yy):
+                    if do_cfg:
+                        x = jnp.concatenate([lat, lat], axis=0)
+                        cf2 = (None if cf is None
+                               else jnp.concatenate([cf, cf], axis=0))
+                        yy2 = jnp.concatenate([yy, yy], axis=0)
+                    else:
+                        x, cf2, yy2 = lat, cf, yy
+                    t = jnp.full((x.shape[0],), t_scalar, jnp.float32)
+                    v, _ = wan_dit.wan_dit_forward_with_residual(
+                        p, dit_cfg, x.astype(dtype), t, ctx, rc, rs,
+                        attn_backend=backend, sp=sp, clip_fea=cf2, y=yy2)
+                    if do_cfg:
+                        vu, vc = jnp.split(v, 2, axis=0)
+                        v = vu + guidance_scale * (vc - vu)
+                    return v
+
+                self._jit_cache[skey] = step
+            step = self._jit_cache[skey]
+            state = sched.init_state(latents)
+            sk = ("sched", sampler, num_inference_steps, float(shift),
+                  solver_order)
+            if sk not in self._jit_cache:
+                self._jit_cache[sk] = jax.jit(sched.step, static_argnums=(1,))
+            sstep = self._jit_cache[sk]
+            for i in range(num_inference_steps):
+                v = step(self.dit_params, latents,
+                         float(sched.timesteps[i]), context, cos, sin,
+                         clip_fea, y)
+                latents, state = sstep(v, i, latents, state)
+
+        video = self.decode_to_numpy01(latents)
+        out = WanPipelineOutput(videos=video, edit_videos=video)
+        if output_latents:
+            out.latents = np.asarray(latents)
+        return out
+
     # -------------------------------------------------- AOT fused precompile
     def precompile_fused(self, *, height: int, width: int,
                          source_frames: int = 33, reasoning_frames: int = 4,
@@ -483,6 +664,7 @@ class WanPipeline:
         teacache_threshold: float = 0.10,
         teacache_skip_start_steps: int = 5,
         teacache_coefficients: Optional[Sequence[float]] = None,
+        teacache_forced_plan: Optional[Sequence[bool]] = None,
         cfg_skip_ratio: float = 0.0,
         riflex_k: Optional[int] = None,
         riflex_L_test: Optional[int] = None,
@@ -607,7 +789,13 @@ class WanPipeline:
         fkey = None
         if can_fuse:
             skip_mask = None
-            if enable_teacache:
+            if enable_teacache and teacache_forced_plan is not None:
+                # benchmarking/debug hook: pin the skip schedule (random
+                # weights skip ~90% of steps at the trained-weight threshold,
+                # so honest TeaCache timing injects a realistic ~40% plan)
+                assert len(teacache_forced_plan) == num_inference_steps
+                skip_mask = tuple(bool(s) for s in teacache_forced_plan)
+            elif enable_teacache:
                 from ..models import teacache as tcache
                 coeffs = (teacache_coefficients or
                           tcache.TEACACHE_COEFFICIENTS["wan2.1-t2v-14b"])
@@ -661,7 +849,10 @@ class WanPipeline:
         # ---- TeaCache plan (fully precomputable: the skip signal depends
         # only on the timestep schedule — see models/teacache.py)
         skips = [False] * num_inference_steps
-        if enable_teacache:
+        if enable_teacache and teacache_forced_plan is not None:
+            assert len(teacache_forced_plan) == num_inference_steps
+            skips = [bool(s) for s in teacache_forced_plan]
+        elif enable_teacache:
             from ..models import teacache as tc
             coeffs = (teacache_coefficients or
                       tc.TEACACHE_COEFFICIENTS["wan2.1-t2v-14b"])
@@ -794,11 +985,14 @@ class WanPipeline:
             parts.append(self.decode_to_u8_device(latents[:, :, g1:]))
             u8 = (parts[0] if len(parts) == 1
                   else jnp.concatenate(parts, axis=2))
-            # VIDEOCOF_FETCH_YUV420=1: pack RGB -> I420 on device and fetch
+            # I420 half-size fetch: pack RGB -> I420 on device and fetch
             # half the bytes (the same 4:2:0 chroma subsample any mp4 save
-            # applies; opt-in because raw-frame consumers lose chroma
-            # exactness). utils/colorspace.py documents the layout.
-            yuv = (_os.environ.get("VIDEOCOF_FETCH_YUV420", "0") == "1"
+            # applies). AUTO-selected from the measured transport rate
+            # (< ~20 MB/s: the axon tunnel on a bad day — see
+            # utils/transport.py); VIDEOCOF_FETCH_YUV420=1/0 overrides.
+            # Raw-frame consumers that need chroma exactness should pin 0.
+            from ..utils import transport
+            yuv = (transport.should_fetch_yuv420()
                    and u8.shape[3] % 4 == 0 and u8.shape[4] % 2 == 0)
             if yuv:
                 if "rgb2i420" not in self._jit_cache:
