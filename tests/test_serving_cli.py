@@ -128,6 +128,45 @@ def test_http_api_roundtrip(controller, test_video):
         server.shutdown()
 
 
+def test_cli_i2v_start_image(tmp_path, monkeypatch):
+    """--start_image routes through WanPipeline.image_to_video (i2v DiT:
+    channel-concat conditioning, Wan-i2v mask fold)."""
+    import jax
+    import jax.numpy as jnp
+
+    import videocof_tpu.cli._common as common
+    import videocof_tpu.cli.fast_infer as cli
+    from videocof_tpu.configs import T5_TINY, VAE_TINY, WAN_TINY
+    from videocof_tpu.models import t5_encoder, wan_dit, wan_vae
+    from videocof_tpu.pipeline import WanPipeline
+
+    vcfg = VAE_TINY
+    dcfg = WAN_TINY.replace(model_type="i2v", in_dim=2 * vcfg.z_dim + 4,
+                            out_dim=vcfg.z_dim, text_dim=T5_TINY.dim)
+    pipe = WanPipeline(
+        wan_dit.init_wan_dit(jax.random.PRNGKey(0), dcfg), dcfg,
+        wan_vae.init_wan_vae(jax.random.PRNGKey(1), vcfg), vcfg,
+        t5_encoder.init_t5_encoder(jax.random.PRNGKey(2), T5_TINY), T5_TINY,
+        dtype=jnp.float32)
+
+    from PIL import Image
+    img_path = str(tmp_path / "start.png")
+    Image.fromarray(np.random.default_rng(0).integers(
+        0, 256, (32, 32, 3)).astype(np.uint8)).save(img_path)
+
+    monkeypatch.setattr(common, "build_pipeline_from_args",
+                        lambda args, dtype=None, **kw: pipe)
+    monkeypatch.setattr(cli, "build_pipeline_from_args",
+                        lambda args, dtype=None, **kw: pipe)
+    out_dir = str(tmp_path / "out")
+    monkeypatch.setattr(sys, "argv", [
+        "fast_infer", "--start_image", img_path, "--prompt", "animate it",
+        "--output_dir", out_dir, "--num_frames", "9", "--random_init",
+        "--num_inference_steps", "1"])
+    cli.main()
+    assert "gen_start.mp4" in os.listdir(out_dir)
+
+
 def test_cli_fast_infer_e2e(tiny_pipe, test_video, tmp_path, monkeypatch):
     import videocof_tpu.cli._common as common
     import videocof_tpu.cli.fast_infer as cli

@@ -47,6 +47,11 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                         choices=(1, 2, 3),
                         help="UniPC/DPM++ multistep order (reference caps at "
                              "3; default 2)")
+    parser.add_argument("--start_image", type=str, default=None,
+                        help="image-to-video: animate this image (needs an "
+                             "i2v DiT checkpoint; --num_frames sets length)")
+    parser.add_argument("--end_image", type=str, default=None,
+                        help="optional last-frame pin for --start_image")
     parser.add_argument("--fps", type=int, default=10)
     parser.add_argument("--random_init", action="store_true",
                         help="Random weights (weight-free smoke runs)")
@@ -83,7 +88,13 @@ def collect_items(args) -> List[Tuple[str, Dict]]:
         return [(os.path.basename(args.video_path),
                  {"source_video_path": args.video_path,
                   "edit_instruction": args.prompt})]
-    raise SystemExit("provide --test_json or both --video_path and --prompt")
+    if getattr(args, "start_image", None) and args.prompt:
+        return [(os.path.basename(args.start_image),
+                 {"start_image_path": args.start_image,
+                  "end_image_path": getattr(args, "end_image", None),
+                  "edit_instruction": args.prompt})]
+    raise SystemExit("provide --test_json, or --video_path/--start_image "
+                     "plus --prompt")
 
 
 def shard_pending(items, output_dir: str):
@@ -112,6 +123,31 @@ def run_items(pipe, args, subset, rank: int, *, num_inference_steps: int,
     for fname, item in subset:
         base = os.path.splitext(fname)[0]
         out_path = os.path.join(args.output_dir, f"gen_{base}.mp4")
+        if item.get("start_image_path"):
+            # image-to-video path (--start_image): plain prompt, i2v DiT
+            prompt = item.get("edit_instruction", "")
+            print(f"[proc {rank}] i2v {fname}: {prompt}", file=sys.stderr)
+            from PIL import Image
+            with Image.open(item["start_image_path"]) as im:
+                w0, h0 = im.size
+            h0, w0 = (h0 // 16) * 16, (w0 // 16) * 16  # patch/VAE-aligned
+            out = pipe.image_to_video(
+                item["start_image_path"], prompt,
+                end_image=item.get("end_image_path"),
+                num_frames=args.num_frames, height=h0, width=w0,
+                negative_prompt=negative_prompt,
+                num_inference_steps=num_inference_steps,
+                guidance_scale=guidance_scale, shift=args.shift,
+                sampler=args.sampler,
+                solver_order=getattr(args, "solver_order", None),
+                seed=args.seed + rank)
+            save_results(out.videos, out_path, args.fps)
+            with open(os.path.join(args.output_dir, f"gen_{base}_info.txt"),
+                      "w", encoding="utf-8") as f:
+                f.write(prompt)
+            print(f"[proc {rank}] wrote {out_path}", file=sys.stderr)
+            continue
+
         prompt, _ = item_prompt(item)
         print(f"[proc {rank}] {fname}: {prompt}", file=sys.stderr)
 

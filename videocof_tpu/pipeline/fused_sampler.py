@@ -112,9 +112,13 @@ def _make_dit_v(dit_cfg: WanDiTConfig, do_cfg: bool, condition_count: int,
     None (no TeaCache threading) or a carried array + traced flag."""
 
     def dit_v(dit_params, gscale, latents, t_scalar, context, cos, sin,
-              residual=None, skip=None):
+              residual=None, skip=None, clip_fea=None, y=None):
         if do_cfg:
             x = jnp.concatenate([latents, latents], axis=0)
+            if clip_fea is not None:
+                clip_fea = jnp.concatenate([clip_fea, clip_fea], axis=0)
+            if y is not None:
+                y = jnp.concatenate([y, y], axis=0)
             if sp is not None and sp.cfg_parallel:
                 x = sp.shard_batch(x)
                 context = sp.shard_batch(context)
@@ -124,11 +128,14 @@ def _make_dit_v(dit_cfg: WanDiTConfig, do_cfg: bool, condition_count: int,
         v, res = wan_dit.wan_dit_forward_with_residual(
             dit_params, dit_cfg, x.astype(dtype), t, context, cos, sin,
             attn_backend=attn_backend, sp=sp, residual=residual,
-            skip_blocks=(False if skip is None else skip))
+            skip_blocks=(False if skip is None else skip),
+            clip_fea=clip_fea, y=y)
         if do_cfg:
             vu, vc = jnp.split(v, 2, axis=0)
             v = vu + gscale * (vc - vu)
-        return v.at[:, :, :condition_count].set(0.0), res
+        if condition_count:
+            v = v.at[:, :, :condition_count].set(0.0)
+        return v, res
 
     return dit_v
 
@@ -173,18 +180,24 @@ def make_fused_sample_fn(dit_cfg: WanDiTConfig, sampler_name: str,
                               attn_backend, sp)
 
     @jax.jit
-    def run(dit_params, latents, context, rope_cos, rope_sin):
+    def run(dit_params, latents, context, rope_cos, rope_sin,
+            clip_fea=None, y=None):
+        # ``clip_fea``/``y``: step-invariant i2v conditioning (CLIP image
+        # tokens + channel-concat conditioning video — the reference's
+        # `wan_transformer3d.py:866-867,944-946`); None on the t2v path
         if thread_residual:
             res_abs = jax.eval_shape(
                 lambda l: dit_v(dit_params, guidance_scale, l, 999.0,
-                                context, rope_cos, rope_sin)[1], latents)
+                                context, rope_cos, rope_sin,
+                                clip_fea=clip_fea, y=y)[1], latents)
             res0 = jnp.zeros(res_abs.shape, res_abs.dtype)
 
             def sbody(carry, x_t):
                 samp, res = carry
                 v, res = dit_v(dit_params, guidance_scale, latents_of(samp),
                                x_t["timestep"], context, rope_cos, rope_sin,
-                               residual=res, skip=x_t["skip"])
+                               residual=res, skip=x_t["skip"],
+                               clip_fea=clip_fea, y=y)
                 return (update(samp, x_t, v), res), None
 
             (carry, _), _ = jax.lax.scan(sbody, (init_carry(latents), res0),
@@ -194,7 +207,8 @@ def make_fused_sample_fn(dit_cfg: WanDiTConfig, sampler_name: str,
         def phase(carry, pxs, dv, ctx):
             def sbody(c, x_t):
                 v, _ = dv(dit_params, guidance_scale, latents_of(c),
-                          x_t["timestep"], ctx, rope_cos, rope_sin)
+                          x_t["timestep"], ctx, rope_cos, rope_sin,
+                          clip_fea=clip_fea, y=y)
                 return update(c, x_t, v), None
             carry, _ = jax.lax.scan(sbody, carry, pxs, unroll=scan_unroll)
             return carry
