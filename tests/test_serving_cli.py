@@ -372,6 +372,173 @@ def test_healthz_degraded_on_stuck_generation(controller):
         server.shutdown()
 
 
+@pytest.fixture(scope="module")
+def moe_pipe():
+    from videocof_tpu.pipeline import Wan22Pipeline
+    DCFG = WAN_TINY.replace(in_dim=VAE_TINY.z_dim, out_dim=VAE_TINY.z_dim,
+                            text_dim=T5_TINY.dim)
+    return Wan22Pipeline(
+        wan_dit.init_wan_dit(jax.random.PRNGKey(0), DCFG), DCFG,
+        wan_vae.init_wan_vae(jax.random.PRNGKey(1), VAE_TINY), VAE_TINY,
+        t5_encoder.init_t5_encoder(jax.random.PRNGKey(2), T5_TINY), T5_TINY,
+        dtype=jnp.float32,
+        dit_params_2=wan_dit.init_wan_dit(jax.random.PRNGKey(4), DCFG),
+        boundary=0.9)
+
+
+def test_http_api_moe_generation(moe_pipe, test_video, tmp_path):
+    """VERDICT r2 #7: a Wan2.2 MoE pipeline served through the HTTP API —
+    the full knob set rides the payload: per-expert guidance
+    (guidance_scale_2), TeaCache (enable_teacache/threshold/skip-start,
+    reference field names `videox_fun/api/api.py:123-127`), cfg-skip, and a
+    LoRA that the controller merges into BOTH experts."""
+    import tempfile, safetensors.numpy
+    from videocof_tpu.serving.api import make_handler, ENDPOINT
+    from http.server import ThreadingHTTPServer
+
+    controller = VideoCoFController(
+        moe_pipe, model_name="Wan2.2-T2V-A14B",
+        defaults=GenerationConfig(source_frames=9, reasoning_frames=4,
+                                  num_inference_steps=4,
+                                  guidance_scale=5.0))
+    server = ThreadingHTTPServer(("127.0.0.1", 0),
+                                 make_handler(controller, threading.Lock()))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    rng = np.random.default_rng(0)
+    d = WAN_TINY.dim
+    sd = {"diffusion_model.blocks.0.self_attn.q.lora_A.weight":
+          rng.standard_normal((2, d)).astype(np.float32) * 0.01,
+          "diffusion_model.blocks.0.self_attn.q.lora_B.weight":
+          rng.standard_normal((d, 2)).astype(np.float32) * 0.01}
+    lora_path = str(tmp_path / "adapter.safetensors")
+    safetensors.numpy.save_file(sd, lora_path)
+
+    try:
+        with open(test_video, "rb") as f:
+            vid_b64 = base64.b64encode(f.read()).decode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{ENDPOINT}",
+            data=json.dumps({
+                "prompt_textbox": "remove the dog",
+                "source_video": vid_b64,
+                "seed_textbox": 3,
+                "sample_step_slider": 4,
+                "cfg_scale_slider": 5.0,
+                "guidance_scale_2": 3.0,
+                "enable_teacache": True,
+                "teacache_threshold": 0.1,
+                "num_skip_start_steps": 0,
+                "cfg_skip_ratio": 0.25,
+                "lora_model_path": lora_path,
+                "lora_alpha_slider": 0.8,
+            }).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            resp = json.load(r)
+        assert resp["message"] == "Success"
+        assert len(base64.b64decode(resp["base64_encoding"])) > 100
+        # the LoRA was merged into BOTH experts and is tracked
+        assert controller._merged_loras == {lora_path: 0.8}
+    finally:
+        controller.ensure_lora(None)   # restore the shared fixture
+        server.shutdown()
+
+
+def test_moe_lora_merges_both_experts(moe_pipe):
+    """ensure_lora on a MoE pipeline mutates BOTH expert trees in lockstep
+    and unmerge restores both (high-noise steps must never run un-adapted
+    weights)."""
+    import tempfile, safetensors.numpy
+    controller = VideoCoFController(moe_pipe)
+    rng = np.random.default_rng(7)
+    d = WAN_TINY.dim
+    sd = {"diffusion_model.blocks.0.self_attn.q.lora_A.weight":
+          rng.standard_normal((2, d)).astype(np.float32) * 0.01,
+          "diffusion_model.blocks.0.self_attn.q.lora_B.weight":
+          rng.standard_normal((d, 2)).astype(np.float32) * 0.01}
+    with tempfile.NamedTemporaryFile(suffix=".safetensors") as f:
+        safetensors.numpy.save_file(sd, f.name)
+        key = lambda p: np.asarray(
+            p["blocks"]["self_attn"]["q"]["kernel"])
+        b1 = key(moe_pipe.dit_params)
+        b2 = key(moe_pipe.dit_params_2)
+        controller.ensure_lora(f.name)
+        assert np.abs(key(moe_pipe.dit_params) - b1).max() > 0
+        assert np.abs(key(moe_pipe.dit_params_2) - b2).max() > 0
+        controller.ensure_lora(None)
+        np.testing.assert_allclose(key(moe_pipe.dit_params), b1, atol=1e-6)
+        np.testing.assert_allclose(key(moe_pipe.dit_params_2), b2,
+                                   atol=1e-6)
+
+
+def test_moe_model_switch_dual_dir(moe_pipe, tmp_path, monkeypatch):
+    """The model-switch endpoint accepts a Wan2.2 dual-expert checkpoint
+    dir (low_noise_model/ + high_noise_model/) and swaps BOTH experts; the
+    factory recognizes the same layout (`is_wan22_moe_dir`)."""
+    from videocof_tpu.factory import is_wan22_moe_dir
+    from videocof_tpu.utils.checkpoint import save_dit_safetensors
+    from videocof_tpu.serving.api import make_handler, UPDATE_ENDPOINT
+    from http.server import ThreadingHTTPServer
+
+    ckpt = tmp_path / "wan22"
+    (ckpt / "low_noise_model").mkdir(parents=True)
+    (ckpt / "high_noise_model").mkdir()
+    assert not is_wan22_moe_dir(str(tmp_path))
+    assert is_wan22_moe_dir(str(ckpt))
+
+    orig1 = jax.tree.map(np.asarray, moe_pipe.dit_params)
+    orig2 = jax.tree.map(np.asarray, moe_pipe.dit_params_2)
+    save_dit_safetensors(
+        str(ckpt / "low_noise_model" / "model.safetensors"),
+        jax.tree.map(lambda a: a * 2.0, moe_pipe.dit_params),
+        moe_pipe.dit_cfg)
+    save_dit_safetensors(
+        str(ckpt / "high_noise_model" / "model.safetensors"),
+        jax.tree.map(lambda a: a * 3.0, moe_pipe.dit_params_2),
+        moe_pipe.dit_cfg)
+
+    controller = VideoCoFController(moe_pipe)
+    server = ThreadingHTTPServer(("127.0.0.1", 0),
+                                 make_handler(controller, threading.Lock()))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    monkeypatch.setenv("VIDEOCOF_MODEL_DIRS", str(tmp_path))
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{UPDATE_ENDPOINT}",
+            data=json.dumps({"diffusion_transformer_path":
+                             str(ckpt)}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert json.load(r)["message"] == "Success"
+        np.testing.assert_allclose(
+            np.asarray(moe_pipe.dit_params["text_mlp"]["fc1"]["kernel"]),
+            2.0 * orig1["text_mlp"]["fc1"]["kernel"], rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(moe_pipe.dit_params_2["text_mlp"]["fc1"]["kernel"]),
+            3.0 * orig2["text_mlp"]["fc1"]["kernel"], rtol=1e-6)
+    finally:
+        moe_pipe.dit_params = jax.tree.map(jnp.asarray, orig1)
+        moe_pipe.dit_params_2 = jax.tree.map(jnp.asarray, orig2)
+        server.shutdown()
+
+
+def test_webui_exposes_full_knob_set():
+    """VERDICT r2 #9: the page reaches every feature its own API honors —
+    LoRA path/weight, TeaCache toggle+threshold+skip-start, cfg-skip,
+    sampler, negative prompt, per-expert guidance, model-switch."""
+    from videocof_tpu.serving.webui import INDEX_HTML
+    for field in ("lora_model_path", "lora_alpha_slider", "enable_teacache",
+                  "teacache_threshold", "num_skip_start_steps",
+                  "cfg_skip_ratio", "sampler_dropdown",
+                  "negative_prompt_textbox", "guidance_scale_2",
+                  "update_diffusion_transformer", "Flow_Unipc",
+                  "Flow_DPM++"):
+        assert field in INDEX_HTML, field
+
+
 def test_http_api_update_diffusion_transformer(controller, tmp_path,
                                                monkeypatch):
     """Model-switch endpoint twin of `videox_fun/api/api.py:23-39`:

@@ -126,6 +126,104 @@ def test_wan22_uint8_input_matches_float():
         pipe(f32, ["a", "b"], **kw)
 
 
+def _moe_pipe(boundary=0.9):
+    p1 = wan_dit.init_wan_dit(jax.random.PRNGKey(0), DCFG)
+    p2 = wan_dit.init_wan_dit(jax.random.PRNGKey(1), DCFG)
+    return Wan22Pipeline(
+        p1, DCFG,
+        wan_vae.init_wan_vae(jax.random.PRNGKey(2), VCFG), VCFG,
+        t5_encoder.init_t5_encoder(jax.random.PRNGKey(3), T5_TINY), T5_TINY,
+        dtype=jnp.float32, dit_params_2=p2, boundary=boundary)
+
+
+def test_wan22_teacache_fused_matches_stepwise(monkeypatch):
+    """A TeaCache skip plan threads through the dual-expert fused scan
+    (per-expert residuals, forced recompute at the expert boundary) and
+    must reproduce the stepwise residual-replay loop. A forced plan makes
+    the schedule deterministic; the expert split at step 2 means the plan's
+    step-2 skip is normalized to compute (the residual belongs to the other
+    expert)."""
+    pipe = _moe_pipe(boundary=0.9)
+    video = np.random.default_rng(0).uniform(-1, 1, (1, 3, 9, 32, 32)
+                                             ).astype(np.float32)
+    # shift=5, 6 steps: t=[999,...] split at the 0.9 boundary
+    plan = [False, True, False, True, False, True]
+    kw = dict(source_frames=9, num_inference_steps=6, guidance_scale=5.0,
+              guidance_scale_2=3.0, cot=False, seed=3, shift=5.0,
+              enable_teacache=True, teacache_forced_plan=plan)
+    fused = pipe(video, "make it snow", fused_sampling=True, **kw)
+    monkeypatch.setenv("VIDEOCOF_STEPWISE", "1")
+    stepwise = pipe(video, "make it snow", fused_sampling=False, **kw)
+    monkeypatch.delenv("VIDEOCOF_STEPWISE")
+    np.testing.assert_allclose(fused.videos, stepwise.videos,
+                               atol=(1.0 / 255.0) + 1e-6)
+    # skipping changed the output vs no-TeaCache (the plan actually bites)
+    plain = pipe(video, "make it snow", fused_sampling=True,
+                 **{**kw, "enable_teacache": False,
+                    "teacache_forced_plan": None})
+    assert np.abs(plain.videos.astype(np.int32)
+                  - fused.videos.astype(np.int32)).max() > 0
+    # segmented path composes too
+    monkeypatch.setenv("VIDEOCOF_SEG_STEPS", "2")
+    seg = pipe(video, "make it snow", fused_sampling=False, **kw)
+    np.testing.assert_allclose(seg.videos, stepwise.videos,
+                               atol=(1.0 / 255.0) + 1e-6)
+
+
+def test_wan22_teacache_planned_per_expert():
+    """Auto-planned (non-forced) TeaCache on the MoE pipeline: the plan is
+    computed per expert; first step of each expert phase computes."""
+    from videocof_tpu.models import teacache as tc
+    pipe = _moe_pipe(boundary=0.9)
+    from videocof_tpu.schedulers import get_scheduler
+    s = get_scheduler("unipc")
+    s.set_timesteps(6, shift=5.0)
+    split = pipe._split_idx(s)
+    assert 0 < split < 6
+    ts = [float(t) for t in s.timesteps]
+    coeffs = tc.TEACACHE_COEFFICIENTS["wan2.1-i2v-14b-720p"]
+    hi = tc.plan_teacache_skips(pipe.dit_params_2, DCFG, ts[:split],
+                                coeffs, 0.1, 0)
+    lo = tc.plan_teacache_skips(pipe.dit_params, DCFG, ts[split:],
+                                coeffs, 0.1, 0)
+    assert hi[0] is False and lo[0] is False
+    # the pipeline runs with the auto plan (finite output, no crash)
+    video = np.random.default_rng(0).uniform(-1, 1, (1, 3, 9, 32, 32)
+                                             ).astype(np.float32)
+    out = pipe(video, "make it snow", source_frames=9,
+               num_inference_steps=6, guidance_scale=1.0, cot=False,
+               shift=5.0, enable_teacache=True, teacache_threshold=0.1,
+               teacache_skip_start_steps=0)
+    assert np.isfinite(out.videos).all()
+
+
+def test_wan22_cfg_skip_matches_stepwise(monkeypatch):
+    """cfg-skip on the MoE pipeline: the uncond branch drops for the last
+    fraction of steps as one more static phase cut; fused and segmented
+    must match the stepwise loop."""
+    pipe = _moe_pipe(boundary=0.9)
+    video = np.random.default_rng(0).uniform(-1, 1, (1, 3, 9, 32, 32)
+                                             ).astype(np.float32)
+    kw = dict(source_frames=9, num_inference_steps=4, guidance_scale=5.0,
+              guidance_scale_2=3.0, cot=False, seed=3, shift=5.0,
+              cfg_skip_ratio=0.5)
+    fused = pipe(video, "make it snow", fused_sampling=True, **kw)
+    monkeypatch.setenv("VIDEOCOF_STEPWISE", "1")
+    stepwise = pipe(video, "make it snow", fused_sampling=False, **kw)
+    monkeypatch.delenv("VIDEOCOF_STEPWISE")
+    np.testing.assert_allclose(fused.videos, stepwise.videos,
+                               atol=(1.0 / 255.0) + 1e-6)
+    monkeypatch.setenv("VIDEOCOF_SEG_STEPS", "3")
+    seg = pipe(video, "make it snow", fused_sampling=False, **kw)
+    np.testing.assert_allclose(seg.videos, stepwise.videos,
+                               atol=(1.0 / 255.0) + 1e-6)
+    # cfg-skip actually changes the result vs full CFG
+    full = pipe(video, "make it snow", fused_sampling=True,
+                **{**kw, "cfg_skip_ratio": 0.0})
+    assert np.abs(full.videos.astype(np.int32)
+                  - fused.videos.astype(np.int32)).max() > 0
+
+
 def test_i2v_dit_branch():
     cfg = WAN_TINY.replace(model_type="i2v", in_dim=WAN_TINY.in_dim * 2)
     params = wan_dit.init_wan_dit(jax.random.PRNGKey(0), cfg)

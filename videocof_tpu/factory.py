@@ -23,6 +23,19 @@ VAE_SUBPATH = "Wan2.1_VAE.pth"
 T5_SUBPATH = "models_t5_umt5-xxl-enc-bf16.pth"
 TOKENIZER_SUBPATH = "google/umt5-xxl"
 FUSIONX_LORA = "Wan2.1_Text_to_Video_14B_FusionX_LoRA.safetensors"
+# Wan2.2 A14B MoE checkpoint layout: two expert sub-dirs beside the shared
+# VAE/T5/tokenizer (reference `config/wan2.2/wan_civitai_t2v.yaml`
+# transformer_low/high_noise_model_subpath)
+LOW_NOISE_SUBPATH = "low_noise_model"
+HIGH_NOISE_SUBPATH = "high_noise_model"
+WAN22_BOUNDARY = 0.875
+
+
+def is_wan22_moe_dir(model_name: str) -> bool:
+    """True when ``model_name`` is a Wan2.2 A14B dual-expert checkpoint dir
+    (contains both ``low_noise_model/`` and ``high_noise_model/``)."""
+    return (os.path.isdir(os.path.join(model_name, LOW_NOISE_SUBPATH)) and
+            os.path.isdir(os.path.join(model_name, HIGH_NOISE_SUBPATH)))
 
 
 def load_pipeline(
@@ -111,9 +124,16 @@ def load_pipeline(
     npdt = np.dtype(np_dtype if np_dtype == "float32"
                     else ml_dtypes.bfloat16)
 
+    # Wan2.2 A14B MoE layout auto-detection: DiT weights live in the
+    # low/high-noise expert sub-dirs, VAE/T5/tokenizer at the root
+    dit_dir = model_name
+    if high_noise_model is None and is_wan22_moe_dir(model_name):
+        dit_dir = os.path.join(model_name, LOW_NOISE_SUBPATH)
+        high_noise_model = os.path.join(model_name, HIGH_NOISE_SUBPATH)
+
     if dit_cfg is None:
-        dit_cfg = weights.dit_config_from_checkpoint(model_name)
-    sd = weights.load_state_dict(model_name)
+        dit_cfg = weights.dit_config_from_checkpoint(dit_dir)
+    sd = weights.load_state_dict(dit_dir)
     dit_params = weights.convert_dit_state_dict(sd, dit_cfg, dtype=npdt)
     del sd
 

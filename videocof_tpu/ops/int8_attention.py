@@ -8,6 +8,19 @@ bf16. K is mean-centered before quantization (Sage's smoothing) — the dropped
 ``q . k_mean`` term is constant per query row and softmax-invariant, so no
 compensation is needed.
 
+v2 (VERDICT r2 #10): quantization is FUSED into the kernel prologue. v1
+quantized Q/K with XLA ops before the pallas_call — five extra HBM passes
+over Q and K (center, abs-max, scale, round, int8 write) that swamped the
+2x MXU rate (2.98 vs 1.80 s/step bf16, BASELINE.md). Here the kernel loads
+bf16 tiles and quantizes in VMEM: the Q tile once per query block (cached
+in scratch across the KV iteration), the K tile per (i, j) step — [BK, D]
+elementwise work, 1/BQ of the tile's dot FLOPs. Only the (softmax-invariant)
+K mean is precomputed outside, one XLA reduce pass over K. The int8 MXU dot
+keeps precision=DEFAULT pinned: a global jax_default_matmul_precision=
+'highest' would stamp an fp32 contract precision onto the integer matmul,
+which Mosaic rejects on real TPU ("Bad lhs type") while interpret mode
+hides it.
+
 Shares the online-softmax/grid structure of `flash_attention.py`. Inference
 only (no VJP): quantized attention is an acceleration knob, not a training
 path.
@@ -27,17 +40,17 @@ NEG_INF = -1e30
 LOG2E = 1.4426950408889634  # log2(e)
 
 
-def _quant_rows(x):
-    """fp -> (int8, per-row scale). x [..., L, D]."""
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
-    scale = jnp.maximum(amax, 1e-6) / 127.0
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127
-                 ).astype(jnp.int8)
+def _quant_tile(x, eps=1e-6):
+    """fp32 [R, D] -> (int8 [R, D], per-row scale [R, 1]). VMEM-resident."""
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, eps) / 127.0
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
     return q, scale
 
 
-def _int8_kernel(q_ref, k_ref, v_ref, sq_ref, sk_ref, mask_ref, o_ref,
-                 m_scr, l_scr, acc_scr, *, scale, kv_len, block_k):
+def _int8_kernel(q_ref, k_ref, v_ref, km_ref, mask_ref, o_ref,
+                 m_scr, l_scr, acc_scr, qi_scr, sq_scr,
+                 *, scale, kv_len, block_k):
     kv_i = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -46,24 +59,25 @@ def _int8_kernel(q_ref, k_ref, v_ref, sq_ref, sk_ref, mask_ref, o_ref,
         m_scr[:] = jnp.full_like(m_scr, NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
+        # quantize the Q tile ONCE per query block; the KV iteration
+        # (innermost grid axis) reuses it from scratch
+        qi, sq = _quant_tile(q_ref[0].astype(jnp.float32))
+        qi_scr[:] = qi
+        sq_scr[:] = sq
 
-    q = q_ref[0]            # [BQ, D] int8
-    k = k_ref[0]            # [BK, D] int8
+    # K tile: center with the (precomputed, whole-sequence) mean, then
+    # per-row int8 — all in VMEM, no HBM round-trip
+    kf = k_ref[0].astype(jnp.float32) - km_ref[0]
+    ki, sk = _quant_tile(kf)
     v = v_ref[0]            # [BK, D] bf16/f32
-    sq = sq_ref[0]          # [BQ, 1] f32
-    sk = sk_ref[0]          # [BK, 1] f32
 
-    # precision pinned to DEFAULT: a global jax_default_matmul_precision=
-    # 'highest' (tests pin it for fp32 parity) would stamp an fp32 contract
-    # precision onto this INTEGER matmul, which Mosaic rejects on real TPU
-    # ("Bad lhs type")
-    s32 = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+    s32 = jax.lax.dot_general(qi_scr[:], ki, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.int32,
                               precision=jax.lax.Precision.DEFAULT)
     # exp2-domain softmax (see flash_attention.py): scale & log2(e) fold
     # into the [BQ,1]/[BK,1] dequant scales, so the [BQ,BK] tile sees ONE
     # broadcast multiply and exp2 instead of exp
-    s = s32.astype(jnp.float32) * ((sq * (scale * LOG2E)) *
+    s = s32.astype(jnp.float32) * ((sq_scr[:] * (scale * LOG2E)) *
                                    sk[:, 0][None, :])
 
     if kv_len is not None:  # statically skipped when Lk divides the block
@@ -109,21 +123,18 @@ def int8_flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     kt = k.transpose(0, 2, 1, 3).reshape(B * N, Lk, D)
     vt = v.transpose(0, 2, 1, 3).reshape(B * N, Lk, D)
 
-    # Sage smoothing: center K across tokens (softmax-invariant, see module
-    # docstring), then per-row int8 quantization
-    kt = kt - jnp.mean(kt.astype(jnp.float32), axis=1, keepdims=True
-                       ).astype(kt.dtype)
-    qi, sq = _quant_rows(qt)
-    ki, sk = _quant_rows(kt)
+    # Sage smoothing: the whole-sequence K mean (softmax-invariant, see
+    # module docstring). One XLA reduce pass; masked-out keys still count
+    # toward the mean — centering is exact for ANY constant, so that only
+    # shifts the (irrelevant) constant, never correctness.
+    k_mean = jnp.mean(kt.astype(jnp.float32), axis=1, keepdims=True)
 
     q_pad = (-Lq) % block_q
     k_pad = (-Lk) % block_k
     if q_pad:
-        qi = jnp.pad(qi, ((0, 0), (0, q_pad), (0, 0)))
-        sq = jnp.pad(sq, ((0, 0), (0, q_pad), (0, 0)))
+        qt = jnp.pad(qt, ((0, 0), (0, q_pad), (0, 0)))
     if k_pad:
-        ki = jnp.pad(ki, ((0, 0), (0, k_pad), (0, 0)))
-        sk = jnp.pad(sk, ((0, 0), (0, k_pad), (0, 0)))
+        kt = jnp.pad(kt, ((0, 0), (0, k_pad), (0, 0)))
         vt = jnp.pad(vt, ((0, 0), (0, k_pad), (0, 0)))
     Lqp, Lkp = Lq + q_pad, Lk + k_pad
 
@@ -131,10 +142,9 @@ def int8_flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
         pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
         pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
         pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
-        pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
-        pl.BlockSpec((1, block_k, 1), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, 1, D), lambda b, i, j: (b, 0, 0)),
     ]
-    operands = [qi, ki, vt, sq, sk]
+    operands = [qt, kt, vt, k_mean]
     has_mask = kv_mask is not None
     if has_mask:
         m = jnp.repeat(kv_mask.astype(jnp.int32), N, axis=0)
@@ -145,13 +155,13 @@ def int8_flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
 
     def kern(*refs):
         if has_mask:
-            q_r, k_r, v_r, sq_r, sk_r, m_r, o_r = refs[:7]
-            scr = refs[7:]
-        else:
-            q_r, k_r, v_r, sq_r, sk_r, o_r = refs[:6]
-            m_r = None
+            q_r, k_r, v_r, km_r, m_r, o_r = refs[:6]
             scr = refs[6:]
-        _int8_kernel(q_r, k_r, v_r, sq_r, sk_r, m_r, o_r, *scr,
+        else:
+            q_r, k_r, v_r, km_r, o_r = refs[:5]
+            m_r = None
+            scr = refs[5:]
+        _int8_kernel(q_r, k_r, v_r, km_r, m_r, o_r, *scr,
                      scale=scale, kv_len=Lk if k_pad else None,
                      block_k=block_k)
 
@@ -165,6 +175,8 @@ def int8_flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.int8),
+            pltpu.VMEM((block_q, 1), jnp.float32),
         ],
         interpret=interpret,
     )(*operands)

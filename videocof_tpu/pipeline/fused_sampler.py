@@ -400,6 +400,8 @@ def make_segmented_sample_fn_moe(dit_cfg: WanDiTConfig, sampler_name: str,
                                  guidance_scale_2: float,
                                  condition_count: int, dtype,
                                  attn_backend=None, sp=None,
+                                 skip_mask=None,
+                                 cfg_off_after: Optional[int] = None,
                                  segment_steps: int = 4):
     """Segmented dual-expert (Wan2.2 MoE) trajectory: the MoE analogue of
     :func:`make_segmented_sample_fn` for trajectories too long to run as
@@ -408,6 +410,11 @@ def make_segmented_sample_fn_moe(dit_cfg: WanDiTConfig, sampler_name: str,
     scale are traced arguments, and both experts share the pytree
     structure (`wan_transformer3d.py:1302-1399`: same architecture).
 
+    ``skip_mask``/``cfg_off_after``: TeaCache schedule and cfg-skip split,
+    same contracts as :func:`make_fused_sample_fn_moe`; unlike the
+    one-program path the two COMPOSE here (the residual's cond-row slice at
+    the cfg boundary happens between segments).
+
     Returns fn(dit_params, dit_params_2, latents, context, cos, sin).
     """
     segment_steps = max(1, int(segment_steps))
@@ -415,57 +422,133 @@ def make_segmented_sample_fn_moe(dit_cfg: WanDiTConfig, sampler_name: str,
     n_steps = len(next(iter(plan.values())))
     if not 0 <= split_idx <= n_steps:
         raise ValueError(f"split_idx {split_idx} outside [0, {n_steps}]")
+    phases = _moe_phase_table(n_steps, split_idx, do_cfg, cfg_off_after)
+    thread_residual = skip_mask is not None
+    if thread_residual:
+        skip_mask = np.asarray(skip_mask, bool)
+        if n_steps and skip_mask[0]:
+            raise ValueError("skip_mask[0] must be False: the first step "
+                             "has no residual to replay")
+        if 0 < split_idx < n_steps and skip_mask[split_idx]:
+            raise ValueError("skip_mask[split_idx] must be False: the "
+                             "carried residual belongs to the other expert")
+        xs_host["skip"] = skip_mask
     latents_of, update, init_carry, final = _sampler_defs(sampler_name)
-    dit_v = _make_dit_v(dit_cfg, do_cfg, condition_count, dtype,
-                        attn_backend, sp)
+    dit_v_cfg = _make_dit_v(dit_cfg, do_cfg, condition_count, dtype,
+                            attn_backend, sp)
+    dit_v_plain = _make_dit_v(dit_cfg, False, condition_count, dtype,
+                              attn_backend, sp)
 
-    @jax.jit
-    def seg(params, gscale, carry, xs_seg, context, cos, sin):
-        def sbody(c, x_t):
-            v, _ = dit_v(params, gscale, latents_of(c), x_t["timestep"],
-                         context, cos, sin)
-            return update(c, x_t, v), None
-        carry, _ = jax.lax.scan(sbody, carry, xs_seg)
-        return carry
+    def make_seg(dv):
+        # expert params + guidance are TRACED arguments: one executable per
+        # (cfg phase kind), shared by both experts (same pytree structure —
+        # `wan_transformer3d.py:1302-1399`: same architecture)
+        if thread_residual:
+            @jax.jit
+            def seg(params, gscale, carry, res, xs_seg, context, cos, sin):
+                def sbody(c, x_t):
+                    samp, r = c
+                    v, r = dv(params, gscale, latents_of(samp),
+                              x_t["timestep"], context, cos, sin,
+                              residual=r, skip=x_t["skip"])
+                    return (update(samp, x_t, v), r), None
+                (carry, res), _ = jax.lax.scan(sbody, (carry, res), xs_seg)
+                return carry, res
+            return seg
+
+        @jax.jit
+        def seg(params, gscale, carry, res, xs_seg, context, cos, sin):
+            def sbody(c, x_t):
+                v, _ = dv(params, gscale, latents_of(c), x_t["timestep"],
+                          context, cos, sin)
+                return update(c, x_t, v), None
+            carry, _ = jax.lax.scan(sbody, carry, xs_seg)
+            return carry, res
+        return seg
+
+    seg_cfg = make_seg(dit_v_cfg)
+    seg_plain = (make_seg(dit_v_plain)
+                 if do_cfg and any(not cfg_on for *_, cfg_on in phases)
+                 else None)
 
     def run(dit_params, dit_params_2, latents, context, cos, sin):
         carry = init_carry(latents)
+        res = None
+        if thread_residual:
+            res_abs = jax.eval_shape(
+                lambda l: dit_v_cfg(dit_params, guidance_scale, l, 999.0,
+                                    context, cos, sin)[1], latents)
+            res = jnp.zeros(res_abs.shape, res_abs.dtype)
 
-        def phase(lo, hi, params, g, carry):
-            g = jnp.float32(g)
-            return _drive_segments(
-                lambda c, xs: seg(params, g, c, xs, context, cos, sin),
-                xs_host, lo, hi, segment_steps, carry)
-
-        if split_idx > 0:
-            carry = phase(0, split_idx, dit_params_2, guidance_scale_2,
-                          carry)
-        if split_idx < n_steps:
-            carry = phase(split_idx, n_steps, dit_params, guidance_scale,
-                          carry)
+        for lo, hi, hi_expert, cfg_on in phases:
+            params = dit_params_2 if hi_expert else dit_params
+            g = jnp.float32(guidance_scale_2 if hi_expert
+                            else guidance_scale)
+            if do_cfg and not cfg_on:
+                seg_f, ctx = seg_plain, context[context.shape[0] // 2:]
+                if (thread_residual and res is not None
+                        and res.shape[0] != latents.shape[0]):
+                    res = res[-latents.shape[0]:]  # cond rows (ref [-B:])
+            else:
+                seg_f, ctx = seg_cfg, context
+            carry, res = _drive_segments(
+                lambda cr, xs, s=seg_f, p=params, g=g, c=ctx: s(
+                    p, g, cr[0], cr[1], xs, c, cos, sin),
+                xs_host, lo, hi, segment_steps, (carry, res))
         return final(carry)
 
-    run.seg = seg
+    run.seg = seg_cfg
+    run.seg_plain = seg_plain
     run.segment_steps = segment_steps
     run.xs_host = xs_host
     run.n_steps = n_steps
     run.split_idx = split_idx
+    run.phases = phases
+    run.thread_residual = thread_residual
     run.init_carry = init_carry
     return run
+
+
+def _moe_phase_table(n_steps: int, split_idx: int, do_cfg: bool,
+                     cfg_off_after: Optional[int]):
+    """Static phase table for a dual-expert trajectory: (lo, hi,
+    use_expert_2, cfg_on) spans. Boundaries are the expert split (leading
+    ``split_idx`` steps on the high-noise expert) and the cfg-skip split
+    (steps at index >= ``cfg_off_after`` drop the uncond branch). Both are
+    data-independent, so the trajectory is a fixed sequence of scans."""
+    cfg_off = n_steps
+    if do_cfg and cfg_off_after is not None:
+        cfg_off = max(0, min(int(cfg_off_after), n_steps))
+    cuts = sorted({0, split_idx, cfg_off, n_steps})
+    phases = []
+    for lo, hi in zip(cuts[:-1], cuts[1:]):
+        if lo == hi:
+            continue
+        phases.append((lo, hi, lo < split_idx, do_cfg and lo < cfg_off))
+    return phases
 
 
 def make_fused_sample_fn_moe(dit_cfg: WanDiTConfig, sampler_name: str,
                              plan: dict, split_idx: int, do_cfg: bool,
                              guidance_scale: float, guidance_scale_2: float,
                              condition_count: int, dtype,
-                             attn_backend=None, sp=None):
+                             attn_backend=None, sp=None,
+                             skip_mask=None,
+                             cfg_off_after: Optional[int] = None):
     """Dual-expert (Wan2.2 MoE) fused trajectory: the expert boundary is
     data-INdependent (t >= boundary * num_train_timesteps with a monotone
     timestep schedule — reference `pipeline_wan2_2.py:533-535`), so the
     trajectory statically splits into a high-noise prefix handled by
     ``dit_params_2`` (with ``guidance_scale_2``) and a low-noise suffix
-    handled by the base expert: TWO `lax.scan`s threading one sampler carry,
-    still a single compiled XLA program.
+    handled by the base expert: per-phase `lax.scan`s threading one sampler
+    carry, still a single compiled XLA program.
+
+    ``skip_mask`` (optional, one bool per step): a precomputed TeaCache
+    schedule — planned PER EXPERT by the caller (each expert has its own
+    timestep modulations); the first step of each expert phase must compute
+    (the carried residual belongs to the other expert). ``cfg_off_after``:
+    cfg-skip as a further static phase split. TeaCache + cfg-skip combined
+    is rejected, same rule as :func:`make_fused_sample_fn`.
 
     ``split_idx``: number of leading steps routed to the high-noise expert.
     Returns jitted fn(dit_params, dit_params_2, latents, context, cos, sin).
@@ -473,27 +556,64 @@ def make_fused_sample_fn_moe(dit_cfg: WanDiTConfig, sampler_name: str,
     n_steps = len(next(iter(plan.values())))
     if not 0 <= split_idx <= n_steps:
         raise ValueError(f"split_idx {split_idx} outside [0, {n_steps}]")
-    xs_hi = {k: jnp.asarray(v[:split_idx]) for k, v in plan.items()}
-    xs_lo = {k: jnp.asarray(v[split_idx:]) for k, v in plan.items()}
+    phases = _moe_phase_table(n_steps, split_idx, do_cfg, cfg_off_after)
+    thread_residual = skip_mask is not None
+    xs_all = {k: np.asarray(v) for k, v in plan.items()}
+    if thread_residual:
+        if any(cfg_on != phases[0][3] for _, _, _, cfg_on in phases):
+            raise ValueError("TeaCache + cfg-skip: residual shapes differ "
+                             "across the cfg split; use the stepwise path")
+        skip_mask = np.asarray(skip_mask, bool)
+        if n_steps and skip_mask[0]:
+            raise ValueError("skip_mask[0] must be False: the first step "
+                             "has no residual to replay")
+        if 0 < split_idx < n_steps and skip_mask[split_idx]:
+            raise ValueError("skip_mask[split_idx] must be False: the "
+                             "carried residual belongs to the other expert")
+        xs_all["skip"] = skip_mask
     latents_of, update, init_carry, final = _sampler_defs(sampler_name)
     dit_v = _make_dit_v(dit_cfg, do_cfg, condition_count, dtype,
                         attn_backend, sp)
+    dit_v_plain = _make_dit_v(dit_cfg, False, condition_count, dtype,
+                              attn_backend, sp)
 
     @jax.jit
     def run(dit_params, dit_params_2, latents, context, rope_cos, rope_sin):
-        def phase(carry, xs, params, gscale):
+        res = None
+        if thread_residual:
+            res_abs = jax.eval_shape(
+                lambda l: dit_v(dit_params, guidance_scale, l, 999.0,
+                                context, rope_cos, rope_sin)[1], latents)
+            res = jnp.zeros(res_abs.shape, res_abs.dtype)
+
+        def phase(carry, res, lo, hi, params, gscale, cfg_on):
+            dv = dit_v if cfg_on else dit_v_plain
+            ctx = context if cfg_on or not do_cfg \
+                else context[context.shape[0] // 2:]  # cond rows
+            xs = {k: jnp.asarray(v[lo:hi]) for k, v in xs_all.items()}
+            if thread_residual:
+                def sbody(c, x_t):
+                    samp, r = c
+                    v, r = dv(params, gscale, latents_of(samp),
+                              x_t["timestep"], ctx, rope_cos, rope_sin,
+                              residual=r, skip=x_t["skip"])
+                    return (update(samp, x_t, v), r), None
+                (carry, res), _ = jax.lax.scan(sbody, (carry, res), xs)
+                return carry, res
+
             def sbody(c, x_t):
-                v, _ = dit_v(params, gscale, latents_of(c), x_t["timestep"],
-                             context, rope_cos, rope_sin)
+                v, _ = dv(params, gscale, latents_of(c), x_t["timestep"],
+                          ctx, rope_cos, rope_sin)
                 return update(c, x_t, v), None
             carry, _ = jax.lax.scan(sbody, carry, xs)
-            return carry
+            return carry, res
 
         carry = init_carry(latents)
-        if split_idx > 0:
-            carry = phase(carry, xs_hi, dit_params_2, guidance_scale_2)
-        if split_idx < n_steps:
-            carry = phase(carry, xs_lo, dit_params, guidance_scale)
+        for lo, hi, hi_expert, cfg_on in phases:
+            carry, res = phase(carry, res, lo, hi,
+                               dit_params_2 if hi_expert else dit_params,
+                               guidance_scale_2 if hi_expert
+                               else guidance_scale, cfg_on)
         return final(carry)
 
     return run

@@ -126,8 +126,8 @@ class Wan22Pipeline(WanPipeline):
         # other-geometry calls fall back to jit instead of crashing
         fkey = ("fused22", sampler, num_inference_steps, float(shift),
                 do_cfg, float(guidance_scale), float(g2), split_idx,
-                cond, self._backend_for(do_cfg), tuple(lat_abs.shape),
-                tuple(ctx_abs.shape))
+                cond, self._backend_for(do_cfg), None, None,
+                tuple(lat_abs.shape), tuple(ctx_abs.shape))
         self._jit_cache[fkey] = runner
         return fmts[0], fmts[1]
 
@@ -148,6 +148,12 @@ class Wan22Pipeline(WanPipeline):
                  max_sequence_length: int = 512,
                  prompt_embeds=None, negative_prompt_embeds=None,
                  fused_sampling: Optional[bool] = None,
+                 enable_teacache: bool = False,
+                 teacache_threshold: float = 0.10,
+                 teacache_skip_start_steps: int = 5,
+                 teacache_coefficients=None,
+                 teacache_forced_plan=None,
+                 cfg_skip_ratio: float = 0.0,
                  **_ignored) -> WanPipelineOutput:
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
         video = self._prepare_video(video, prompts)
@@ -194,12 +200,58 @@ class Wan22Pipeline(WanPipeline):
         # count (monotone decreasing schedule, data-independent boundary)
         split_idx = self._split_idx(sched)
 
+        # ---- cfg-skip: drop the uncond pass in the last fraction of steps
+        # (`utils/cfg_optimization.py:7-37`) — one more static phase cut
+        cfg_off = None
+        if do_cfg and cfg_skip_ratio > 0.0:
+            cfg_off = num_inference_steps - int(
+                round(num_inference_steps * cfg_skip_ratio))
+
+        # ---- TeaCache: planned PER EXPERT (each expert has its own
+        # timestep-modulation trajectory; the reference keeps separate cache
+        # state per transformer). The first step of each expert phase always
+        # computes — the carried residual belongs to the other expert.
+        skip_mask = None
+        if enable_teacache and teacache_forced_plan is not None:
+            assert len(teacache_forced_plan) == num_inference_steps
+            plan = [bool(s) for s in teacache_forced_plan]
+            plan[0] = False
+            if 0 < split_idx < num_inference_steps:
+                plan[split_idx] = False
+            skip_mask = tuple(plan)
+        elif enable_teacache:
+            from ..models import teacache as tc
+            # wan2.2-* names alias onto the 720p polynomial in the
+            # reference's table (`cache_utils.py:5-15`)
+            coeffs = (teacache_coefficients or
+                      tc.TEACACHE_COEFFICIENTS["wan2.1-i2v-14b-720p"])
+            ts = [float(t) for t in sched.timesteps]
+            hi_params = (self.dit_params_2
+                         if self.dit_params_2 is not None
+                         else self.dit_params)
+            plan_hi = tc.plan_teacache_skips(
+                hi_params, self.dit_cfg, ts[:split_idx], coeffs,
+                teacache_threshold,
+                teacache_skip_start_steps) if split_idx else []
+            plan_lo = tc.plan_teacache_skips(
+                self.dit_params, self.dit_cfg, ts[split_idx:], coeffs,
+                teacache_threshold,
+                max(0, teacache_skip_start_steps - split_idx)
+            ) if split_idx < num_inference_steps else []
+            skip_mask = tuple(plan_hi) + tuple(plan_lo)
+        # one-program fusion excludes TeaCache+cfg-skip COMBINED (residual
+        # batch shapes disagree across the cfg split); segmented composes
+        can_fuse = not (skip_mask is not None and cfg_off is not None)
+
         fkey = ("fused22", sampler, num_inference_steps, float(shift),
                 do_cfg, float(guidance_scale), float(g2), split_idx,
                 condition_count, self._backend_for(do_cfg),
+                skip_mask, cfg_off,
                 tuple(latents.shape), tuple(context.shape))
         if fused_sampling is None:
-            if fkey in self._jit_cache:
+            if not can_fuse:
+                fused_sampling = False
+            elif fkey in self._jit_cache:
                 # a precompiled AOT runner exists for exactly this geometry:
                 # always use it (the weights were shipped into ITS formats —
                 # re-jitting would relayout-copy the whole tree)
@@ -214,7 +266,7 @@ class Wan22Pipeline(WanPipeline):
                 est_total = num_inference_steps * estimate_step_seconds(
                     L_tok, do_cfg, dit_cfg=self.dit_cfg)
                 fused_sampling = est_total <= 45.0
-        if fused_sampling:
+        if fused_sampling and can_fuse:
             # whole trajectory (both expert phases) as ONE compiled program
             if fkey not in self._jit_cache:
                 from .fused_sampler import make_fused_sample_fn_moe
@@ -222,7 +274,8 @@ class Wan22Pipeline(WanPipeline):
                 self._jit_cache[fkey] = make_fused_sample_fn_moe(
                     self.dit_cfg, sampler, sched.plan_arrays(), split_idx,
                     do_cfg, guidance_scale, g2, condition_count, self.dtype,
-                    attn_backend=self._backend_for(do_cfg), sp=sp)
+                    attn_backend=self._backend_for(do_cfg), sp=sp,
+                    skip_mask=skip_mask, cfg_off_after=cfg_off)
             params_2 = (self.dit_params_2 if self.dit_params_2 is not None
                         else self.dit_params)
             latents = self._jit_cache[fkey](self.dit_params, params_2,
@@ -244,7 +297,7 @@ class Wan22Pipeline(WanPipeline):
                 skey = ("seg22", sampler, num_inference_steps, float(shift),
                         do_cfg, float(guidance_scale), float(g2), split_idx,
                         condition_count, self._backend_for(do_cfg),
-                        seg_n)
+                        skip_mask, cfg_off, seg_n)
                 if skey not in self._jit_cache:
                     sp = self._sp_for(do_cfg)
                     self._jit_cache[skey] = make_segmented_sample_fn_moe(
@@ -252,7 +305,7 @@ class Wan22Pipeline(WanPipeline):
                         split_idx, do_cfg, guidance_scale, g2,
                         condition_count, self.dtype,
                         attn_backend=self._backend_for(do_cfg),
-                        sp=sp,
+                        sp=sp, skip_mask=skip_mask, cfg_off_after=cfg_off,
                         segment_steps=seg_n)
                 params_2 = (self.dit_params_2
                             if self.dit_params_2 is not None
@@ -266,14 +319,30 @@ class Wan22Pipeline(WanPipeline):
                     self._jit_cache[sched_key] = jax.jit(
                         sched.step, static_argnums=(1,))
                 sched_step = self._jit_cache[sched_key]
+                skips = (list(skip_mask) if skip_mask is not None
+                         else [False] * num_inference_steps)
+                residual = None
                 for i in range(num_inference_steps):
                     t_i = float(sched.timesteps[i])
                     high = i < split_idx
                     expert = self.dit_params_2 if high else self.dit_params
                     g = g2 if high else guidance_scale
-                    step = self._step_fn(do_cfg, g, condition_count)
-                    v, _ = step(expert, latents, t_i, context, cos, sin,
-                                None)
+                    step_cfg = do_cfg and (cfg_off is None or i < cfg_off)
+                    ctx_i = context
+                    if do_cfg and not step_cfg:
+                        ctx_i = context[context.shape[0] // 2:]  # cond rows
+                    res_in = None
+                    if skips[i]:
+                        res_in = residual
+                        need = latents.shape[0] * (2 if step_cfg else 1)
+                        if res_in.shape[0] != need:
+                            res_in = res_in[-need:]  # cond rows (ref [-B:])
+                    step = self._step_fn(step_cfg, g, condition_count,
+                                         skip_blocks=skips[i])
+                    v, res = step(expert, latents, t_i, ctx_i, cos, sin,
+                                  res_in)
+                    if not skips[i]:
+                        residual = res
                     latents, state = sched_step(v, i, latents, state)
 
         # segment-wise decode shared with the base pipeline (single-fetch

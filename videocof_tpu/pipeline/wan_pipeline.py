@@ -591,10 +591,14 @@ class WanPipeline:
         # the key carries the compiled geometry: the runner is
         # shape-locked AOT code, and a call at any other resolution /
         # frame count / batch must fall back to plain jit, not crash
+        # trailing None/None/None = skip_mask / cfg_off / solver_order:
+        # must mirror the __call__-side key EXACTLY or the AOT runner is
+        # silently bypassed (and the weights, shipped into ITS formats,
+        # relayout-copied) — tests/test_fp8.py pins the reuse
         fkey = ("fused", sampler, num_inference_steps, float(shift),
                 do_cfg, float(guidance_scale), cond, None, None,
                 self._backend_for(do_cfg), tuple(lat_abs.shape),
-                tuple(ctx_abs.shape))
+                tuple(ctx_abs.shape), None)
         self._jit_cache[fkey] = runner
         return fmts[0]
 

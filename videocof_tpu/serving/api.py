@@ -244,6 +244,25 @@ def make_handler(controller: VideoCoFController, lock: threading.Lock,
                     kwargs["sampler"] = ("unipc" if "unipc" in s
                                          else "dpm++" if "dpm" in s
                                          else "euler")
+                # TeaCache / cfg-skip knobs, reference API field names
+                # (`videox_fun/api/api.py:123-127`)
+                if "enable_teacache" in req:
+                    kwargs["enable_teacache"] = bool(req["enable_teacache"])
+                if "teacache_threshold" in req:
+                    kwargs["teacache_threshold"] = float(
+                        req["teacache_threshold"])
+                if "num_skip_start_steps" in req:
+                    kwargs["teacache_skip_start_steps"] = int(
+                        req["num_skip_start_steps"])
+                if "cfg_skip_ratio" in req:
+                    kwargs["cfg_skip_ratio"] = float(req["cfg_skip_ratio"])
+                # MoE-only knob: per-expert guidance for the high-noise
+                # phase (`pipeline_wan2_2.py:552-553`)
+                if ("guidance_scale_2" in req and
+                        getattr(controller.pipeline, "dit_params_2",
+                                None) is not None):
+                    kwargs["guidance_scale_2"] = float(
+                        req["guidance_scale_2"])
                 # LoRA merge-state handled under the generation lock below
                 # (ensure_lora mutates pipeline weights); "none" unmerges,
                 # mirroring the reference controller semantics
@@ -332,6 +351,10 @@ def main():
     p.add_argument("--quantize", type=str, default=None,
                    choices=[None, "fp8"])
     p.add_argument("--offload_t5", action="store_true")
+    # Wan2.2 MoE: a model dir containing low_noise_model/ +
+    # high_noise_model/ is auto-detected by the factory; these override
+    p.add_argument("--high_noise_model", type=str, default=None)
+    p.add_argument("--boundary", type=float, default=0.875)
     p.add_argument("--port", type=int, default=8188)
     # loopback by default: this is an unauthenticated surface; pass
     # --host 0.0.0.0 explicitly to expose it
@@ -341,8 +364,11 @@ def main():
     from ..factory import load_pipeline
     pipe = load_pipeline(args.model_name or "", random_init=args.random_init,
                          quantize=args.quantize,
-                         offload_t5=args.offload_t5)
-    serve(VideoCoFController(pipe), host=args.host, port=args.port)
+                         offload_t5=args.offload_t5,
+                         high_noise_model=args.high_noise_model,
+                         boundary=args.boundary)
+    serve(VideoCoFController(pipe, model_name=args.model_name),
+          host=args.host, port=args.port)
 
 
 if __name__ == "__main__":

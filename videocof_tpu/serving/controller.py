@@ -24,16 +24,33 @@ from ..utils.video_io import load_video_frames, save_video
 class VideoCoFController:
     pipeline: Any
     defaults: GenerationConfig = field(default_factory=GenerationConfig)
+    # checkpoint name/path the pipeline was loaded from; selects the
+    # TeaCache coefficient set by alias the way the reference UI does
+    # (`videox_fun/api/api.py:224`)
+    model_name: Optional[str] = None
     # LoRA merge-state tracking (`examples/app.py:220-262`)
     _merged_loras: Dict[str, float] = field(default_factory=dict)
+
+    # ------------------------------------------------------------- experts
+    def _expert_attrs(self):
+        """Pipeline attributes holding DiT expert param trees. A Wan2.2 MoE
+        pipeline carries a second (high-noise) expert; LoRA merges and
+        weight swaps must cover BOTH — high-noise steps would otherwise run
+        un-adapted weights (same rule as the factory's load-time merge)."""
+        attrs = ["dit_params"]
+        if getattr(self.pipeline, "dit_params_2", None) is not None:
+            attrs.append("dit_params_2")
+        return attrs
 
     # ---------------------------------------------------------------- LoRA
     def ensure_lora(self, path: Optional[str], multiplier: float = 1.0):
         """Merge/unmerge so that EXACTLY the requested LoRA set is fused:
         a different path (or multiplier) first unmerges what no longer
-        belongs, path=None unmerges everything. Callers that share the
-        pipeline across threads must hold the generation lock — this
-        mutates pipeline.dit_params."""
+        belongs, path=None unmerges everything. On a Wan2.2 MoE pipeline the
+        merge state is guarded per expert: every merge/unmerge applies to
+        both expert trees in lockstep. Callers that share the pipeline
+        across threads must hold the generation lock — this mutates
+        pipeline.dit_params (and dit_params_2)."""
         from ..models.lora import merge_lora, unmerge_lora
         want = {path: multiplier} if path else {}
         if self._merged_loras == want:
@@ -43,15 +60,20 @@ class VideoCoFController:
                 "cannot merge a LoRA into fp8-quantized weights at serve "
                 "time; fuse it at load time via "
                 "load_pipeline(lora_paths=[(path, mult)], quantize='fp8')")
+        attrs = self._expert_attrs()
         for p, m in list(self._merged_loras.items()):
             if want.get(p) != m:
-                self.pipeline.dit_params = unmerge_lora(
-                    self.pipeline.dit_params, self.pipeline.dit_cfg, p, m)
+                for attr in attrs:
+                    setattr(self.pipeline, attr, unmerge_lora(
+                        getattr(self.pipeline, attr),
+                        self.pipeline.dit_cfg, p, m))
                 del self._merged_loras[p]
         for p, m in want.items():
             if p not in self._merged_loras:
-                self.pipeline.dit_params = merge_lora(
-                    self.pipeline.dit_params, self.pipeline.dit_cfg, p, m)
+                for attr in attrs:
+                    setattr(self.pipeline, attr, merge_lora(
+                        getattr(self.pipeline, attr),
+                        self.pipeline.dit_cfg, p, m))
                 self._merged_loras[p] = m
 
     # ---------------------------------------------------------- weight swap
@@ -64,9 +86,34 @@ class VideoCoFController:
         the resident architecture config, so every compiled executable stays
         valid (shape-identical swap = zero recompiles); fp8-resident params
         are re-quantized on the way in. Clears the LoRA merge state — the
-        new checkpoint is pristine."""
+        new checkpoint is pristine. A Wan2.2 dual-expert checkpoint dir
+        (low_noise_model/ + high_noise_model/) swaps BOTH experts of a MoE
+        pipeline; a single-expert path swaps the base expert only."""
         if not path or path == "none":
             return
+        from ..factory import (HIGH_NOISE_SUBPATH, LOW_NOISE_SUBPATH,
+                               is_wan22_moe_dir)
+        if is_wan22_moe_dir(path):
+            # Wan2.2 A14B dual-expert layout: swap BOTH experts. Requires a
+            # pipeline that carries a second expert slot (same architecture
+            # config — the shape-identity contract extends per expert).
+            if getattr(self.pipeline, "dit_params_2", None) is None:
+                raise RuntimeError(
+                    f"{path} is a Wan2.2 dual-expert checkpoint but the "
+                    "resident pipeline has no high-noise expert slot; "
+                    "restart with load_pipeline(high_noise_model=...) or "
+                    "point at a single-expert checkpoint")
+            self._swap_expert("dit_params",
+                              os.path.join(path, LOW_NOISE_SUBPATH))
+            self._swap_expert("dit_params_2",
+                              os.path.join(path, HIGH_NOISE_SUBPATH))
+        else:
+            # single-expert checkpoint: swaps the base (low-noise) expert;
+            # on a MoE pipeline the high-noise expert keeps its weights
+            self._swap_expert("dit_params", path)
+        self._merged_loras.clear()
+
+    def _swap_expert(self, attr: str, path: str) -> None:
         import jax
         import jax.numpy as jnp
         import ml_dtypes
@@ -85,16 +132,15 @@ class VideoCoFController:
         # deployment (13.83 GiB resident on a 16 GB chip) cannot afford.
         # The controller owns the canonical param tree (LoRA state is about
         # to be cleared), so explicit buffer deletion is safe here.
-        old = self.pipeline.dit_params
-        self.pipeline.dit_params = None
+        old = getattr(self.pipeline, attr)
+        setattr(self.pipeline, attr, None)
         if old is not None:
             for leaf in jax.tree.leaves(old):
                 if isinstance(leaf, jax.Array) and not leaf.is_deleted():
                     leaf.delete()
             del old
-        self.pipeline.dit_params = jax.tree.map(jnp.asarray, params)
-        jax.block_until_ready(self.pipeline.dit_params)
-        self._merged_loras.clear()
+        setattr(self.pipeline, attr, jax.tree.map(jnp.asarray, params))
+        jax.block_until_ready(getattr(self.pipeline, attr))
 
     def _params_quantized(self) -> bool:
         blocks = self.pipeline.dit_params.get("blocks", {})
@@ -129,6 +175,14 @@ class VideoCoFController:
                 video_path, source_frames,
                 rng=np.random.default_rng(seed or d.seed))
         full_prompt = prompt if raw_prompt else build_cot_prompt(prompt)
+        if (gen_kwargs.get("enable_teacache") and self.model_name and
+                "teacache_coefficients" not in gen_kwargs):
+            # checkpoint-name alias -> published polynomial set, the
+            # reference controller's get_teacache_coefficients dispatch
+            from ..models.teacache import get_teacache_coefficients
+            coeffs = get_teacache_coefficients(self.model_name)
+            if coeffs is not None:
+                gen_kwargs["teacache_coefficients"] = coeffs
         out = self.pipeline(
             video_array, full_prompt,
             negative_prompt=(negative_prompt if negative_prompt is not None
