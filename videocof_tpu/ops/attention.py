@@ -6,6 +6,13 @@ choosing FlashAttention-2/3 / SageAttention / SDPA). Here the backends are:
 
   * ``"pallas"`` — our Pallas TPU flash-attention kernel (MXU-tiled, online
     softmax); the production path on TPU.
+  * ``"int8"``   — Sage-style int8-QK^T flash kernel (fused in-kernel
+    quantization). NOT RECOMMENDED for speed: even with quantization fused
+    into the kernel prologue it measures 1.08x SLOWER than the bf16 pallas
+    kernel at the production geometry (BASELINE.md negative results,
+    `scripts/probe_int8_attention.py`) — the s32->f32 logit conversion and
+    quant VPU work outweigh the int8 MXU rate at head_dim 128. Kept as a
+    correctness-tested option for accuracy experiments.
   * ``"xla"``    — `jax.nn.dot_product_attention`; XLA already emits a fused
     flash-style kernel on TPU, and it is the safe fallback everywhere.
   * ``"naive"``  — explicit einsum softmax; reference semantics for tests.
