@@ -1091,4 +1091,9 @@ def load_reference():
     sys.modules.setdefault("videox_fun.pipeline", pipeline_pkg)
     ns.pipeline_wan = importlib.import_module(
         "videox_fun.pipeline.pipeline_wan")
+    # the Wan2.2 t2v pipeline imports the MoE transformer class by name
+    models_pkg.Wan2_2Transformer3DModel = \
+        ns.wan_transformer3d.Wan2_2Transformer3DModel
+    ns.pipeline_wan2_2 = importlib.import_module(
+        "videox_fun.pipeline.pipeline_wan2_2")
     return ns

@@ -131,6 +131,88 @@ class Wan22Pipeline(WanPipeline):
         self._jit_cache[fkey] = runner
         return fmts[0], fmts[1]
 
+    def _t2v_denoise(self, latents, context, cos, sin, sched, sampler,
+                     num_inference_steps, shift, do_cfg, guidance_scale,
+                     fused_sampling, solver_order):
+        """Dual-expert t2v trajectory: the reference `Wan2_2Pipeline`
+        denoise loop (`pipeline_wan2_2.py:517-561`: boundary-routed
+        transformer choice + per-expert guidance) as static phase scans —
+        same dispatch tiers as the base (`fused` one-program / segmented /
+        stepwise)."""
+        from .fused_sampler import (auto_segment_steps,
+                                    estimate_step_seconds,
+                                    make_fused_sample_fn_moe,
+                                    make_segmented_sample_fn_moe)
+        guidance_scale_2 = getattr(self, "_t2v_g2", None)
+        g2 = (guidance_scale if guidance_scale_2 is None
+              else guidance_scale_2)
+        split_idx = self._split_idx(sched)
+        params_2 = (self.dit_params_2 if self.dit_params_2 is not None
+                    else self.dit_params)
+        backend = self._backend_for(do_cfg)
+        L_tok = cos.shape[0] if cos.ndim == 2 else (
+            latents.shape[2] * (latents.shape[3] // 2)
+            * (latents.shape[4] // 2))
+        if fused_sampling is None:
+            est = num_inference_steps * estimate_step_seconds(
+                L_tok, do_cfg, dit_cfg=self.dit_cfg)
+            fused_sampling = est <= 45.0
+        fkey = ("t2v_fused22", sampler, num_inference_steps, float(shift),
+                do_cfg, float(guidance_scale), float(g2), split_idx,
+                backend, tuple(latents.shape), tuple(context.shape),
+                solver_order)
+        if fused_sampling:
+            if fkey not in self._jit_cache:
+                self._jit_cache[fkey] = make_fused_sample_fn_moe(
+                    self.dit_cfg, sampler, sched.plan_arrays(), split_idx,
+                    do_cfg, guidance_scale, g2, 0, self.dtype,
+                    attn_backend=backend, sp=self._sp_for(do_cfg))
+            return self._jit_cache[fkey](self.dit_params, params_2, latents,
+                                         context, cos, sin)
+        import os as _os
+        if (_os.environ.get("VIDEOCOF_STEPWISE") != "1"
+                and sampler in ("unipc", "dpm++", "euler")):
+            seg_env = _os.environ.get("VIDEOCOF_SEG_STEPS")
+            seg_n = max(1, int(seg_env)) if seg_env else auto_segment_steps(
+                L_tok, do_cfg, dit_cfg=self.dit_cfg)
+            skey = ("t2v_seg22", sampler, num_inference_steps, float(shift),
+                    do_cfg, float(guidance_scale), float(g2), split_idx,
+                    backend, seg_n, solver_order)
+            if skey not in self._jit_cache:
+                self._jit_cache[skey] = make_segmented_sample_fn_moe(
+                    self.dit_cfg, sampler, sched.plan_arrays(), split_idx,
+                    do_cfg, guidance_scale, g2, 0, self.dtype,
+                    attn_backend=backend, sp=self._sp_for(do_cfg),
+                    segment_steps=seg_n)
+            return self._jit_cache[skey](self.dit_params, params_2, latents,
+                                         context, cos, sin)
+        state = sched.init_state(latents)
+        sk = ("sched", sampler, num_inference_steps, float(shift),
+              solver_order)
+        if sk not in self._jit_cache:
+            self._jit_cache[sk] = jax.jit(sched.step, static_argnums=(1,))
+        sstep = self._jit_cache[sk]
+        for i in range(num_inference_steps):
+            high = i < split_idx
+            step = self._step_fn(do_cfg, g2 if high else guidance_scale, 0)
+            v, _ = step(params_2 if high else self.dit_params, latents,
+                        float(sched.timesteps[i]), context, cos, sin, None)
+            latents, state = sstep(v, i, latents, state)
+        return latents
+
+    def text_to_video(self, prompt, *, guidance_scale: float = 5.0,
+                      guidance_scale_2: Optional[float] = None, **kw):
+        """t2v with dual-expert routing: the high-noise prefix runs
+        ``dit_params_2`` at ``guidance_scale_2`` (defaults to
+        ``guidance_scale`` — `pipeline_wan2_2.py:552-558`)."""
+        self._t2v_g2 = guidance_scale_2
+        try:
+            return super().text_to_video(prompt,
+                                         guidance_scale=guidance_scale,
+                                         **kw)
+        finally:
+            self._t2v_g2 = None
+
     def expert_for_timestep(self, t: float):
         """High-noise expert above the boundary, base expert below
         (`pipeline_wan2_2.py:533-535`)."""

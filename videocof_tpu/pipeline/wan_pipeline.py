@@ -500,6 +500,146 @@ class WanPipeline:
             out.latents = np.asarray(latents)
         return out
 
+    # ------------------------------------------------------- text-to-video
+    def text_to_video(
+        self,
+        prompt: Union[str, Sequence[str]],
+        *,
+        negative_prompt: str = "",
+        height: int = 480,
+        width: int = 832,
+        num_frames: int = 81,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 5.0,
+        shift: float = 5.0,
+        sampler: str = "unipc",
+        seed: int = 0,
+        max_sequence_length: int = 512,
+        prompt_embeds: Optional[jax.Array] = None,
+        negative_prompt_embeds: Optional[jax.Array] = None,
+        noise: Optional[jax.Array] = None,
+        fused_sampling: Optional[bool] = None,
+        output_latents: bool = False,
+        solver_order: Optional[int] = None,
+    ) -> WanPipelineOutput:
+        """Plain text-to-video (no source video, no CoF): noise latents ->
+        denoise -> whole-sequence decode, the reference `Wan2_2Pipeline`
+        flow (`pipeline_wan2_2.py:388-599`: prepare_latents from
+        randn_tensor, CFG combine `:552-558`, decode_latents `:293-298`).
+        Standard (non-repeat) RoPE; no source freeze. `Wan22Pipeline`
+        overrides with dual-expert boundary routing."""
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        B = len(prompts)
+        do_cfg = guidance_scale > 1.0
+
+        embeds = (jnp.asarray(prompt_embeds) if prompt_embeds is not None
+                  else self.encode_prompt(prompts, max_sequence_length))
+        if do_cfg:
+            neg = (jnp.asarray(negative_prompt_embeds)
+                   if negative_prompt_embeds is not None
+                   else self.encode_prompt([negative_prompt] * B,
+                                           max_sequence_length))
+            context = jnp.concatenate([neg, embeds], axis=0)
+        else:
+            context = embeds
+        context = context.astype(self.dtype)
+
+        tc = self.vae_cfg.temporal_compression_ratio
+        sc = self.vae_cfg.spatial_compression_ratio
+        Tl = latent_frame_count(num_frames, tc)
+        Hl, Wl = height // sc, width // sc
+        if noise is None:
+            latents = jax.random.normal(
+                jax.random.PRNGKey(seed),
+                (B, self.vae_cfg.z_dim, Tl, Hl, Wl), jnp.float32)
+        else:
+            latents = jnp.asarray(noise, jnp.float32)
+
+        ph, pw = self.dit_cfg.patch_size[1:]
+        grid = (Tl, Hl // ph, Wl // pw)
+        rope_key = (grid, None, 0, None, None, None)
+        if rope_key in self._rope_cache:
+            cos, sin = self._rope_cache[rope_key]
+        else:
+            cos, sin = wan_dit.make_rope_for_geometry(self.dit_cfg, grid)
+            cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+            self._rope_cache[rope_key] = (cos, sin)
+
+        sched_kw = ({"solver_order": solver_order}
+                    if solver_order is not None
+                    and sampler in ("unipc", "dpm++") else {})
+        sched = get_scheduler(sampler, **sched_kw)
+        sched.set_timesteps(num_inference_steps, shift=shift)
+
+        latents = self._t2v_denoise(latents, context, cos, sin, sched,
+                                    sampler, num_inference_steps, shift,
+                                    do_cfg, guidance_scale, fused_sampling,
+                                    solver_order)
+        video = self.decode_to_numpy01(latents)
+        out = WanPipelineOutput(videos=video, edit_videos=video)
+        if output_latents:
+            out.latents = np.asarray(latents)
+        return out
+
+    def _t2v_denoise(self, latents, context, cos, sin, sched, sampler,
+                     num_inference_steps, shift, do_cfg, guidance_scale,
+                     fused_sampling, solver_order):
+        """Single-expert t2v trajectory dispatch: fused when it fits the
+        worker's program window, segmented otherwise, per-step loop for
+        samplers without a fused rule (condition_count=0 — nothing is
+        frozen)."""
+        from .fused_sampler import (auto_segment_steps,
+                                    estimate_step_seconds,
+                                    make_fused_sample_fn,
+                                    make_segmented_sample_fn)
+        backend = self._backend_for(do_cfg)
+        L_tok = cos.shape[0] if cos.ndim == 2 else (
+            latents.shape[2] * (latents.shape[3] // 2)
+            * (latents.shape[4] // 2))
+        if fused_sampling is None:
+            est = num_inference_steps * estimate_step_seconds(
+                L_tok, do_cfg, dit_cfg=self.dit_cfg)
+            fused_sampling = est <= 45.0
+        fkey = ("t2v_fused", sampler, num_inference_steps, float(shift),
+                do_cfg, float(guidance_scale), backend,
+                tuple(latents.shape), tuple(context.shape), solver_order)
+        if fused_sampling:
+            if fkey not in self._jit_cache:
+                self._jit_cache[fkey] = make_fused_sample_fn(
+                    self.dit_cfg, sampler, sched.plan_arrays(), do_cfg,
+                    guidance_scale, 0, self.dtype, attn_backend=backend,
+                    sp=self._sp_for(do_cfg))
+            return self._jit_cache[fkey](self.dit_params, latents, context,
+                                         cos, sin)
+        import os as _os
+        if (_os.environ.get("VIDEOCOF_STEPWISE") != "1"
+                and sampler in ("unipc", "dpm++", "euler")):
+            seg_env = _os.environ.get("VIDEOCOF_SEG_STEPS")
+            seg_n = max(1, int(seg_env)) if seg_env else auto_segment_steps(
+                L_tok, do_cfg, dit_cfg=self.dit_cfg)
+            skey = ("t2v_seg", sampler, num_inference_steps, float(shift),
+                    do_cfg, float(guidance_scale), backend, seg_n,
+                    solver_order)
+            if skey not in self._jit_cache:
+                self._jit_cache[skey] = make_segmented_sample_fn(
+                    self.dit_cfg, sampler, sched.plan_arrays(), do_cfg,
+                    guidance_scale, 0, self.dtype, attn_backend=backend,
+                    sp=self._sp_for(do_cfg), segment_steps=seg_n)
+            return self._jit_cache[skey](self.dit_params, latents, context,
+                                         cos, sin)
+        state = sched.init_state(latents)
+        sk = ("sched", sampler, num_inference_steps, float(shift),
+              solver_order)
+        if sk not in self._jit_cache:
+            self._jit_cache[sk] = jax.jit(sched.step, static_argnums=(1,))
+        sstep = self._jit_cache[sk]
+        for i in range(num_inference_steps):
+            step = self._step_fn(do_cfg, guidance_scale, 0)
+            v, _ = step(self.dit_params, latents,
+                        float(sched.timesteps[i]), context, cos, sin, None)
+            latents, state = sstep(v, i, latents, state)
+        return latents
+
     # -------------------------------------------------- AOT fused precompile
     def precompile_fused(self, *, height: int, width: int,
                          source_frames: int = 33, reasoning_frames: int = 4,
