@@ -167,6 +167,28 @@ def test_cli_i2v_start_image(tmp_path, monkeypatch):
     assert "gen_start.mp4" in os.listdir(out_dir)
 
 
+def test_cli_t2v_prompt_only(tiny_pipe, tmp_path, monkeypatch):
+    """--t2v generates from a prompt alone (no source video) through
+    WanPipeline.text_to_video — the reference Wan2_2Pipeline flow."""
+    import videocof_tpu.cli._common as common
+    import videocof_tpu.cli.fast_infer as cli
+
+    monkeypatch.setattr(common, "build_pipeline_from_args",
+                        lambda args, dtype=None, **kw: tiny_pipe)
+    monkeypatch.setattr(cli, "build_pipeline_from_args",
+                        lambda args, dtype=None, **kw: tiny_pipe)
+    out_dir = str(tmp_path / "out_t2v")
+    monkeypatch.setattr(sys, "argv", [
+        "fast_infer", "--t2v", "--prompt", "a red fox in the snow",
+        "--output_dir", out_dir, "--num_frames", "5", "--height", "32",
+        "--width", "32", "--random_init", "--num_inference_steps", "1"])
+    cli.main()
+    files = os.listdir(out_dir)
+    assert "gen_a_red_fox_in_the_snow.mp4" in files
+    # resume: a second run skips the finished item
+    cli.main()
+
+
 def test_cli_fast_infer_e2e(tiny_pipe, test_video, tmp_path, monkeypatch):
     import videocof_tpu.cli._common as common
     import videocof_tpu.cli.fast_infer as cli

@@ -52,6 +52,15 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                              "i2v DiT checkpoint; --num_frames sets length)")
     parser.add_argument("--end_image", type=str, default=None,
                         help="optional last-frame pin for --start_image")
+    parser.add_argument("--t2v", action="store_true",
+                        help="plain text-to-video from --prompt (no source "
+                             "video; the Wan2.2 pipeline's generation flow; "
+                             "--num_frames/--height/--width set the shape)")
+    parser.add_argument("--height", type=int, default=480)
+    parser.add_argument("--width", type=int, default=832)
+    parser.add_argument("--guidance_scale_2", type=float, default=None,
+                        help="high-noise-expert guidance on a Wan2.2 MoE "
+                             "checkpoint (defaults to --guidance_scale)")
     parser.add_argument("--fps", type=int, default=10)
     parser.add_argument("--random_init", action="store_true",
                         help="Random weights (weight-free smoke runs)")
@@ -93,8 +102,13 @@ def collect_items(args) -> List[Tuple[str, Dict]]:
                  {"start_image_path": args.start_image,
                   "end_image_path": getattr(args, "end_image", None),
                   "edit_instruction": args.prompt})]
-    raise SystemExit("provide --test_json, or --video_path/--start_image "
-                     "plus --prompt")
+    if getattr(args, "t2v", False) and args.prompt:
+        slug = "".join(c if c.isalnum() else "_"
+                       for c in args.prompt.lower())[:48] or "t2v"
+        return [(f"{slug}.mp4", {"t2v": True,
+                                 "edit_instruction": args.prompt})]
+    raise SystemExit("provide --test_json, --video_path/--start_image "
+                     "plus --prompt, or --t2v --prompt")
 
 
 def shard_pending(items, output_dir: str):
@@ -123,6 +137,30 @@ def run_items(pipe, args, subset, rank: int, *, num_inference_steps: int,
     for fname, item in subset:
         base = os.path.splitext(fname)[0]
         out_path = os.path.join(args.output_dir, f"gen_{base}.mp4")
+        if item.get("t2v"):
+            # text-to-video (--t2v): the reference Wan2_2Pipeline flow
+            prompt = item.get("edit_instruction", "")
+            print(f"[proc {rank}] t2v {fname}: {prompt}", file=sys.stderr)
+            t2v_kw = {}
+            if (getattr(args, "guidance_scale_2", None) is not None
+                    and getattr(pipe, "dit_params_2", None) is not None):
+                t2v_kw["guidance_scale_2"] = args.guidance_scale_2
+            out = pipe.text_to_video(
+                prompt, height=args.height, width=args.width,
+                num_frames=args.num_frames,
+                negative_prompt=negative_prompt,
+                num_inference_steps=num_inference_steps,
+                guidance_scale=guidance_scale, shift=args.shift,
+                sampler=args.sampler,
+                solver_order=getattr(args, "solver_order", None),
+                seed=args.seed + rank, **t2v_kw)
+            save_results(out.videos, out_path, args.fps)
+            with open(os.path.join(args.output_dir, f"gen_{base}_info.txt"),
+                      "w", encoding="utf-8") as f:
+                f.write(prompt)
+            print(f"[proc {rank}] wrote {out_path}", file=sys.stderr)
+            continue
+
         if item.get("start_image_path"):
             # image-to-video path (--start_image): plain prompt, i2v DiT
             prompt = item.get("edit_instruction", "")
