@@ -468,6 +468,42 @@ def test_http_api_moe_generation(moe_pipe, test_video, tmp_path):
         server.shutdown()
 
 
+def test_http_api_t2v_generation(moe_pipe):
+    """A `"t2v": true` payload generates from the prompt alone (no source
+    video) through pipeline.text_to_video, with shape fields honored and
+    per-expert guidance on the MoE pipeline."""
+    from videocof_tpu.serving.api import make_handler, ENDPOINT
+    from http.server import ThreadingHTTPServer
+
+    controller = VideoCoFController(
+        moe_pipe,
+        defaults=GenerationConfig(num_inference_steps=2,
+                                  guidance_scale=5.0))
+    server = ThreadingHTTPServer(("127.0.0.1", 0),
+                                 make_handler(controller, threading.Lock()))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{ENDPOINT}",
+            data=json.dumps({
+                "t2v": True,
+                "prompt_textbox": "a red fox in the snow",
+                "height": 32, "width": 32, "num_frames": 5,
+                "seed_textbox": 3,
+                "sample_step_slider": 2,
+                "cfg_scale_slider": 5.0,
+                "guidance_scale_2": 3.0,
+            }).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            resp = json.load(r)
+        assert resp["message"] == "Success"
+        assert len(base64.b64decode(resp["base64_encoding"])) > 100
+    finally:
+        server.shutdown()
+
+
 def test_moe_lora_merges_both_experts(moe_pipe):
     """ensure_lora on a MoE pipeline mutates BOTH expert trees in lockstep
     and unmerge restores both (high-noise steps must never run un-adapted

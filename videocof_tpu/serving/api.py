@@ -271,7 +271,19 @@ def make_handler(controller: VideoCoFController, lock: threading.Lock,
                     p = req["lora_model_path"]
                     lora_req = (None if not p or p == "none" else p,
                                 float(req.get("lora_alpha_slider", 1.0)))
-                if req.get("source_video"):
+                t2v = bool(req.get("t2v"))
+                if t2v:
+                    # text-to-video: no source video; shape fields ride the
+                    # payload (height/width/num_frames)
+                    for k in ("height", "width", "num_frames"):
+                        if k in req:
+                            kwargs[k] = int(req[k])
+                    # editing-only knobs don't apply to the t2v surface
+                    for k in ("source_frames", "reasoning_frames",
+                              "enable_teacache", "teacache_threshold",
+                              "teacache_skip_start_steps", "cfg_skip_ratio"):
+                        kwargs.pop(k, None)
+                elif req.get("source_video"):
                     tmp = tempfile.NamedTemporaryFile(suffix=".mp4",
                                                       delete=False)
                     tmp.write(base64.b64decode(req["source_video"]))
@@ -308,7 +320,9 @@ def make_handler(controller: VideoCoFController, lock: threading.Lock,
                         try:
                             if lora_req is not None:
                                 controller.ensure_lora(*lora_req)
-                            result = controller.generate(**kwargs)
+                            result = (controller.generate_t2v(**kwargs)
+                                      if t2v
+                                      else controller.generate(**kwargs))
                         finally:
                             with metrics._lock:
                                 metrics.generating_since = None

@@ -203,6 +203,42 @@ class VideoCoFController:
                 "ground_videos": out.ground_videos,
                 "edit_videos": out.edit_videos}
 
+    # ------------------------------------------------------- text-to-video
+    def generate_t2v(
+        self,
+        prompt: str = "",
+        height: int = 480,
+        width: int = 832,
+        num_frames: int = 81,
+        num_inference_steps: Optional[int] = None,
+        guidance_scale: Optional[float] = None,
+        seed: Optional[int] = None,
+        sampler: Optional[str] = None,
+        shift: Optional[float] = None,
+        negative_prompt: Optional[str] = None,
+        **gen_kwargs,
+    ) -> Dict[str, Any]:
+        """Plain text-to-video (no source video): `pipeline.text_to_video`,
+        the reference Wan2_2Pipeline generation flow. The prompt is used
+        raw — CoT phrasing is an editing-task convention."""
+        d = self.defaults
+        out = self.pipeline.text_to_video(
+            prompt,
+            height=height, width=width, num_frames=num_frames,
+            negative_prompt=(negative_prompt if negative_prompt is not None
+                             else d.negative_prompt),
+            num_inference_steps=(num_inference_steps or
+                                 d.num_inference_steps),
+            guidance_scale=(guidance_scale if guidance_scale is not None
+                            else d.guidance_scale),
+            shift=(shift or d.shift),
+            sampler=(sampler or d.sampler),
+            seed=(seed if seed is not None else d.seed),
+            **gen_kwargs,
+        )
+        return {"prompt": prompt, "videos": out.videos,
+                "ground_videos": None, "edit_videos": out.edit_videos}
+
     # --------------------------------------------------------------- encode
     @staticmethod
     def encode_video_base64(video: np.ndarray, fps: int = 16) -> str:

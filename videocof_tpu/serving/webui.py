@@ -47,11 +47,21 @@ INDEX_HTML = """<!doctype html>
   <legend>Input</legend>
   <label>Source video (mp4)</label>
   <input type="file" id="video" accept="video/mp4">
-  <label>Edit instruction</label>
+  <label>Edit instruction (or generation prompt in t2v mode)</label>
   <input type="text" id="prompt"
          placeholder="remove the dog / replace the car with a boat / ...">
   <label>Negative prompt</label>
   <input type="text" id="negprompt" value="">
+  <div class="row">
+    <div><label>Text-to-video (no source)</label>
+      <input type="checkbox" id="t2v"></div>
+    <div><label>t2v height</label>
+      <input type="number" id="t2v_h" value="480" step="16"></div>
+    <div><label>t2v width</label>
+      <input type="number" id="t2v_w" value="832" step="16"></div>
+    <div><label>t2v frames</label>
+      <input type="number" id="t2v_frames" value="81"></div>
+  </div>
 </fieldset>
 <fieldset>
   <legend>Sampling</legend>
@@ -135,16 +145,19 @@ $("switch").onclick = async () => {
   }
 };
 $("go").onclick = async () => {
+  const t2v = $("t2v").checked;
   const f = $("video").files[0];
-  if (!f) { $("status").textContent = "pick a video first"; return; }
+  if (!t2v && !f) { $("status").textContent = "pick a video first (or check text-to-video)"; return; }
   if (!$("prompt").value) { $("status").textContent = "type an instruction"; return; }
   $("go").disabled = true;
   $("status").textContent = "uploading + generating (first call compiles; be patient)...";
-  const buf = await f.arrayBuffer();
-  const b64 = btoa(String.fromCharCode(...new Uint8Array(buf)));
+  let b64 = null;
+  if (!t2v) {
+    const buf = await f.arrayBuffer();
+    b64 = btoa(String.fromCharCode(...new Uint8Array(buf)));
+  }
   const body = {
     prompt_textbox: $("prompt").value,
-    source_video: b64,
     seed_textbox: +$("seed").value,
     sample_step_slider: +$("steps").value,
     cfg_scale_slider: +$("cfg").value,
@@ -158,6 +171,14 @@ $("go").onclick = async () => {
     lora_model_path: $("lora").value || "none",
     lora_alpha_slider: +$("lora_w").value,
   };
+  if (t2v) {
+    body.t2v = true;
+    body.height = +$("t2v_h").value;
+    body.width = +$("t2v_w").value;
+    body.num_frames = +$("t2v_frames").value;
+  } else {
+    body.source_video = b64;
+  }
   if ($("negprompt").value) body.negative_prompt_textbox = $("negprompt").value;
   if ($("cfg2").value !== "") body.guidance_scale_2 = +$("cfg2").value;
   const t0 = performance.now();
