@@ -161,8 +161,7 @@ def test_wan22_teacache_fused_matches_stepwise(monkeypatch):
     plain = pipe(video, "make it snow", fused_sampling=True,
                  **{**kw, "enable_teacache": False,
                     "teacache_forced_plan": None})
-    assert np.abs(plain.videos.astype(np.int32)
-                  - fused.videos.astype(np.int32)).max() > 0
+    assert np.abs(plain.videos - fused.videos).max() > 0
     # segmented path composes too
     monkeypatch.setenv("VIDEOCOF_SEG_STEPS", "2")
     seg = pipe(video, "make it snow", fused_sampling=False, **kw)
@@ -220,8 +219,43 @@ def test_wan22_cfg_skip_matches_stepwise(monkeypatch):
     # cfg-skip actually changes the result vs full CFG
     full = pipe(video, "make it snow", fused_sampling=True,
                 **{**kw, "cfg_skip_ratio": 0.0})
-    assert np.abs(full.videos.astype(np.int32)
-                  - fused.videos.astype(np.int32)).max() > 0
+    assert np.abs(full.videos - fused.videos).max() > 0
+
+
+def test_wan22_t2v_teacache_cfg_skip_matches_stepwise(monkeypatch):
+    """TeaCache + cfg-skip on the t2v surface: the segmented dual-expert
+    trajectory (they compose there) and the fused single-knob variants all
+    match the stepwise loop."""
+    pipe = _moe_pipe(boundary=0.9)
+    kw = dict(height=32, width=32, num_frames=5, num_inference_steps=6,
+              guidance_scale=5.0, guidance_scale_2=3.0, seed=3, shift=5.0,
+              enable_teacache=True,
+              teacache_forced_plan=[False, True, False, True, False, True],
+              cfg_skip_ratio=0.34)
+    monkeypatch.setenv("VIDEOCOF_STEPWISE", "1")
+    stepwise = pipe.text_to_video("make it snow", fused_sampling=False,
+                                  **kw)
+    monkeypatch.delenv("VIDEOCOF_STEPWISE")
+    monkeypatch.setenv("VIDEOCOF_SEG_STEPS", "2")
+    seg = pipe.text_to_video("make it snow", fused_sampling=False, **kw)
+    monkeypatch.delenv("VIDEOCOF_SEG_STEPS")
+    np.testing.assert_allclose(seg.videos, stepwise.videos,
+                               atol=(1.0 / 255.0) + 1e-6)
+    # TeaCache alone fuses in one program
+    kw_tc = {**kw, "cfg_skip_ratio": 0.0}
+    fused_tc = pipe.text_to_video("make it snow", fused_sampling=True,
+                                  **kw_tc)
+    monkeypatch.setenv("VIDEOCOF_STEPWISE", "1")
+    step_tc = pipe.text_to_video("make it snow", fused_sampling=False,
+                                 **kw_tc)
+    monkeypatch.delenv("VIDEOCOF_STEPWISE")
+    np.testing.assert_allclose(fused_tc.videos, step_tc.videos,
+                               atol=(1.0 / 255.0) + 1e-6)
+    # the forced plan actually bites
+    plain = pipe.text_to_video("make it snow", fused_sampling=True,
+                               **{**kw_tc, "enable_teacache": False,
+                                  "teacache_forced_plan": None})
+    assert np.abs(plain.videos - fused_tc.videos).max() > 0
 
 
 def test_i2v_dit_branch():

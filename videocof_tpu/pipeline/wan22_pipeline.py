@@ -131,14 +131,53 @@ class Wan22Pipeline(WanPipeline):
         self._jit_cache[fkey] = runner
         return fmts[0], fmts[1]
 
+    def _plan_t2v_teacache(self, sched, num_inference_steps,
+                           enable_teacache, teacache_threshold,
+                           teacache_skip_start_steps, teacache_coefficients,
+                           teacache_forced_plan, do_cfg, cfg_skip_ratio):
+        """MoE override: plan PER EXPERT with forced recompute at the
+        expert boundary — same contract as `__call__`'s planning."""
+        cfg_off = None
+        if do_cfg and cfg_skip_ratio > 0.0:
+            cfg_off = num_inference_steps - int(
+                round(num_inference_steps * cfg_skip_ratio))
+        split_idx = self._split_idx(sched)
+        skip_mask = None
+        if enable_teacache and teacache_forced_plan is not None:
+            assert len(teacache_forced_plan) == num_inference_steps
+            plan = [bool(s) for s in teacache_forced_plan]
+            plan[0] = False
+            if 0 < split_idx < num_inference_steps:
+                plan[split_idx] = False
+            skip_mask = tuple(plan)
+        elif enable_teacache:
+            from ..models import teacache as tc
+            coeffs = (teacache_coefficients or
+                      tc.TEACACHE_COEFFICIENTS["wan2.1-i2v-14b-720p"])
+            ts = [float(t) for t in sched.timesteps]
+            hi_params = (self.dit_params_2
+                         if self.dit_params_2 is not None
+                         else self.dit_params)
+            plan_hi = tc.plan_teacache_skips(
+                hi_params, self.dit_cfg, ts[:split_idx], coeffs,
+                teacache_threshold,
+                teacache_skip_start_steps) if split_idx else []
+            plan_lo = tc.plan_teacache_skips(
+                self.dit_params, self.dit_cfg, ts[split_idx:], coeffs,
+                teacache_threshold,
+                max(0, teacache_skip_start_steps - split_idx)
+            ) if split_idx < num_inference_steps else []
+            skip_mask = tuple(plan_hi) + tuple(plan_lo)
+        return skip_mask, cfg_off
+
     def _t2v_denoise(self, latents, context, cos, sin, sched, sampler,
                      num_inference_steps, shift, do_cfg, guidance_scale,
-                     fused_sampling, solver_order):
+                     fused_sampling, solver_order, **tc_kw):
         """Dual-expert t2v trajectory: the reference `Wan2_2Pipeline`
         denoise loop (`pipeline_wan2_2.py:517-561`: boundary-routed
         transformer choice + per-expert guidance) as static phase scans —
         same dispatch tiers as the base (`fused` one-program / segmented /
-        stepwise)."""
+        stepwise), with TeaCache planned per expert."""
         from .fused_sampler import (auto_segment_steps,
                                     estimate_step_seconds,
                                     make_fused_sample_fn_moe,
@@ -147,6 +186,15 @@ class Wan22Pipeline(WanPipeline):
         g2 = (guidance_scale if guidance_scale_2 is None
               else guidance_scale_2)
         split_idx = self._split_idx(sched)
+        skip_mask, cfg_off = self._plan_t2v_teacache(
+            sched, num_inference_steps,
+            tc_kw.get("enable_teacache", False),
+            tc_kw.get("teacache_threshold", 0.10),
+            tc_kw.get("teacache_skip_start_steps", 5),
+            tc_kw.get("teacache_coefficients"),
+            tc_kw.get("teacache_forced_plan"),
+            do_cfg, tc_kw.get("cfg_skip_ratio", 0.0))
+        can_fuse = not (skip_mask is not None and cfg_off is not None)
         params_2 = (self.dit_params_2 if self.dit_params_2 is not None
                     else self.dit_params)
         backend = self._backend_for(do_cfg)
@@ -159,14 +207,15 @@ class Wan22Pipeline(WanPipeline):
             fused_sampling = est <= 45.0
         fkey = ("t2v_fused22", sampler, num_inference_steps, float(shift),
                 do_cfg, float(guidance_scale), float(g2), split_idx,
-                backend, tuple(latents.shape), tuple(context.shape),
-                solver_order)
-        if fused_sampling:
+                backend, skip_mask, cfg_off, tuple(latents.shape),
+                tuple(context.shape), solver_order)
+        if fused_sampling and can_fuse:
             if fkey not in self._jit_cache:
                 self._jit_cache[fkey] = make_fused_sample_fn_moe(
                     self.dit_cfg, sampler, sched.plan_arrays(), split_idx,
                     do_cfg, guidance_scale, g2, 0, self.dtype,
-                    attn_backend=backend, sp=self._sp_for(do_cfg))
+                    attn_backend=backend, sp=self._sp_for(do_cfg),
+                    skip_mask=skip_mask, cfg_off_after=cfg_off)
             return self._jit_cache[fkey](self.dit_params, params_2, latents,
                                          context, cos, sin)
         import os as _os
@@ -177,12 +226,13 @@ class Wan22Pipeline(WanPipeline):
                 L_tok, do_cfg, dit_cfg=self.dit_cfg)
             skey = ("t2v_seg22", sampler, num_inference_steps, float(shift),
                     do_cfg, float(guidance_scale), float(g2), split_idx,
-                    backend, seg_n, solver_order)
+                    backend, skip_mask, cfg_off, seg_n, solver_order)
             if skey not in self._jit_cache:
                 self._jit_cache[skey] = make_segmented_sample_fn_moe(
                     self.dit_cfg, sampler, sched.plan_arrays(), split_idx,
                     do_cfg, guidance_scale, g2, 0, self.dtype,
                     attn_backend=backend, sp=self._sp_for(do_cfg),
+                    skip_mask=skip_mask, cfg_off_after=cfg_off,
                     segment_steps=seg_n)
             return self._jit_cache[skey](self.dit_params, params_2, latents,
                                          context, cos, sin)
@@ -192,11 +242,29 @@ class Wan22Pipeline(WanPipeline):
         if sk not in self._jit_cache:
             self._jit_cache[sk] = jax.jit(sched.step, static_argnums=(1,))
         sstep = self._jit_cache[sk]
+        skips = (list(skip_mask) if skip_mask is not None
+                 else [False] * num_inference_steps)
+        residual = None
         for i in range(num_inference_steps):
             high = i < split_idx
-            step = self._step_fn(do_cfg, g2 if high else guidance_scale, 0)
-            v, _ = step(params_2 if high else self.dit_params, latents,
-                        float(sched.timesteps[i]), context, cos, sin, None)
+            step_cfg = do_cfg and (cfg_off is None or i < cfg_off)
+            ctx_i = context
+            if do_cfg and not step_cfg:
+                ctx_i = context[context.shape[0] // 2:]  # cond rows
+            res_in = None
+            if skips[i]:
+                res_in = residual
+                need = latents.shape[0] * (2 if step_cfg else 1)
+                if res_in.shape[0] != need:
+                    res_in = res_in[-need:]  # cond rows (ref [-B:])
+            step = self._step_fn(step_cfg,
+                                 g2 if high else guidance_scale, 0,
+                                 skip_blocks=skips[i])
+            v, res = step(params_2 if high else self.dit_params, latents,
+                          float(sched.timesteps[i]), ctx_i, cos, sin,
+                          res_in)
+            if not skips[i]:
+                residual = res
             latents, state = sstep(v, i, latents, state)
         return latents
 

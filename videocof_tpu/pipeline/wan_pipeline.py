@@ -521,12 +521,19 @@ class WanPipeline:
         fused_sampling: Optional[bool] = None,
         output_latents: bool = False,
         solver_order: Optional[int] = None,
+        enable_teacache: bool = False,
+        teacache_threshold: float = 0.10,
+        teacache_skip_start_steps: int = 5,
+        teacache_coefficients=None,
+        teacache_forced_plan=None,
+        cfg_skip_ratio: float = 0.0,
     ) -> WanPipelineOutput:
         """Plain text-to-video (no source video, no CoF): noise latents ->
         denoise -> whole-sequence decode, the reference `Wan2_2Pipeline`
         flow (`pipeline_wan2_2.py:388-599`: prepare_latents from
         randn_tensor, CFG combine `:552-558`, decode_latents `:293-298`).
-        Standard (non-repeat) RoPE; no source freeze. `Wan22Pipeline`
+        Standard (non-repeat) RoPE; no source freeze. TeaCache and cfg-skip
+        apply the same way as on the editing path. `Wan22Pipeline`
         overrides with dual-expert boundary routing."""
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
         B = len(prompts)
@@ -571,27 +578,68 @@ class WanPipeline:
         sched = get_scheduler(sampler, **sched_kw)
         sched.set_timesteps(num_inference_steps, shift=shift)
 
+        tc_kw = dict(enable_teacache=enable_teacache,
+                     teacache_threshold=teacache_threshold,
+                     teacache_skip_start_steps=teacache_skip_start_steps,
+                     teacache_coefficients=teacache_coefficients,
+                     teacache_forced_plan=teacache_forced_plan,
+                     cfg_skip_ratio=cfg_skip_ratio)
         latents = self._t2v_denoise(latents, context, cos, sin, sched,
                                     sampler, num_inference_steps, shift,
                                     do_cfg, guidance_scale, fused_sampling,
-                                    solver_order)
+                                    solver_order, **tc_kw)
         video = self.decode_to_numpy01(latents)
         out = WanPipelineOutput(videos=video, edit_videos=video)
         if output_latents:
             out.latents = np.asarray(latents)
         return out
 
+    def _plan_t2v_teacache(self, sched, num_inference_steps,
+                           enable_teacache, teacache_threshold,
+                           teacache_skip_start_steps, teacache_coefficients,
+                           teacache_forced_plan, do_cfg, cfg_skip_ratio):
+        """(skip_mask | None, cfg_off | None) for a t2v trajectory —
+        the same host-side planning as the editing path."""
+        cfg_off = None
+        if do_cfg and cfg_skip_ratio > 0.0:
+            cfg_off = num_inference_steps - int(
+                round(num_inference_steps * cfg_skip_ratio))
+        skip_mask = None
+        if enable_teacache and teacache_forced_plan is not None:
+            assert len(teacache_forced_plan) == num_inference_steps
+            plan = [bool(s) for s in teacache_forced_plan]
+            plan[0] = False
+            skip_mask = tuple(plan)
+        elif enable_teacache:
+            from ..models import teacache as tc
+            coeffs = (teacache_coefficients or
+                      tc.TEACACHE_COEFFICIENTS["wan2.1-t2v-14b"])
+            skip_mask = tuple(tc.plan_teacache_skips(
+                self.dit_params, self.dit_cfg, sched.timesteps, coeffs,
+                teacache_threshold, teacache_skip_start_steps))
+        return skip_mask, cfg_off
+
     def _t2v_denoise(self, latents, context, cos, sin, sched, sampler,
                      num_inference_steps, shift, do_cfg, guidance_scale,
-                     fused_sampling, solver_order):
+                     fused_sampling, solver_order, **tc_kw):
         """Single-expert t2v trajectory dispatch: fused when it fits the
-        worker's program window, segmented otherwise, per-step loop for
-        samplers without a fused rule (condition_count=0 — nothing is
-        frozen)."""
+        worker's program window (TeaCache + cfg-skip COMBINED goes
+        segmented, same rule as the editing path), segmented otherwise,
+        per-step loop for samplers without a fused rule
+        (condition_count=0 — nothing is frozen)."""
         from .fused_sampler import (auto_segment_steps,
                                     estimate_step_seconds,
                                     make_fused_sample_fn,
                                     make_segmented_sample_fn)
+        skip_mask, cfg_off = self._plan_t2v_teacache(
+            sched, num_inference_steps,
+            tc_kw.get("enable_teacache", False),
+            tc_kw.get("teacache_threshold", 0.10),
+            tc_kw.get("teacache_skip_start_steps", 5),
+            tc_kw.get("teacache_coefficients"),
+            tc_kw.get("teacache_forced_plan"),
+            do_cfg, tc_kw.get("cfg_skip_ratio", 0.0))
+        can_fuse = not (skip_mask is not None and cfg_off is not None)
         backend = self._backend_for(do_cfg)
         L_tok = cos.shape[0] if cos.ndim == 2 else (
             latents.shape[2] * (latents.shape[3] // 2)
@@ -601,14 +649,15 @@ class WanPipeline:
                 L_tok, do_cfg, dit_cfg=self.dit_cfg)
             fused_sampling = est <= 45.0
         fkey = ("t2v_fused", sampler, num_inference_steps, float(shift),
-                do_cfg, float(guidance_scale), backend,
+                do_cfg, float(guidance_scale), backend, skip_mask, cfg_off,
                 tuple(latents.shape), tuple(context.shape), solver_order)
-        if fused_sampling:
+        if fused_sampling and can_fuse:
             if fkey not in self._jit_cache:
                 self._jit_cache[fkey] = make_fused_sample_fn(
                     self.dit_cfg, sampler, sched.plan_arrays(), do_cfg,
                     guidance_scale, 0, self.dtype, attn_backend=backend,
-                    sp=self._sp_for(do_cfg))
+                    sp=self._sp_for(do_cfg),
+                    skip_mask=skip_mask, cfg_off_after=cfg_off)
             return self._jit_cache[fkey](self.dit_params, latents, context,
                                          cos, sin)
         import os as _os
@@ -618,13 +667,14 @@ class WanPipeline:
             seg_n = max(1, int(seg_env)) if seg_env else auto_segment_steps(
                 L_tok, do_cfg, dit_cfg=self.dit_cfg)
             skey = ("t2v_seg", sampler, num_inference_steps, float(shift),
-                    do_cfg, float(guidance_scale), backend, seg_n,
-                    solver_order)
+                    do_cfg, float(guidance_scale), backend, skip_mask,
+                    cfg_off, seg_n, solver_order)
             if skey not in self._jit_cache:
                 self._jit_cache[skey] = make_segmented_sample_fn(
                     self.dit_cfg, sampler, sched.plan_arrays(), do_cfg,
                     guidance_scale, 0, self.dtype, attn_backend=backend,
-                    sp=self._sp_for(do_cfg), segment_steps=seg_n)
+                    sp=self._sp_for(do_cfg), segment_steps=seg_n,
+                    skip_mask=skip_mask, cfg_off_after=cfg_off)
             return self._jit_cache[skey](self.dit_params, latents, context,
                                          cos, sin)
         state = sched.init_state(latents)
@@ -633,10 +683,27 @@ class WanPipeline:
         if sk not in self._jit_cache:
             self._jit_cache[sk] = jax.jit(sched.step, static_argnums=(1,))
         sstep = self._jit_cache[sk]
+        skips = (list(skip_mask) if skip_mask is not None
+                 else [False] * num_inference_steps)
+        residual = None
         for i in range(num_inference_steps):
-            step = self._step_fn(do_cfg, guidance_scale, 0)
-            v, _ = step(self.dit_params, latents,
-                        float(sched.timesteps[i]), context, cos, sin, None)
+            step_cfg = do_cfg and (cfg_off is None or i < cfg_off)
+            ctx_i = context
+            if do_cfg and not step_cfg:
+                ctx_i = context[context.shape[0] // 2:]  # cond rows
+            res_in = None
+            if skips[i]:
+                res_in = residual
+                need = latents.shape[0] * (2 if step_cfg else 1)
+                if res_in.shape[0] != need:
+                    res_in = res_in[-need:]  # cond rows (ref [-B:])
+            step = self._step_fn(step_cfg, guidance_scale, 0,
+                                 skip_blocks=skips[i])
+            v, res = step(self.dit_params, latents,
+                          float(sched.timesteps[i]), ctx_i, cos, sin,
+                          res_in)
+            if not skips[i]:
+                residual = res
             latents, state = sstep(v, i, latents, state)
         return latents
 

@@ -278,10 +278,9 @@ def make_handler(controller: VideoCoFController, lock: threading.Lock,
                     for k in ("height", "width", "num_frames"):
                         if k in req:
                             kwargs[k] = int(req[k])
-                    # editing-only knobs don't apply to the t2v surface
-                    for k in ("source_frames", "reasoning_frames",
-                              "enable_teacache", "teacache_threshold",
-                              "teacache_skip_start_steps", "cfg_skip_ratio"):
+                    # editing-only shape knobs don't apply to the t2v
+                    # surface (TeaCache / cfg-skip ride it unchanged)
+                    for k in ("source_frames", "reasoning_frames"):
                         kwargs.pop(k, None)
                 elif req.get("source_video"):
                     tmp = tempfile.NamedTemporaryFile(suffix=".mp4",
