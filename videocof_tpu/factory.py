@@ -134,7 +134,19 @@ def load_pipeline(
     if dit_cfg is None:
         dit_cfg = weights.dit_config_from_checkpoint(dit_dir)
     sd = weights.load_state_dict(dit_dir)
-    dit_params = weights.convert_dit_state_dict(sd, dit_cfg, dtype=npdt)
+    # VACE checkpoint auto-detection: the control branch's keys mark a
+    # `VaceWanTransformer3DModel` state dict (`wan_transformer3d_vace.py`)
+    vace_params = None
+    vace_stride = 2
+    if any(k.startswith("vace_patch_embedding") for k in sd):
+        from .models import wan_dit_vace
+        n_vace = 1 + max(int(k.split(".")[1]) for k in sd
+                         if k.startswith("vace_blocks."))
+        vace_stride = dit_cfg.num_layers // n_vace
+        dit_params, vace_params = wan_dit_vace.convert_vace_state_dict(
+            sd, dit_cfg, stride=vace_stride, dtype=npdt)
+    else:
+        dit_params = weights.convert_dit_state_dict(sd, dit_cfg, dtype=npdt)
     del sd
 
     vae_sd = weights.load_state_dict(os.path.join(model_name, VAE_SUBPATH))
@@ -207,6 +219,17 @@ def load_pipeline(
             pipe.dit_params = ship_tree_into(pipe.dit_params, fmts1)
             pipe.dit_params_2 = ship_tree_into(pipe.dit_params_2, fmts2)
         return pipe
+    if vace_params is not None:
+        from .pipeline import VacePipeline
+        # (no fused-AOT precompile on the control path — VACE steps are
+        # dispatched individually; ship both trees plainly)
+        return VacePipeline(jax.tree.map(jnp.asarray, dit_params), dit_cfg,
+                            vae_params, vae_cfg, t5_params, t5_cfg,
+                            tokenizer, dtype=dtype,
+                            attn_backend=attn_backend,
+                            vace_params=jax.tree.map(jnp.asarray,
+                                                     vace_params),
+                            vace_stride=vace_stride)
     pipe = WanPipeline(dit_params, dit_cfg, vae_params, vae_cfg, t5_params,
                        t5_cfg, tokenizer, dtype=dtype,
                        attn_backend=attn_backend)
