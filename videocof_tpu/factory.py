@@ -29,6 +29,8 @@ FUSIONX_LORA = "Wan2.1_Text_to_Video_14B_FusionX_LoRA.safetensors"
 LOW_NOISE_SUBPATH = "low_noise_model"
 HIGH_NOISE_SUBPATH = "high_noise_model"
 WAN22_BOUNDARY = 0.875
+# Wan2.2 3.8 VAE (TI2V-5B family), `config/wan2.2/wan_civitai_5b.yaml:12`
+VAE22_SUBPATH = "Wan2.2_VAE.pth"
 
 
 def is_wan22_moe_dir(model_name: str) -> bool:
@@ -36,6 +38,14 @@ def is_wan22_moe_dir(model_name: str) -> bool:
     (contains both ``low_noise_model/`` and ``high_noise_model/``)."""
     return (os.path.isdir(os.path.join(model_name, LOW_NOISE_SUBPATH)) and
             os.path.isdir(os.path.join(model_name, HIGH_NOISE_SUBPATH)))
+
+
+def is_vae22_dir(model_name: str) -> bool:
+    """True when the checkpoint dir ships the Wan2.2 3.8 VAE (TI2V-5B
+    layout: ``Wan2.2_VAE.pth`` and no ``Wan2.1_VAE.pth``)."""
+    return (bool(model_name)
+            and os.path.isfile(os.path.join(model_name, VAE22_SUBPATH))
+            and not os.path.isfile(os.path.join(model_name, VAE_SUBPATH)))
 
 
 def load_pipeline(
@@ -87,7 +97,15 @@ def load_pipeline(
     from .utils.jit_cache import enable_persistent_compilation_cache
     enable_persistent_compilation_cache()
 
-    vae_cfg = vae_cfg or WanVAEConfig()
+    if vae_cfg is None:
+        # TI2V-5B-style checkpoints ship the Wan2.2 3.8 VAE
+        # (`config/wan2.2/wan_civitai_5b.yaml:11-12`: AutoencoderKLWan3_8,
+        # Wan2.2_VAE.pth); everything else uses the 2.1 causal VAE
+        if not random_init and is_vae22_dir(model_name):
+            from .models.wan_vae22 import Wan22VAEConfig
+            vae_cfg = Wan22VAEConfig()
+        else:
+            vae_cfg = WanVAEConfig()
     t5_cfg = t5_cfg or T5Config()
 
     if random_init:
@@ -95,8 +113,11 @@ def load_pipeline(
         keys = jax.random.split(jax.random.PRNGKey(seed), 3)
         dit_params = jax.jit(
             lambda k: wan_dit.init_wan_dit(k, dit_cfg, dtype=dtype))(keys[0])
+        from .models.wan_vae22 import Wan22VAEConfig, init_wan22_vae
+        vae_init = (init_wan22_vae if isinstance(vae_cfg, Wan22VAEConfig)
+                    else wan_vae.init_wan_vae)
         vae_params = jax.jit(
-            lambda k: wan_vae.init_wan_vae(k, vae_cfg, dtype=dtype))(keys[1])
+            lambda k: vae_init(k, vae_cfg, dtype=dtype))(keys[1])
         t5_params = jax.jit(
             lambda k: t5_encoder.init_t5_encoder(k, t5_cfg, dtype=dtype)
         )(keys[2])
@@ -149,8 +170,18 @@ def load_pipeline(
         dit_params = weights.convert_dit_state_dict(sd, dit_cfg, dtype=npdt)
     del sd
 
-    vae_sd = weights.load_state_dict(os.path.join(model_name, VAE_SUBPATH))
-    vae_params = weights.convert_vae_state_dict(vae_sd, vae_cfg, dtype=npdt)
+    from .models.wan_vae22 import (Wan22VAEConfig,
+                                   convert_wan22_vae_state_dict)
+    if isinstance(vae_cfg, Wan22VAEConfig):
+        vae_sd = weights.load_state_dict(
+            os.path.join(model_name, VAE22_SUBPATH))
+        vae_params = convert_wan22_vae_state_dict(vae_sd, vae_cfg,
+                                                  dtype=npdt)
+    else:
+        vae_sd = weights.load_state_dict(
+            os.path.join(model_name, VAE_SUBPATH))
+        vae_params = weights.convert_vae_state_dict(vae_sd, vae_cfg,
+                                                    dtype=npdt)
     del vae_sd
 
     t5_sd = weights.load_state_dict(os.path.join(model_name, T5_SUBPATH))

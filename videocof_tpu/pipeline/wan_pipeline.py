@@ -195,25 +195,39 @@ class WanPipeline:
                 f"got {len(prompts)} prompts for batch of {video.shape[0]}")
         return video
 
+    def _vae_mods(self):
+        """(whole-sequence, streaming) VAE modules for this pipeline's VAE
+        config: the Wan2.1 causal VAE by default, the Wan2.2 3.8 VAE
+        (16x spatial, `AutoencoderKLWan3_8` — the TI2V-5B family's VAE,
+        reference `config/wan2.2/wan_civitai_5b.yaml:11-12`) when
+        ``vae_cfg`` is a `Wan22VAEConfig`."""
+        from ..models.wan_vae22 import Wan22VAEConfig
+        if isinstance(self.vae_cfg, Wan22VAEConfig):
+            from ..models import wan_vae22, wan_vae22_streaming
+            return wan_vae22, wan_vae22_streaming
+        return wan_vae, wan_vae_streaming
+
     def vae_encode(self, video: jax.Array) -> jax.Array:
+        whole, stream = self._vae_mods()
         if video.shape[2] > self.vae_streaming_threshold_frames:
-            mu, _ = wan_vae_streaming.encode_streaming(
+            mu, _ = stream.encode_streaming(
                 self.vae_params, self.vae_cfg, video.astype(self.dtype),
                 jit_cache=self._vae_jit,
                 chunk_latent=self.vae_encode_chunk)
         else:
-            mu, _ = wan_vae.encode(self.vae_params, self.vae_cfg,
-                                   video.astype(self.dtype))
+            mu, _ = whole.encode(self.vae_params, self.vae_cfg,
+                                 video.astype(self.dtype))
         return mu
 
     def vae_decode(self, z: jax.Array) -> jax.Array:
+        whole, stream = self._vae_mods()
         if z.shape[2] > self.vae_streaming_threshold_frames:
-            return wan_vae_streaming.decode_streaming(
+            return stream.decode_streaming(
                 self.vae_params, self.vae_cfg, z.astype(self.dtype),
                 jit_cache=self._vae_jit,
                 chunk_latent=self.vae_decode_chunk)
-        return wan_vae.decode(self.vae_params, self.vae_cfg,
-                              z.astype(self.dtype))
+        return whole.decode(self.vae_params, self.vae_cfg,
+                            z.astype(self.dtype))
 
     def _backend_for(self, do_cfg: bool):
         """The attention backend for a trajectory: the batch-axis-aware
@@ -247,9 +261,12 @@ class WanPipeline:
         (`_decode_outputs`): on transports with a per-transfer latency floor
         (the axon tunnel: ~0.5 s/fetch) every avoided fetch is wall-clock."""
         post_u8 = self._post_u8()
-        if z.shape[2] > self.vae_streaming_threshold_frames:
+        chunk_gen = getattr(self._vae_mods()[1], "decode_streaming_chunks",
+                            None)
+        if (z.shape[2] > self.vae_streaming_threshold_frames
+                and chunk_gen is not None):
             chunks = [post_u8(c) for c in
-                      wan_vae_streaming.decode_streaming_chunks(
+                      chunk_gen(
                           self.vae_params, self.vae_cfg,
                           z.astype(self.dtype), jit_cache=self._vae_jit,
                           chunk_latent=self.vae_decode_chunk)]
@@ -272,10 +289,13 @@ class WanPipeline:
         9.1 s decode stage at 480p)."""
         post_u8 = self._post_u8()
         import os as _os
-        overlap = _os.environ.get("VIDEOCOF_DECODE_OVERLAP") == "1"
+        chunk_gen = getattr(self._vae_mods()[1], "decode_streaming_chunks",
+                            None)
+        overlap = (_os.environ.get("VIDEOCOF_DECODE_OVERLAP") == "1"
+                   and chunk_gen is not None)
         if overlap and z.shape[2] > self.vae_streaming_threshold_frames:
             u8_chunks = []
-            for chunk in wan_vae_streaming.decode_streaming_chunks(
+            for chunk in chunk_gen(
                     self.vae_params, self.vae_cfg, z.astype(self.dtype),
                     jit_cache=self._vae_jit,
                     chunk_latent=self.vae_decode_chunk):
@@ -1178,7 +1198,9 @@ class WanPipeline:
         """
         import os as _os
         fused_ok = (_os.environ.get("VIDEOCOF_DECODE_FUSED", "0") == "1"
-                    and _os.environ.get("VIDEOCOF_DECODE_OVERLAP") != "1")
+                    and _os.environ.get("VIDEOCOF_DECODE_OVERLAP") != "1"
+                    # fused scan decode exists for the 2.1 VAE only
+                    and hasattr(self._vae_mods()[1], "make_fused_decode_fn"))
         if fused_ok:
             return self._decode_outputs_fused(latents, cot, condition_count,
                                               ground_latent_count)
