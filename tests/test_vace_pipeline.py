@@ -119,6 +119,35 @@ def test_control_and_scale_sensitivity(pipe, control):
     np.testing.assert_allclose(z.latents, p.latents, rtol=1e-5, atol=1e-5)
 
 
+def test_cli_control_video(pipe, tmp_path, monkeypatch):
+    """--control_video routes through VacePipeline.control_to_video."""
+    import os
+    import sys
+
+    cv2 = pytest.importorskip("cv2")
+    import videocof_tpu.cli._common as common
+    import videocof_tpu.cli.fast_infer as cli
+
+    path = str(tmp_path / "ctrl.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (32, 32))
+    rng = np.random.default_rng(0)
+    for _ in range(12):
+        w.write(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8))
+    w.release()
+
+    monkeypatch.setattr(common, "build_pipeline_from_args",
+                        lambda args, dtype=None, **kw: pipe)
+    monkeypatch.setattr(cli, "build_pipeline_from_args",
+                        lambda args, dtype=None, **kw: pipe)
+    out_dir = str(tmp_path / "out")
+    monkeypatch.setattr(sys, "argv", [
+        "fast_infer", "--control_video", path, "--prompt",
+        "a dancing robot", "--output_dir", out_dir, "--num_frames", "9",
+        "--random_init", "--num_inference_steps", "1"])
+    cli.main()
+    assert "gen_ctrl.mp4" in os.listdir(out_dir)
+
+
 def test_cfg_and_mask_path(pipe, control):
     mask = np.zeros((1, 1, 9, 32, 32), np.float32)
     mask[..., 8:24, 8:24] = 1.0

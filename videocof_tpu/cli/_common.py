@@ -56,6 +56,16 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                         help="plain text-to-video from --prompt (no source "
                              "video; the Wan2.2 pipeline's generation flow; "
                              "--num_frames/--height/--width set the shape)")
+    parser.add_argument("--control_video", type=str, default=None,
+                        help="VACE control-to-video: generate --prompt under "
+                             "this control clip (depth/pose/scribble or "
+                             "masked video; needs a VACE checkpoint)")
+    parser.add_argument("--control_mask", type=str, default=None,
+                        help="optional region-mask clip for --control_video "
+                             "(bright = generate; omitted = full generation "
+                             "under control)")
+    parser.add_argument("--vace_scale", type=float, default=1.0,
+                        help="control-hint strength (context_scale)")
     parser.add_argument("--height", type=int, default=480)
     parser.add_argument("--width", type=int, default=832)
     parser.add_argument("--guidance_scale_2", type=float, default=None,
@@ -102,13 +112,18 @@ def collect_items(args) -> List[Tuple[str, Dict]]:
                  {"start_image_path": args.start_image,
                   "end_image_path": getattr(args, "end_image", None),
                   "edit_instruction": args.prompt})]
+    if getattr(args, "control_video", None) and args.prompt:
+        return [(os.path.basename(args.control_video),
+                 {"control_video_path": args.control_video,
+                  "control_mask_path": getattr(args, "control_mask", None),
+                  "edit_instruction": args.prompt})]
     if getattr(args, "t2v", False) and args.prompt:
         slug = "".join(c if c.isalnum() else "_"
                        for c in args.prompt.lower())[:48] or "t2v"
         return [(f"{slug}.mp4", {"t2v": True,
                                  "edit_instruction": args.prompt})]
-    raise SystemExit("provide --test_json, --video_path/--start_image "
-                     "plus --prompt, or --t2v --prompt")
+    raise SystemExit("provide --test_json, --video_path/--start_image/"
+                     "--control_video plus --prompt, or --t2v --prompt")
 
 
 def shard_pending(items, output_dir: str):
@@ -154,6 +169,45 @@ def run_items(pipe, args, subset, rank: int, *, num_inference_steps: int,
                 sampler=args.sampler,
                 solver_order=getattr(args, "solver_order", None),
                 seed=args.seed + rank, **t2v_kw)
+            save_results(out.videos, out_path, args.fps)
+            with open(os.path.join(args.output_dir, f"gen_{base}_info.txt"),
+                      "w", encoding="utf-8") as f:
+                f.write(prompt)
+            print(f"[proc {rank}] wrote {out_path}", file=sys.stderr)
+            continue
+
+        if item.get("control_video_path"):
+            # VACE control-to-video (--control_video): needs the factory to
+            # have detected a VACE checkpoint (pipeline/vace_pipeline.py)
+            from ..pipeline import VacePipeline
+            if not isinstance(pipe, VacePipeline):
+                raise SystemExit(
+                    "--control_video needs a VACE checkpoint (the factory "
+                    "auto-detects vace_* keys in the DiT state dict)")
+            prompt = item.get("edit_instruction", "")
+            print(f"[proc {rank}] vace {fname}: {prompt}", file=sys.stderr)
+            # fixed rng: the mask clip must sample the SAME frame indices
+            # as the control clip
+            ctrl, _, _ = load_video_frames(item["control_video_path"],
+                                           args.num_frames,
+                                           rng=np.random.default_rng(0))
+            mask = None
+            if item.get("control_mask_path"):
+                m, _, _ = load_video_frames(item["control_mask_path"],
+                                            args.num_frames,
+                                            rng=np.random.default_rng(0))
+                # [-1,1] RGB -> {0,1} single channel (bright = generate)
+                mask = (m.mean(axis=1, keepdims=True) > 0.0
+                        ).astype(np.float32)
+            out = pipe.control_to_video(
+                prompt, ctrl, mask=mask,
+                negative_prompt=negative_prompt,
+                num_inference_steps=num_inference_steps,
+                guidance_scale=guidance_scale,
+                context_scale=getattr(args, "vace_scale", 1.0),
+                shift=args.shift, sampler=args.sampler,
+                solver_order=getattr(args, "solver_order", None),
+                seed=args.seed + rank)
             save_results(out.videos, out_path, args.fps)
             with open(os.path.join(args.output_dir, f"gen_{base}_info.txt"),
                       "w", encoding="utf-8") as f:
