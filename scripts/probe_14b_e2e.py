@@ -41,6 +41,13 @@ def main():
                     help="latent frames per streaming VAE step (1 fits "
                          "beside the resident 14B; 2 is the 1.3B default)")
     ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--guidance", type=float, default=1.0,
+                    help="> 1.0: CFG via SEQUENTIAL branches — two batch-1 "
+                         "dispatches of the same step executable + an "
+                         "on-device combine (batch-2 CFG OOMs by 1.4 GiB "
+                         "beside the fp8-resident weights; the timing is "
+                         "branch-content-independent so both branches "
+                         "reuse the zero context)")
     ap.add_argument("--ffn-chunks", type=int, default=0,
                     help="chunk the FFN matmuls to cut DiT step temps "
                          "(~0.14 GiB per doubling at 29.6k tokens); needed "
@@ -293,6 +300,10 @@ def main():
     cos_dev = jax.device_put(np.asarray(cos_r), in_fmts[4])
     sin_dev = jax.device_put(np.asarray(sin_r), in_fmts[5])
 
+    do_cfg = args.guidance > 1.0
+    g = float(args.guidance)
+    combine_jit = jax.jit(lambda vu, vc: vu + g * (vc - vu))
+
     def denoise_once():
         carry = jax.jit(init_carry)(latents)
         for i in range(args.steps):
@@ -302,9 +313,18 @@ def main():
                 np.full((1,), plan["timestep"][i], np.float32), in_fmts[2])
             v, _res = step_compiled(pipe.dit_params, lat_i, t_i, ctx_dev,
                                     cos_dev, sin_dev)
+            _res.delete()  # 290 MB; two alive would tip the 15.75G budget
+            if do_cfg:
+                # sequential CFG: second branch through the SAME executable
+                v2, _res2 = step_compiled(pipe.dit_params, lat_i, t_i,
+                                          ctx_dev, cos_dev, sin_dev)
+                _res2.delete()
+                vg = combine_jit(v, v2)
+                v.delete()
+                v2.delete()
+                v = vg
             carry = upd_jit(carry, row, v)
             jax.block_until_ready(carry)
-            _res.delete()  # 290 MB; two alive would tip the 15.75G budget
             v.delete()
         out = final(carry)
         float(jnp.sum(out[:1, :1, :1, :1, :1], dtype=jnp.float32))
@@ -355,8 +375,10 @@ def main():
     except Exception:
         pass
 
+    metric = ("sec_per_video_%dstep_480p_14b_fp8%s"
+              % (args.steps, "_cfg" if do_cfg else ""))
     print(json.dumps({
-        "metric": "sec_per_video_4step_480p_14b_fp8",
+        "metric": metric,
         "value": round(value, 3), "unit": "s",
         "vs_baseline": round(value / 30.0, 4),
         "model": "wan2.1-t2v-14b fp8-resident on 1x v5e 16GB (reference: "
@@ -372,6 +394,8 @@ def main():
                    "vae_reship_s": round(t_vae_ship, 2),
                    "decode_s": round(t_decode, 2)},
         "per_step_s": round(t_denoise / args.steps, 3),
+        "guidance": args.guidance,
+        "cfg_mode": "sequential" if do_cfg else None,
         "decode_staged": decode_staged,
         "staging": "encode runs before the weights ship (VAE chunk "
                    "activations need the headroom); decode resident if it "

@@ -51,6 +51,9 @@ def main():
                     help="host: build random fp8 params in numpy and ship "
                          "leaf-wise into the fwd's input formats (avoids "
                          "any big device-side init program)")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="batch size (2 = the CFG-doubled step of the "
+                         "reference standard 50-step path)")
     ap.add_argument("--stream-dtype", type=str, default="bfloat16",
                     help="residual-stream dtype (bfloat16 fits the 16 GB "
                          "chip at 29.6k tokens; float32 OOMs by ~1.1 GB)")
@@ -79,10 +82,10 @@ def main():
 
     key = jax.random.PRNGKey(0)
     p_abs = jax.eval_shape(init_fp8, key)
-    x_abs = jax.ShapeDtypeStruct((1, cfg.in_dim, f * pt, h * ph, w * pw),
+    x_abs = jax.ShapeDtypeStruct((args.batch, cfg.in_dim, f * pt, h * ph, w * pw),
                                  jnp.bfloat16)
-    t = jnp.full((1,), 800.0, jnp.float32)
-    c_abs = jax.ShapeDtypeStruct((1, cfg.text_len, cfg.text_dim),
+    t = jnp.full((args.batch,), 800.0, jnp.float32)
+    c_abs = jax.ShapeDtypeStruct((args.batch, cfg.text_len, cfg.text_dim),
                                  jnp.bfloat16)
 
     # Compile the forward FIRST (from abstract shapes), then create the
@@ -182,7 +185,7 @@ def main():
     step_s = float(np.median(times))
     print(f"steps: {[f'{s:.2f}' for s in times]}", file=sys.stderr)
 
-    flops = dit_matmul_flops(cfg, L)
+    flops = args.batch * dit_matmul_flops(cfg, L)
     tflops = flops / step_s / 1e12
     mem = {}
     try:
@@ -194,7 +197,7 @@ def main():
 
     print(json.dumps({
         "model": "wan2.1-t2v-14b", "quantize": "fp8",
-        "tokens": L, "grid": [f, h, w],
+        "tokens": L, "grid": [f, h, w], "batch": args.batch,
         "step_s": round(step_s, 3),
         "tflops_per_s": round(tflops, 1),
         "mfu_vs_v5e_197tflops": round(tflops / 197.0, 3),

@@ -65,6 +65,27 @@ def test_cfg_path(pipe, video):
     assert np.isfinite(out.videos).all()
 
 
+def test_cfg_sequential_matches_batched(pipe, video):
+    """Sequential CFG (two batch-1 dispatches; the 16 GB-chip 14B-CFG mode)
+    must reproduce the batched-CFG trajectory — including through a TeaCache
+    skip step (residual split/concat) and a cfg-skip phase cut."""
+    kw = dict(source_frames=9, reasoning_frames=4, num_inference_steps=3,
+              guidance_scale=5.0, negative_prompt="blurry", seed=5,
+              output_latents=True, enable_teacache=True,
+              teacache_forced_plan=[False, True, False],
+              cfg_skip_ratio=0.34)
+    a = pipe(video, "add a hat", **kw)
+    pipe.cfg_sequential = True
+    try:
+        b = pipe(video, "add a hat", **kw)
+    finally:
+        pipe.cfg_sequential = False
+    np.testing.assert_allclose(a.latents, b.latents, rtol=5e-5, atol=5e-5)
+    # decoded frames quantize to uint8 on device: a latent ulp can flip a
+    # pixel by one 1/255 step at the rounding boundary
+    assert np.abs(a.videos - b.videos).max() <= 1.01 / 255.0
+
+
 def test_non_cot_paired_path(pipe, video):
     out = pipe(video, "make the sky purple", source_frames=9,
                num_inference_steps=2, cot=False)

@@ -66,6 +66,12 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                              "under control)")
     parser.add_argument("--vace_scale", type=float, default=1.0,
                         help="control-hint strength (context_scale)")
+    parser.add_argument("--cfg_sequential", action="store_true",
+                        help="run CFG as two batch-1 dispatches instead of "
+                             "a batch-2 step: halves the step's activation "
+                             "HBM (lets 50-step CFG run beside fp8-resident "
+                             "14B weights on a 16 GB chip) at ~no cost on "
+                             "compute-bound geometries")
     parser.add_argument("--height", type=int, default=480)
     parser.add_argument("--width", type=int, default=832)
     parser.add_argument("--guidance_scale_2", type=float, default=None,
@@ -303,4 +309,6 @@ def build_pipeline_from_args(args, dtype=None, num_inference_steps=4,
                          lora_paths=loras, precompile=precompile)
     for path, _ in loras:
         print(f"merged LoRA: {path}", file=sys.stderr)
+    if getattr(args, "cfg_sequential", False):
+        pipe.cfg_sequential = True
     return pipe

@@ -81,6 +81,16 @@ class WanPipeline:
         self.vae_decode_chunk = 2
         self.vae_encode_chunk = 4
         self._rope_cache: Dict[Any, Any] = {}
+        # Sequential CFG: run cond/uncond as TWO batch-1 dispatches of the
+        # same executable instead of the reference's batch-cat x2
+        # (`pipeline_wan.py:700`). At 14B-scale token counts the step is
+        # compute-bound, so this costs ~nothing — and it HALVES the step's
+        # activation footprint, which is what lets the reference's standard
+        # 50-step CFG path run beside fp8-resident 14B weights on a 16 GB
+        # chip (batch-2 OOMs by 1.4 GiB: the [2, 29.7k, 13824] FFN temp).
+        # Forces the stepwise trajectory (fused/segmented scans stay
+        # batched).
+        self.cfg_sequential = False
         # VIDEOCOF_TIMING=1: per-stage wall times to stderr
         import os as _os
         self.verbose_timing = _os.environ.get("VIDEOCOF_TIMING") == "1"
@@ -660,6 +670,8 @@ class WanPipeline:
             tc_kw.get("teacache_forced_plan"),
             do_cfg, tc_kw.get("cfg_skip_ratio", 0.0))
         can_fuse = not (skip_mask is not None and cfg_off is not None)
+        if do_cfg and self.cfg_sequential:
+            can_fuse = False  # sequential CFG is a two-dispatch step
         backend = self._backend_for(do_cfg)
         L_tok = cos.shape[0] if cos.ndim == 2 else (
             latents.shape[2] * (latents.shape[3] // 2)
@@ -682,7 +694,8 @@ class WanPipeline:
                                          cos, sin)
         import os as _os
         if (_os.environ.get("VIDEOCOF_STEPWISE") != "1"
-                and sampler in ("unipc", "dpm++", "euler")):
+                and sampler in ("unipc", "dpm++", "euler")
+                and not (do_cfg and self.cfg_sequential)):
             seg_env = _os.environ.get("VIDEOCOF_SEG_STEPS")
             seg_n = max(1, int(seg_env)) if seg_env else auto_segment_steps(
                 L_tok, do_cfg, dit_cfg=self.dit_cfg)
@@ -835,6 +848,9 @@ class WanPipeline:
         """One denoise step: optional CFG batch-doubling, DiT forward (with
         TeaCache residual in/out), guidance combine, source freeze. Compiled
         once per (cfg, skip) variant."""
+        if do_cfg and self.cfg_sequential:
+            return self._seq_cfg_step_fn(guidance_scale, condition_count,
+                                         skip_blocks)
         key = ("step", do_cfg, float(guidance_scale), condition_count,
                skip_blocks, self._backend_for(do_cfg))
         if key in self._jit_cache:
@@ -869,6 +885,38 @@ class WanPipeline:
             # freeze source latents (`pipeline_wan.py:735-737`)
             v = v.at[:, :, :condition_count].set(0.0)
             return v, res
+
+        self._jit_cache[key] = step
+        return step
+
+    def _seq_cfg_step_fn(self, guidance_scale: float, condition_count: int,
+                         skip_blocks: bool):
+        """Sequential-CFG step: both guidance branches through the SAME
+        batch-B no-cfg executable (source freeze is linear, so freezing
+        before the combine is exact), combined on device. Residuals concat
+        [uncond | cond] so the callers' cfg-skip slice (``res_in[-need:]``
+        keeps cond rows) works unchanged."""
+        key = ("seq_step", float(guidance_scale), condition_count,
+               skip_blocks, self.attn_backend)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        base = self._step_fn(False, 1.0, condition_count,
+                             skip_blocks=skip_blocks)
+        g = float(guidance_scale)
+        combine = jax.jit(lambda vu, vc: vu + g * (vc - vu))
+        cat = jax.jit(lambda a, b: jnp.concatenate([a, b], axis=0))
+
+        def step(dit_params, latents, t_scalar, context, rope_cos,
+                 rope_sin, residual):
+            B = latents.shape[0]
+            ru = rc = None
+            if residual is not None:
+                ru, rc = residual[:B], residual[B:]
+            vu, res_u = base(dit_params, latents, t_scalar, context[:B],
+                             rope_cos, rope_sin, ru)
+            vc, res_c = base(dit_params, latents, t_scalar, context[B:],
+                             rope_cos, rope_sin, rc)
+            return combine(vu, vc), cat(res_u, res_c)
 
         self._jit_cache[key] = step
         return step
@@ -1017,6 +1065,8 @@ class WanPipeline:
             cfg_off = num_inference_steps - int(
                 round(num_inference_steps * cfg_skip_ratio))
         can_fuse = not (enable_teacache and cfg_off is not None)
+        if do_cfg and self.cfg_sequential:
+            can_fuse = False  # sequential CFG is a two-dispatch step
         fkey = None
         if can_fuse:
             skip_mask = None
@@ -1106,7 +1156,8 @@ class WanPipeline:
         import os as _os
         use_seg = (_os.environ.get("VIDEOCOF_STEPWISE") != "1"
                    and sampler in ("unipc", "dpm++", "euler")
-                   and not (enable_teacache and skips[0]))
+                   and not (enable_teacache and skips[0])
+                   and not (do_cfg and self.cfg_sequential))
         if use_seg:
             from .fused_sampler import (auto_segment_steps,
                                         make_segmented_sample_fn)
