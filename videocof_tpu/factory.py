@@ -168,6 +168,13 @@ def load_pipeline(
             sd, dit_cfg, stride=vace_stride, dtype=npdt)
     else:
         dit_params = weights.convert_dit_state_dict(sd, dit_cfg, dtype=npdt)
+    # Fun-Control camera checkpoints carry a `control_adapter.*` branch
+    # (`wan_transformer3d.py:703-705`)
+    camera_params = None
+    if any(k.startswith("control_adapter.") for k in sd):
+        from .pipeline.camera_pipeline import \
+            convert_camera_adapter_state_dict
+        camera_params = convert_camera_adapter_state_dict(sd, dtype=npdt)
     del sd
 
     from .models.wan_vae22 import (Wan22VAEConfig,
@@ -261,6 +268,14 @@ def load_pipeline(
                             vace_params=jax.tree.map(jnp.asarray,
                                                      vace_params),
                             vace_stride=vace_stride)
+    if camera_params is not None:
+        from .pipeline import CameraPipeline
+        return CameraPipeline(jax.tree.map(jnp.asarray, dit_params),
+                              dit_cfg, vae_params, vae_cfg, t5_params,
+                              t5_cfg, tokenizer, dtype=dtype,
+                              attn_backend=attn_backend,
+                              camera_params=jax.tree.map(jnp.asarray,
+                                                         camera_params))
     pipe = WanPipeline(dit_params, dit_cfg, vae_params, vae_cfg, t5_params,
                        t5_cfg, tokenizer, dtype=dtype,
                        attn_backend=attn_backend)
