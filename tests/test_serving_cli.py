@@ -453,6 +453,7 @@ def test_http_api_moe_generation(moe_pipe, test_video, tmp_path):
                 "teacache_threshold": 0.1,
                 "num_skip_start_steps": 0,
                 "cfg_skip_ratio": 0.25,
+                "cfg_sequential": True,
                 "lora_model_path": lora_path,
                 "lora_alpha_slider": 0.8,
             }).encode(),
@@ -463,7 +464,10 @@ def test_http_api_moe_generation(moe_pipe, test_video, tmp_path):
         assert len(base64.b64decode(resp["base64_encoding"])) > 100
         # the LoRA was merged into BOTH experts and is tracked
         assert controller._merged_loras == {lora_path: 0.8}
+        # the sequential-CFG payload knob reached the pipeline
+        assert controller.pipeline.cfg_sequential is True
     finally:
+        controller.pipeline.cfg_sequential = False
         controller.ensure_lora(None)   # restore the shared fixture
         server.shutdown()
 

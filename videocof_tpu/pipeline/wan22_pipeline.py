@@ -195,6 +195,8 @@ class Wan22Pipeline(WanPipeline):
             tc_kw.get("teacache_forced_plan"),
             do_cfg, tc_kw.get("cfg_skip_ratio", 0.0))
         can_fuse = not (skip_mask is not None and cfg_off is not None)
+        if do_cfg and self.cfg_sequential:
+            can_fuse = False  # sequential CFG is a two-dispatch step
         params_2 = (self.dit_params_2 if self.dit_params_2 is not None
                     else self.dit_params)
         backend = self._backend_for(do_cfg)
@@ -220,7 +222,8 @@ class Wan22Pipeline(WanPipeline):
                                          context, cos, sin)
         import os as _os
         if (_os.environ.get("VIDEOCOF_STEPWISE") != "1"
-                and sampler in ("unipc", "dpm++", "euler")):
+                and sampler in ("unipc", "dpm++", "euler")
+                and not (do_cfg and self.cfg_sequential)):
             seg_env = _os.environ.get("VIDEOCOF_SEG_STEPS")
             seg_n = max(1, int(seg_env)) if seg_env else auto_segment_steps(
                 L_tok, do_cfg, dit_cfg=self.dit_cfg)
@@ -392,6 +395,8 @@ class Wan22Pipeline(WanPipeline):
         # one-program fusion excludes TeaCache+cfg-skip COMBINED (residual
         # batch shapes disagree across the cfg split); segmented composes
         can_fuse = not (skip_mask is not None and cfg_off is not None)
+        if do_cfg and self.cfg_sequential:
+            can_fuse = False  # sequential CFG is a two-dispatch step
 
         fkey = ("fused22", sampler, num_inference_steps, float(shift),
                 do_cfg, float(guidance_scale), float(g2), split_idx,
@@ -433,7 +438,8 @@ class Wan22Pipeline(WanPipeline):
         else:
             import os as _os
             if (_os.environ.get("VIDEOCOF_STEPWISE") != "1"
-                    and sampler in ("unipc", "dpm++", "euler")):
+                    and sampler in ("unipc", "dpm++", "euler")
+                    and not (do_cfg and self.cfg_sequential)):
                 # segmented dual-expert trajectory: K steps per dispatch,
                 # one shared segment executable for both experts (see
                 # fused_sampler.make_segmented_sample_fn_moe) — the MoE

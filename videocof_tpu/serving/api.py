@@ -256,6 +256,11 @@ def make_handler(controller: VideoCoFController, lock: threading.Lock,
                         req["num_skip_start_steps"])
                 if "cfg_skip_ratio" in req:
                     kwargs["cfg_skip_ratio"] = float(req["cfg_skip_ratio"])
+                # sequential CFG (two batch-1 dispatches; the HBM-tight 14B
+                # deployment mode) — the controller applies it under the
+                # generation lock
+                if "cfg_sequential" in req:
+                    kwargs["cfg_sequential"] = bool(req["cfg_sequential"])
                 # MoE-only knob: per-expert guidance for the high-noise
                 # phase (`pipeline_wan2_2.py:552-553`)
                 if ("guidance_scale_2" in req and

@@ -175,6 +175,11 @@ class VideoCoFController:
                 video_path, source_frames,
                 rng=np.random.default_rng(seed or d.seed))
         full_prompt = prompt if raw_prompt else build_cot_prompt(prompt)
+        if "cfg_sequential" in gen_kwargs:
+            # pipeline attr, not a __call__ kwarg (the API serializes
+            # generations, so flipping it here is race-free)
+            self.pipeline.cfg_sequential = bool(
+                gen_kwargs.pop("cfg_sequential"))
         if (gen_kwargs.get("enable_teacache") and self.model_name and
                 "teacache_coefficients" not in gen_kwargs):
             # checkpoint-name alias -> published polynomial set, the
@@ -222,6 +227,9 @@ class VideoCoFController:
         the reference Wan2_2Pipeline generation flow. The prompt is used
         raw — CoT phrasing is an editing-task convention."""
         d = self.defaults
+        if "cfg_sequential" in gen_kwargs:
+            self.pipeline.cfg_sequential = bool(
+                gen_kwargs.pop("cfg_sequential"))
         out = self.pipeline.text_to_video(
             prompt,
             height=height, width=width, num_frames=num_frames,
