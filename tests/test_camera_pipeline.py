@@ -112,3 +112,15 @@ def test_frame_count_validated(pipe):
         pipe.camera_to_video("x", _pose_rows(5), height=32, width=32,
                              num_frames=9, num_inference_steps=1,
                              guidance_scale=1.0)
+
+
+def test_pack_camera_frames_alignment_validated():
+    """(F-1) % tc != 0 fails up front with an actionable message instead of
+    an opaque reshape error deep inside prepare_camera_features."""
+    import jax.numpy as jnp
+    from videocof_tpu.pipeline.camera_pipeline import pack_camera_frames
+    with pytest.raises(ValueError, match="pose rows"):
+        pack_camera_frames(jnp.zeros((1, 6, 80, 4, 4)), tc=4)
+    # aligned counts still pack
+    out = pack_camera_frames(jnp.zeros((1, 6, 81, 4, 4)), tc=4)
+    assert out.shape == (1, 24, 21, 4, 4)

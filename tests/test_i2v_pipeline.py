@@ -99,3 +99,12 @@ def test_i2v_clip_tokens_change_output(pipe, start_image):
     a = pipe.image_to_video(start_image, "animate", clip_fea=f1, **kw)
     b = pipe.image_to_video(start_image, "animate", clip_fea=f2, **kw)
     assert np.abs(a.videos - b.videos).max() > 1e-4
+
+
+def test_i2v_rejects_multi_prompt(pipe, start_image):
+    """image_to_video conditions on ONE start image; a multi-prompt batch
+    would mismatch context rows against the latent batch — reject loudly."""
+    with pytest.raises(ValueError, match="one prompt"):
+        pipe.image_to_video(start_image, ["a", "b"], num_frames=FRAMES,
+                            height=H, width=W, num_inference_steps=1,
+                            guidance_scale=1.0)

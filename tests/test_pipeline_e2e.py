@@ -179,3 +179,25 @@ def test_decode_single_fetch_matches_two_fetch(pipe, monkeypatch):
             np.testing.assert_array_equal(got.ground_videos,
                                           ref.ground_videos)
         np.testing.assert_array_equal(got.edit_videos, ref.edit_videos)
+
+
+def test_teacache_forced_plan_step0_sanitized(pipe, video, monkeypatch):
+    """A forced plan that (nonsensically) skips step 0 is normalized to
+    compute — step 0 has no residual to replay. The stepwise loop used to
+    crash on the None residual; all three dispatch tiers must now agree
+    with the explicitly sanitized plan."""
+    kw = dict(source_frames=9, reasoning_frames=4, num_inference_steps=4,
+              guidance_scale=1.0, seed=3, enable_teacache=True)
+    bad = [True, True, False, True]
+    good = [False, True, False, True]
+    want = pipe(video, "remove the dog", teacache_forced_plan=good, **kw)
+    fused = pipe(video, "remove the dog", teacache_forced_plan=bad,
+                 fused_sampling=True, **kw)
+    np.testing.assert_allclose(fused.videos, want.videos,
+                               atol=(1.0 / 255.0) + 1e-6)
+    monkeypatch.setenv("VIDEOCOF_STEPWISE", "1")
+    stepwise = pipe(video, "remove the dog", teacache_forced_plan=bad,
+                    fused_sampling=False, **kw)
+    monkeypatch.delenv("VIDEOCOF_STEPWISE")
+    np.testing.assert_allclose(stepwise.videos, want.videos,
+                               atol=(1.0 / 255.0) + 1e-6)

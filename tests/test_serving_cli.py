@@ -466,6 +466,21 @@ def test_http_api_moe_generation(moe_pipe, test_video, tmp_path):
         assert controller._merged_loras == {lora_path: 0.8}
         # the sequential-CFG payload knob reached the pipeline
         assert controller.pipeline.cfg_sequential is True
+        # ...and does NOT leak into a request that omits the key: the next
+        # generation resets to the pipeline's construction-time default
+        req2 = urllib.request.Request(
+            f"http://127.0.0.1:{port}{ENDPOINT}",
+            data=json.dumps({
+                "prompt_textbox": "remove the dog",
+                "source_video": vid_b64,
+                "seed_textbox": 3,
+                "sample_step_slider": 2,
+                "cfg_scale_slider": 1.0,
+            }).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req2, timeout=600) as r:
+            assert json.load(r)["message"] == "Success"
+        assert controller.pipeline.cfg_sequential is False
     finally:
         controller.pipeline.cfg_sequential = False
         controller.ensure_lora(None)   # restore the shared fixture
@@ -585,6 +600,77 @@ def test_moe_model_switch_dual_dir(moe_pipe, tmp_path, monkeypatch):
         moe_pipe.dit_params = jax.tree.map(jnp.asarray, orig1)
         moe_pipe.dit_params_2 = jax.tree.map(jnp.asarray, orig2)
         server.shutdown()
+
+
+def test_single_expert_swap_unmerges_lora_first(moe_pipe, tmp_path):
+    """A single-expert weight swap on a MoE pipeline must leave the
+    surviving high-noise expert PRISTINE: fused LoRA deltas are unmerged
+    BEFORE the swap clears the merge tracker (otherwise dit_params_2 keeps
+    the deltas forever and the next ensure_lora merges them a second
+    time)."""
+    import safetensors.numpy
+    from videocof_tpu.utils.checkpoint import save_dit_safetensors
+
+    controller = VideoCoFController(moe_pipe)
+    orig1 = jax.tree.map(np.asarray, moe_pipe.dit_params)
+    orig2 = jax.tree.map(np.asarray, moe_pipe.dit_params_2)
+    key = lambda p: np.asarray(p["blocks"]["self_attn"]["q"]["kernel"])
+
+    ck = tmp_path / "single_expert"
+    ck.mkdir()
+    save_dit_safetensors(
+        str(ck / "model.safetensors"),
+        jax.tree.map(lambda a: a * 2.0, moe_pipe.dit_params),
+        moe_pipe.dit_cfg)
+
+    rng = np.random.default_rng(7)
+    d = WAN_TINY.dim
+    sd = {"diffusion_model.blocks.0.self_attn.q.lora_A.weight":
+          rng.standard_normal((2, d)).astype(np.float32) * 0.01,
+          "diffusion_model.blocks.0.self_attn.q.lora_B.weight":
+          rng.standard_normal((d, 2)).astype(np.float32) * 0.01}
+    lora_path = str(tmp_path / "adapter.safetensors")
+    safetensors.numpy.save_file(sd, lora_path)
+    try:
+        controller.ensure_lora(lora_path)
+        assert np.abs(key(moe_pipe.dit_params_2) - key(orig2)).max() > 0
+        controller.update_diffusion_transformer(str(ck))
+        # swapped expert carries the new weights; surviving expert is
+        # back to pristine (deltas unmerged, not orphaned)
+        np.testing.assert_allclose(
+            key(moe_pipe.dit_params), 2.0 * key(orig1), rtol=1e-6)
+        np.testing.assert_allclose(key(moe_pipe.dit_params_2), key(orig2),
+                                   atol=1e-6)
+        assert controller._merged_loras == {}
+    finally:
+        moe_pipe.dit_params = jax.tree.map(jnp.asarray, orig1)
+        moe_pipe.dit_params_2 = jax.tree.map(jnp.asarray, orig2)
+
+
+def test_generate_t2v_resolves_teacache_alias():
+    """generate_t2v applies the model_name -> TeaCache-coefficient alias
+    the same way generate() does (it used to fall back to the 14b
+    polynomial for every served t2v request)."""
+    from videocof_tpu.models.teacache import get_teacache_coefficients
+    captured = {}
+
+    class FakeOut:
+        videos = np.zeros((1, 3, 1, 8, 8), np.float32)
+        ground_videos = None
+        edit_videos = videos
+
+    class FakePipe:
+        cfg_sequential = False
+
+        def text_to_video(self, prompt, **kw):
+            captured.update(kw)
+            return FakeOut()
+
+    c = VideoCoFController(FakePipe(), model_name="Wan2.1-T2V-1.3B")
+    c.generate_t2v("a fox", enable_teacache=True)
+    want = get_teacache_coefficients("Wan2.1-T2V-1.3B")
+    assert want is not None
+    assert captured["teacache_coefficients"] == want
 
 
 def test_webui_exposes_full_knob_set():

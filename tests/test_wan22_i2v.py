@@ -335,3 +335,30 @@ def test_clip_converter_roundtrip():
     a = clip_vision.clip_vision_forward(params, cfg, imgs)
     b = clip_vision.clip_vision_forward(back, cfg, imgs)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_wan22_call_kwarg_passthroughs():
+    """The MoE editing __call__ honors noise / output_latents / solver_order
+    (these used to vanish into **_ignored) and rejects unknown kwargs."""
+    pipe = _moe_pipe(boundary=0.9)
+    video = np.random.default_rng(0).uniform(-1, 1, (1, 3, 9, 32, 32)
+                                             ).astype(np.float32)
+    # 6 steps: lower_order_final clamps order-3 out of existence at <= 4
+    kw = dict(source_frames=9, num_inference_steps=6, guidance_scale=1.0,
+              cot=False, shift=5.0, output_latents=True)
+    mu_shape = tuple(pipe.vae_encode(jnp.asarray(video)).shape)
+    rng = np.random.default_rng(1)
+    n1 = rng.standard_normal(mu_shape).astype(np.float32)
+    n2 = rng.standard_normal(mu_shape).astype(np.float32)
+    a = pipe(video, "x", noise=n1, **kw)
+    b = pipe(video, "x", noise=n1, **kw)
+    c = pipe(video, "x", noise=n2, **kw)
+    assert a.latents is not None
+    np.testing.assert_array_equal(a.latents, b.latents)
+    assert np.abs(a.latents - c.latents).max() > 0   # noise consumed
+    # solver_order reaches the multistep solver (order 3 != default 2)
+    o3 = pipe(video, "x", noise=n1, solver_order=3, **kw)
+    assert np.abs(o3.latents - a.latents).max() > 0
+    with pytest.raises(TypeError):
+        pipe(video, "x", definitely_not_a_kwarg=1,
+             source_frames=9, num_inference_steps=1, cot=False)

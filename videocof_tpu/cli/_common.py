@@ -226,8 +226,15 @@ def run_items(pipe, args, subset, rank: int, *, num_inference_steps: int,
             prompt = item.get("edit_instruction", "")
             print(f"[proc {rank}] i2v {fname}: {prompt}", file=sys.stderr)
             from PIL import Image
+            from ..utils.video_io import size_from_base_resolution
             with Image.open(item["start_image_path"]) as im:
                 w0, h0 = im.size
+            # generation size: the image's aspect ratio at the AREA the
+            # --height/--width flags budget (the reference controllers' AR-
+            # aware sizing rule) — a raw 4032x3024 photo must not dictate a
+            # ~190k-token generation
+            base = int(round((args.height * args.width) ** 0.5))
+            h0, w0 = size_from_base_resolution(h0, w0, base)
             h0, w0 = (h0 // 16) * 16, (w0 // 16) * 16  # patch/VAE-aligned
             out = pipe.image_to_video(
                 item["start_image_path"], prompt,

@@ -49,6 +49,12 @@ def pack_camera_frames(rays: jax.Array, tc: int = 4) -> jax.Array:
     latent-frame-aligned maps: frame 0 repeated ``tc`` times, then groups of
     ``tc`` frames folded into channels (F' = (F-1)//tc + 1)."""
     B, C, F, H, W = rays.shape
+    if (F - 1) % tc != 0:
+        # fail up front with the fix, not a reshape error deep below
+        raise ValueError(
+            f"camera stream has {F} frames; need (F-1) % {tc} == 0 "
+            f"(latent-frame alignment) — pass 1 + k*{tc} pose rows, e.g. "
+            f"{(F - 1) // tc * tc + 1} or {((F - 1) // tc + 1) * tc + 1}")
     first = jnp.repeat(rays[:, :, :1], tc, axis=2)
     x = jnp.concatenate([first, rays[:, :, 1:]], axis=2)  # [B, C, tc*F', H, W]
     Fp = x.shape[2] // tc

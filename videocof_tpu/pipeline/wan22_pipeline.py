@@ -124,10 +124,12 @@ class Wan22Pipeline(WanPipeline):
 
         # shape-locked AOT runner: key carries the compiled geometry so
         # other-geometry calls fall back to jit instead of crashing
+        # trailing None/None/None = skip_mask / cfg_off / solver_order: must
+        # mirror the __call__-side key EXACTLY (see WanPipeline.precompile_fused)
         fkey = ("fused22", sampler, num_inference_steps, float(shift),
                 do_cfg, float(guidance_scale), float(g2), split_idx,
                 cond, self._backend_for(do_cfg), None, None,
-                tuple(lat_abs.shape), tuple(ctx_abs.shape))
+                tuple(lat_abs.shape), tuple(ctx_abs.shape), None)
         self._jit_cache[fkey] = runner
         return fmts[0], fmts[1]
 
@@ -307,7 +309,12 @@ class Wan22Pipeline(WanPipeline):
                  teacache_coefficients=None,
                  teacache_forced_plan=None,
                  cfg_skip_ratio: float = 0.0,
-                 **_ignored) -> WanPipelineOutput:
+                 riflex_k: Optional[int] = None,
+                 riflex_L_test: Optional[int] = None,
+                 riflex_L_test_scale: Optional[float] = None,
+                 noise=None, latents=None,
+                 output_latents: bool = False,
+                 solver_order: Optional[int] = None) -> WanPipelineOutput:
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
         video = self._prepare_video(video, prompts)
         B = video.shape[0]
@@ -331,21 +338,41 @@ class Wan22Pipeline(WanPipeline):
         context = context.astype(self.dtype)
 
         key = jax.random.PRNGKey(seed)
-        if cot:
-            latents = self.prepare_cot_latents(video, ground_latent_count, key)
+        if latents is not None:
+            latents = jnp.asarray(latents, jnp.float32)
+        elif cot:
+            latents = self.prepare_cot_latents(video, ground_latent_count,
+                                               key, noise=noise)
         else:
-            latents = self.prepare_paired_latents(video, key)
+            latents = self.prepare_paired_latents(video, key, noise=noise)
         _, C, Tl, Hl, Wl = latents.shape
 
         ph, pw = self.dit_cfg.patch_size[1:]
         grid = (Tl, Hl // ph, Wl // pw)
         f_src = condition_count if repeat_rope else None
         f_ground = ground_latent_count if (repeat_rope and cot) else 0
-        cos, sin = wan_dit.make_rope_for_geometry(
-            self.dit_cfg, grid, f_src=f_src, f_ground=f_ground)
-        cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+        rope_key = (grid, f_src, f_ground, riflex_k, riflex_L_test,
+                    riflex_L_test_scale)
+        if rope_key in self._rope_cache:
+            cos, sin = self._rope_cache[rope_key]
+        else:
+            temporal_table = None
+            if riflex_k is not None:
+                from ..models.rope import riflex_angle_table
+                temporal_table = riflex_angle_table(
+                    self.dit_cfg.head_dim, riflex_k, riflex_L_test or 66,
+                    riflex_L_test_scale, max_pos=self.dit_cfg.rope_max_pos,
+                    theta=self.dit_cfg.rope_theta)
+            cos, sin = wan_dit.make_rope_for_geometry(
+                self.dit_cfg, grid, f_src=f_src, f_ground=f_ground,
+                temporal_table=temporal_table)
+            cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+            self._rope_cache[rope_key] = (cos, sin)
 
-        sched = get_scheduler(sampler)
+        sched_kw = ({"solver_order": solver_order}
+                    if solver_order is not None
+                    and sampler in ("unipc", "dpm++") else {})
+        sched = get_scheduler(sampler, **sched_kw)
         sched.set_timesteps(num_inference_steps, shift=shift)
         state = sched.init_state(latents)
 
@@ -353,45 +380,13 @@ class Wan22Pipeline(WanPipeline):
         # count (monotone decreasing schedule, data-independent boundary)
         split_idx = self._split_idx(sched)
 
-        # ---- cfg-skip: drop the uncond pass in the last fraction of steps
-        # (`utils/cfg_optimization.py:7-37`) — one more static phase cut
-        cfg_off = None
-        if do_cfg and cfg_skip_ratio > 0.0:
-            cfg_off = num_inference_steps - int(
-                round(num_inference_steps * cfg_skip_ratio))
-
-        # ---- TeaCache: planned PER EXPERT (each expert has its own
-        # timestep-modulation trajectory; the reference keeps separate cache
-        # state per transformer). The first step of each expert phase always
-        # computes — the carried residual belongs to the other expert.
-        skip_mask = None
-        if enable_teacache and teacache_forced_plan is not None:
-            assert len(teacache_forced_plan) == num_inference_steps
-            plan = [bool(s) for s in teacache_forced_plan]
-            plan[0] = False
-            if 0 < split_idx < num_inference_steps:
-                plan[split_idx] = False
-            skip_mask = tuple(plan)
-        elif enable_teacache:
-            from ..models import teacache as tc
-            # wan2.2-* names alias onto the 720p polynomial in the
-            # reference's table (`cache_utils.py:5-15`)
-            coeffs = (teacache_coefficients or
-                      tc.TEACACHE_COEFFICIENTS["wan2.1-i2v-14b-720p"])
-            ts = [float(t) for t in sched.timesteps]
-            hi_params = (self.dit_params_2
-                         if self.dit_params_2 is not None
-                         else self.dit_params)
-            plan_hi = tc.plan_teacache_skips(
-                hi_params, self.dit_cfg, ts[:split_idx], coeffs,
-                teacache_threshold,
-                teacache_skip_start_steps) if split_idx else []
-            plan_lo = tc.plan_teacache_skips(
-                self.dit_params, self.dit_cfg, ts[split_idx:], coeffs,
-                teacache_threshold,
-                max(0, teacache_skip_start_steps - split_idx)
-            ) if split_idx < num_inference_steps else []
-            skip_mask = tuple(plan_hi) + tuple(plan_lo)
+        # ---- TeaCache (planned PER EXPERT — each expert has its own
+        # timestep-modulation trajectory, forced recompute at the expert
+        # boundary) + cfg-skip cut, shared with the t2v path
+        skip_mask, cfg_off = self._plan_t2v_teacache(
+            sched, num_inference_steps, enable_teacache, teacache_threshold,
+            teacache_skip_start_steps, teacache_coefficients,
+            teacache_forced_plan, do_cfg, cfg_skip_ratio)
         # one-program fusion excludes TeaCache+cfg-skip COMBINED (residual
         # batch shapes disagree across the cfg split); segmented composes
         can_fuse = not (skip_mask is not None and cfg_off is not None)
@@ -402,7 +397,7 @@ class Wan22Pipeline(WanPipeline):
                 do_cfg, float(guidance_scale), float(g2), split_idx,
                 condition_count, self._backend_for(do_cfg),
                 skip_mask, cfg_off,
-                tuple(latents.shape), tuple(context.shape))
+                tuple(latents.shape), tuple(context.shape), solver_order)
         if fused_sampling is None:
             if not can_fuse:
                 fused_sampling = False
@@ -453,7 +448,7 @@ class Wan22Pipeline(WanPipeline):
                 skey = ("seg22", sampler, num_inference_steps, float(shift),
                         do_cfg, float(guidance_scale), float(g2), split_idx,
                         condition_count, self._backend_for(do_cfg),
-                        skip_mask, cfg_off, seg_n)
+                        skip_mask, cfg_off, seg_n, solver_order)
                 if skey not in self._jit_cache:
                     sp = self._sp_for(do_cfg)
                     self._jit_cache[skey] = make_segmented_sample_fn_moe(
@@ -470,7 +465,7 @@ class Wan22Pipeline(WanPipeline):
                                                 latents, context, cos, sin)
             else:
                 sched_key = ("sched", sampler, num_inference_steps,
-                             float(shift))
+                             float(shift), solver_order)
                 if sched_key not in self._jit_cache:
                     self._jit_cache[sched_key] = jax.jit(
                         sched.step, static_argnums=(1,))
@@ -503,5 +498,8 @@ class Wan22Pipeline(WanPipeline):
 
         # segment-wise decode shared with the base pipeline (single-fetch
         # device-u8 path by default)
-        return self._decode_outputs(latents, cot, condition_count,
-                                    ground_latent_count)
+        out = self._decode_outputs(latents, cot, condition_count,
+                                   ground_latent_count)
+        if output_latents:
+            out.latents = np.asarray(latents)
+        return out

@@ -416,6 +416,12 @@ class WanPipeline:
         video01, mask255, clip_img = vio.get_image_to_video_latent(
             start_image, end_image, num_frames, (height, width))
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        if len(prompts) != 1:
+            # the conditioning stream is built for ONE start image; a multi-
+            # prompt batch would mismatch context rows against latent batch
+            raise ValueError(
+                f"image_to_video takes exactly one prompt per call, got "
+                f"{len(prompts)}")
         B = 1
         do_cfg = guidance_scale > 1.0
 
@@ -1075,7 +1081,9 @@ class WanPipeline:
                 # weights skip ~90% of steps at the trained-weight threshold,
                 # so honest TeaCache timing injects a realistic ~40% plan)
                 assert len(teacache_forced_plan) == num_inference_steps
-                skip_mask = tuple(bool(s) for s in teacache_forced_plan)
+                plan = [bool(s) for s in teacache_forced_plan]
+                plan[0] = False  # step 0 has no residual to replay
+                skip_mask = tuple(plan)
             elif enable_teacache:
                 from ..models import teacache as tcache
                 coeffs = (teacache_coefficients or
@@ -1133,6 +1141,7 @@ class WanPipeline:
         if enable_teacache and teacache_forced_plan is not None:
             assert len(teacache_forced_plan) == num_inference_steps
             skips = [bool(s) for s in teacache_forced_plan]
+            skips[0] = False  # step 0 has no residual to replay
         elif enable_teacache:
             from ..models import teacache as tc
             coeffs = (teacache_coefficients or

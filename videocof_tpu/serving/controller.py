@@ -30,6 +30,10 @@ class VideoCoFController:
     model_name: Optional[str] = None
     # LoRA merge-state tracking (`examples/app.py:220-262`)
     _merged_loras: Dict[str, float] = field(default_factory=dict)
+    # pipeline's construction-time cfg_sequential (captured lazily); the
+    # per-request payload knob resets to this when absent so one request's
+    # setting never leaks into the next
+    _cfg_seq_default: Optional[bool] = None
 
     # ------------------------------------------------------------- experts
     def _expert_attrs(self):
@@ -109,7 +113,14 @@ class VideoCoFController:
                               os.path.join(path, HIGH_NOISE_SUBPATH))
         else:
             # single-expert checkpoint: swaps the base (low-noise) expert;
-            # on a MoE pipeline the high-noise expert keeps its weights
+            # on a MoE pipeline the high-noise expert keeps its weights —
+            # unmerge any fused LoRAs FIRST so the surviving expert is left
+            # pristine (clearing the tracker while deltas stay fused would
+            # corrupt dit_params_2 permanently). Single-expert pipelines
+            # skip this: the only tree is replaced wholesale.
+            if (self._merged_loras and
+                    getattr(self.pipeline, "dit_params_2", None) is not None):
+                self.ensure_lora(None)
             self._swap_expert("dit_params", path)
         self._merged_loras.clear()
 
@@ -141,6 +152,29 @@ class VideoCoFController:
             del old
         setattr(self.pipeline, attr, jax.tree.map(jnp.asarray, params))
         jax.block_until_ready(getattr(self.pipeline, attr))
+
+    def _apply_cfg_sequential(self, gen_kwargs: Dict[str, Any]) -> None:
+        """Per-request sequential-CFG knob: a pipeline attr, not a __call__
+        kwarg (the API serializes generations, so flipping it here is
+        race-free). Resets to the pipeline's construction-time value when the
+        payload omits the key — one request's setting must not leak into
+        later requests."""
+        if self._cfg_seq_default is None:
+            self._cfg_seq_default = bool(
+                getattr(self.pipeline, "cfg_sequential", False))
+        self.pipeline.cfg_sequential = bool(
+            gen_kwargs.pop("cfg_sequential", self._cfg_seq_default))
+
+    def _resolve_teacache_coefficients(self,
+                                       gen_kwargs: Dict[str, Any]) -> None:
+        """checkpoint-name alias -> published polynomial set, the reference
+        controller's get_teacache_coefficients dispatch."""
+        if (gen_kwargs.get("enable_teacache") and self.model_name and
+                "teacache_coefficients" not in gen_kwargs):
+            from ..models.teacache import get_teacache_coefficients
+            coeffs = get_teacache_coefficients(self.model_name)
+            if coeffs is not None:
+                gen_kwargs["teacache_coefficients"] = coeffs
 
     def _params_quantized(self) -> bool:
         blocks = self.pipeline.dit_params.get("blocks", {})
@@ -175,19 +209,8 @@ class VideoCoFController:
                 video_path, source_frames,
                 rng=np.random.default_rng(seed or d.seed))
         full_prompt = prompt if raw_prompt else build_cot_prompt(prompt)
-        if "cfg_sequential" in gen_kwargs:
-            # pipeline attr, not a __call__ kwarg (the API serializes
-            # generations, so flipping it here is race-free)
-            self.pipeline.cfg_sequential = bool(
-                gen_kwargs.pop("cfg_sequential"))
-        if (gen_kwargs.get("enable_teacache") and self.model_name and
-                "teacache_coefficients" not in gen_kwargs):
-            # checkpoint-name alias -> published polynomial set, the
-            # reference controller's get_teacache_coefficients dispatch
-            from ..models.teacache import get_teacache_coefficients
-            coeffs = get_teacache_coefficients(self.model_name)
-            if coeffs is not None:
-                gen_kwargs["teacache_coefficients"] = coeffs
+        self._apply_cfg_sequential(gen_kwargs)
+        self._resolve_teacache_coefficients(gen_kwargs)
         out = self.pipeline(
             video_array, full_prompt,
             negative_prompt=(negative_prompt if negative_prompt is not None
@@ -227,9 +250,8 @@ class VideoCoFController:
         the reference Wan2_2Pipeline generation flow. The prompt is used
         raw — CoT phrasing is an editing-task convention."""
         d = self.defaults
-        if "cfg_sequential" in gen_kwargs:
-            self.pipeline.cfg_sequential = bool(
-                gen_kwargs.pop("cfg_sequential"))
+        self._apply_cfg_sequential(gen_kwargs)
+        self._resolve_teacache_coefficients(gen_kwargs)
         out = self.pipeline.text_to_video(
             prompt,
             height=height, width=width, num_frames=num_frames,

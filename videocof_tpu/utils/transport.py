@@ -60,4 +60,16 @@ def should_fetch_yuv420(env_value: Optional[str] = None,
         return env_value == "1"
     if mbps is None:
         mbps = measured_fetch_mbps()
-    return mbps < YUV_AUTO_THRESHOLD_MBPS
+    on = mbps < YUV_AUTO_THRESHOLD_MBPS
+    if on and not _CACHE.get("yuv_warned"):
+        # announce ONCE: auto-enabling changes output fidelity (4:2:0 chroma
+        # subsample — the same loss any mp4 save applies, but raw-frame
+        # consumers comparing pixels across runs need to know the switch
+        # flipped). Pin VIDEOCOF_FETCH_YUV420=0 for chroma-exact fetches.
+        import sys
+        print(f"[videocof] transport {mbps:.1f} MB/s < "
+              f"{YUV_AUTO_THRESHOLD_MBPS:.0f} MB/s: enabling half-size I420 "
+              "decode fetch (4:2:0 chroma; VIDEOCOF_FETCH_YUV420=0 to pin "
+              "exact RGB)", file=sys.stderr, flush=True)
+        _CACHE["yuv_warned"] = True
+    return on
