@@ -62,31 +62,47 @@ def main():
         # Fail FAST if the remote TPU tunnel is wedged (observed: a dead
         # axon worker blocks the very first dispatch forever with 0% CPU —
         # better one clear error line than an indefinitely hung bench).
-        import threading
+        # The probe runs in a SUBPROCESS so (a) a hung dispatch can be
+        # killed cleanly (a hung in-process thread can't — round 3 died
+        # with SIGABRT when sys.exit tore down under a live dispatch) and
+        # (b) each retry gets a FRESH tunnel connection: the tunnel
+        # demonstrably flaps on ~minutes timescales, so bounded retries
+        # with backoff salvage runs a single-shot probe would abort.
+        import subprocess
 
-        probe_done = threading.Event()
-        probe_err = []
-
-        def _probe():
+        timeout_s = float(os.environ.get("BENCH_PROBE_TIMEOUT", "180"))
+        attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "3"))
+        probe_src = ("import jax.numpy as jnp; "
+                     "print(float(jnp.sum(jnp.ones((8, 8)))))")
+        reason = None
+        for attempt in range(1, attempts + 1):
+            t0 = time.time()
             try:
-                float(jnp.sum(jnp.ones((8, 8))))
-            except Exception as e:
-                probe_err.append(e)
-            finally:
-                probe_done.set()
-
-        th = threading.Thread(target=_probe, daemon=True)
-        th.start()
-        timeout_s = float(os.environ.get("BENCH_PROBE_TIMEOUT", "300"))
-        if not probe_done.wait(timeout_s) or probe_err:
-            reason = (f"device probe failed: {probe_err[0]}" if probe_err
-                      else f"TPU device probe did not complete within "
-                           f"{timeout_s:.0f}s — remote tunnel unresponsive")
+                r = subprocess.run([sys.executable, "-c", probe_src],
+                                   capture_output=True, text=True,
+                                   timeout=timeout_s)
+                if r.returncode == 0:
+                    reason = None
+                    log(f"device probe ok (attempt {attempt}, "
+                        f"{time.time()-t0:.1f}s)")
+                    break
+                reason = (f"device probe exit {r.returncode}: "
+                          f"{r.stderr.strip()[-300:]}")
+            except subprocess.TimeoutExpired:
+                reason = (f"TPU device probe did not complete within "
+                          f"{timeout_s:.0f}s — remote tunnel unresponsive")
+            log(f"probe attempt {attempt}/{attempts} failed: {reason}")
+            if attempt < attempts:
+                time.sleep(30.0 * attempt)
+        if reason is not None:
             print(json.dumps({
                 "metric": "sec_per_video_4step_480p_1.3b", "value": None,
                 "unit": "s", "vs_baseline": None, "error": reason}))
-            sys.exit(2)
-        log("device probe ok")
+            # flush + hard-exit: never tear down the interpreter under a
+            # live JAX dispatch (round 3's SIGABRT / rc 134)
+            sys.stdout.flush()
+            sys.stderr.flush()
+            os._exit(2)
 
     from videocof_tpu.utils.jit_cache import (
         enable_persistent_compilation_cache)
