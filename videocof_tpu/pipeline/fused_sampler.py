@@ -33,6 +33,34 @@ from ..configs import WanDiTConfig
 from ..models import wan_dit
 
 
+def fused_cache_key(kind: str, *, sampler: str, num_inference_steps: int,
+                    shift: float, do_cfg: bool, guidance_scale: float,
+                    condition_count: int, backend, latents_shape,
+                    context_shape, skip_mask=None, cfg_off=None,
+                    solver_order=None, guidance_scale_2=None,
+                    split_idx=None) -> tuple:
+    """THE single source of truth for fused-trajectory `_jit_cache` keys.
+
+    Both the AOT precompile paths (`WanPipeline.precompile_fused`,
+    `Wan22Pipeline.precompile_fused`) and the `__call__`-side dispatch build
+    their keys here, so they agree BY CONSTRUCTION — including the trailing
+    skip_mask / cfg_off / solver_order slots the precompile path leaves at
+    None. A mismatch silently bypasses the shipped-weights AOT runner and
+    relayout-copies the whole param tree at dispatch (OOM-fatal for the
+    fp8 14B on a 16 GB chip; see utils/layouts.py). tests/test_fp8.py pins
+    the reuse for both families.
+
+    ``kind``: "fused" (WanPipeline) or "fused22" (Wan22Pipeline; pass
+    ``guidance_scale_2`` + ``split_idx``).
+    """
+    return (kind, sampler, int(num_inference_steps), float(shift),
+            bool(do_cfg), float(guidance_scale),
+            None if guidance_scale_2 is None else float(guidance_scale_2),
+            None if split_idx is None else int(split_idx),
+            int(condition_count), backend, skip_mask, cfg_off,
+            tuple(latents_shape), tuple(context_shape), solver_order)
+
+
 def _sampler_defs(sampler_name: str):
     """(latents_of, update, init_carry, final) for one sampler — pure update
     rules over the sampler carry; the scan body owns the DiT call."""

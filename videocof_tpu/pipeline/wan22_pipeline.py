@@ -123,13 +123,18 @@ class Wan22Pipeline(WanPipeline):
                             jax.device_put(rs, fmts[5]))
 
         # shape-locked AOT runner: key carries the compiled geometry so
-        # other-geometry calls fall back to jit instead of crashing
-        # trailing None/None/None = skip_mask / cfg_off / solver_order: must
-        # mirror the __call__-side key EXACTLY (see WanPipeline.precompile_fused)
-        fkey = ("fused22", sampler, num_inference_steps, float(shift),
-                do_cfg, float(guidance_scale), float(g2), split_idx,
-                cond, self._backend_for(do_cfg), None, None,
-                tuple(lat_abs.shape), tuple(ctx_abs.shape), None)
+        # other-geometry calls fall back to jit instead of crashing. Built
+        # by the ONE shared builder so it mirrors the __call__-side key by
+        # construction (see fused_sampler.fused_cache_key).
+        from .fused_sampler import fused_cache_key
+        runner.is_aot = True  # dispatch-side hit counter (VIDEOCOF_TIMING)
+        fkey = fused_cache_key(
+            "fused22", sampler=sampler,
+            num_inference_steps=num_inference_steps, shift=shift,
+            do_cfg=do_cfg, guidance_scale=guidance_scale,
+            guidance_scale_2=g2, split_idx=split_idx,
+            condition_count=cond, backend=self._backend_for(do_cfg),
+            latents_shape=lat_abs.shape, context_shape=ctx_abs.shape)
         self._jit_cache[fkey] = runner
         return fmts[0], fmts[1]
 
@@ -393,11 +398,16 @@ class Wan22Pipeline(WanPipeline):
         if do_cfg and self.cfg_sequential:
             can_fuse = False  # sequential CFG is a two-dispatch step
 
-        fkey = ("fused22", sampler, num_inference_steps, float(shift),
-                do_cfg, float(guidance_scale), float(g2), split_idx,
-                condition_count, self._backend_for(do_cfg),
-                skip_mask, cfg_off,
-                tuple(latents.shape), tuple(context.shape), solver_order)
+        from .fused_sampler import fused_cache_key
+        fkey = fused_cache_key(
+            "fused22", sampler=sampler,
+            num_inference_steps=num_inference_steps, shift=shift,
+            do_cfg=do_cfg, guidance_scale=guidance_scale,
+            guidance_scale_2=g2, split_idx=split_idx,
+            condition_count=condition_count,
+            backend=self._backend_for(do_cfg),
+            latents_shape=latents.shape, context_shape=context.shape,
+            skip_mask=skip_mask, cfg_off=cfg_off, solver_order=solver_order)
         if fused_sampling is None:
             if not can_fuse:
                 fused_sampling = False
@@ -428,8 +438,11 @@ class Wan22Pipeline(WanPipeline):
                     skip_mask=skip_mask, cfg_off_after=cfg_off)
             params_2 = (self.dit_params_2 if self.dit_params_2 is not None
                         else self.dit_params)
-            latents = self._jit_cache[fkey](self.dit_params, params_2,
-                                            latents, context, cos, sin)
+            fused_fn = self._jit_cache[fkey]
+            if getattr(fused_fn, "is_aot", False):
+                self.aot_runner_hits += 1
+            latents = fused_fn(self.dit_params, params_2,
+                               latents, context, cos, sin)
         else:
             import os as _os
             if (_os.environ.get("VIDEOCOF_STEPWISE") != "1"

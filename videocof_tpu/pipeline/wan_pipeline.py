@@ -91,6 +91,11 @@ class WanPipeline:
         # Forces the stepwise trajectory (fused/segmented scans stay
         # batched).
         self.cfg_sequential = False
+        # dispatches that hit a precompile_fused AOT runner (shipped-weights
+        # path); VIDEOCOF_TIMING labels those dispatches — a zero here after
+        # precompile+call means the fused key stopped mirroring (see
+        # fused_sampler.fused_cache_key)
+        self.aot_runner_hits = 0
         # VIDEOCOF_TIMING=1: per-stage wall times to stderr
         import os as _os
         self.verbose_timing = _os.environ.get("VIDEOCOF_TIMING") == "1"
@@ -836,15 +841,19 @@ class WanPipeline:
 
         # the key carries the compiled geometry: the runner is
         # shape-locked AOT code, and a call at any other resolution /
-        # frame count / batch must fall back to plain jit, not crash
-        # trailing None/None/None = skip_mask / cfg_off / solver_order:
-        # must mirror the __call__-side key EXACTLY or the AOT runner is
-        # silently bypassed (and the weights, shipped into ITS formats,
-        # relayout-copied) — tests/test_fp8.py pins the reuse
-        fkey = ("fused", sampler, num_inference_steps, float(shift),
-                do_cfg, float(guidance_scale), cond, None, None,
-                self._backend_for(do_cfg), tuple(lat_abs.shape),
-                tuple(ctx_abs.shape), None)
+        # frame count / batch must fall back to plain jit, not crash.
+        # Built by the ONE shared key builder (fused_sampler.fused_cache_key)
+        # so it mirrors the __call__-side key by construction — a mismatch
+        # would silently bypass this runner and relayout-copy the shipped
+        # weights. tests/test_fp8.py pins the reuse.
+        from .fused_sampler import fused_cache_key
+        runner.is_aot = True  # dispatch-side hit counter (VIDEOCOF_TIMING)
+        fkey = fused_cache_key(
+            "fused", sampler=sampler,
+            num_inference_steps=num_inference_steps, shift=shift,
+            do_cfg=do_cfg, guidance_scale=guidance_scale,
+            condition_count=cond, backend=self._backend_for(do_cfg),
+            latents_shape=lat_abs.shape, context_shape=ctx_abs.shape)
         self._jit_cache[fkey] = runner
         return fmts[0]
 
@@ -1092,11 +1101,15 @@ class WanPipeline:
                     self.dit_params, self.dit_cfg, sched.timesteps, coeffs,
                     teacache_threshold, teacache_skip_start_steps))
             backend = self._backend_for(do_cfg)
-            fkey = ("fused", sampler, num_inference_steps, float(shift),
-                    do_cfg, float(guidance_scale), condition_count,
-                    skip_mask, cfg_off, backend,
-                    tuple(latents.shape), tuple(context.shape),
-                    solver_order)
+            from .fused_sampler import fused_cache_key
+            fkey = fused_cache_key(
+                "fused", sampler=sampler,
+                num_inference_steps=num_inference_steps, shift=shift,
+                do_cfg=do_cfg, guidance_scale=guidance_scale,
+                condition_count=condition_count, backend=backend,
+                latents_shape=latents.shape, context_shape=context.shape,
+                skip_mask=skip_mask, cfg_off=cfg_off,
+                solver_order=solver_order)
         if fused_sampling is None:
             if not can_fuse:
                 fused_sampling = False   # residual shapes disagree (below)
@@ -1125,9 +1138,13 @@ class WanPipeline:
                     guidance_scale, condition_count, self.dtype,
                     attn_backend=backend, sp=sp,
                     skip_mask=skip_mask, cfg_off_after=cfg_off)
-            latents = self._jit_cache[fkey](self.dit_params, latents,
-                                            context, cos, sin)
-            _tick("denoise(fused)", latents)
+            fused_fn = self._jit_cache[fkey]
+            is_aot = getattr(fused_fn, "is_aot", False)
+            if is_aot:
+                self.aot_runner_hits += 1
+            latents = fused_fn(self.dit_params, latents, context, cos, sin)
+            _tick("denoise(fused, AOT runner)" if is_aot
+                  else "denoise(fused)", latents)
             out = self._decode_outputs(latents, cot, condition_count,
                                        ground_latent_count)
             if output_latents:
