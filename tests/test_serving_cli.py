@@ -762,3 +762,248 @@ def test_http_api_update_diffusion_transformer(controller, tmp_path,
         pipe.dit_params = jax.tree.map(jnp.asarray, orig_host)
         controller._merged_loras.clear()
         server.shutdown()
+
+
+# ------------------------------------------------- non-Wan family serving
+
+def test_family_detection(tmp_path):
+    """factory.detect_family reads diffusers config.json _class_name at the
+    dir root or under transformer/; Wan dirs (no diffusers config) and
+    plain files stay 'wan'."""
+    from videocof_tpu.factory import detect_family
+    assert detect_family("") == "wan"
+    assert detect_family(str(tmp_path / "nope")) == "wan"
+    d = tmp_path / "cog"
+    d.mkdir()
+    (d / "config.json").write_text(
+        json.dumps({"_class_name": "CogVideoXTransformer3DModel"}))
+    assert detect_family(str(d)) == "cogvideox"
+    d2 = tmp_path / "flux"
+    (d2 / "transformer").mkdir(parents=True)
+    (d2 / "transformer" / "config.json").write_text(
+        json.dumps({"_class_name": "FluxTransformer2DModel"}))
+    assert detect_family(str(d2)) == "flux"
+    d3 = tmp_path / "wanlike"
+    d3.mkdir()
+    (d3 / "config.json").write_text(json.dumps({"_class_name": "Other"}))
+    assert detect_family(str(d3)) == "wan"
+
+
+@pytest.fixture(scope="module")
+def cog_controller():
+    from videocof_tpu.models import cogvideox as cog
+    from videocof_tpu.models import cogvideox_vae as cvae
+    from videocof_tpu.pipeline import CogVideoXPipeline
+    dcfg = cog.COGVIDEOX_TINY.replace(use_rotary_positional_embeddings=True)
+    vcfg = cvae.COGVIDEOX_VAE_TINY
+    pipe = CogVideoXPipeline(
+        cog.init_cogvideox(jax.random.PRNGKey(0), dcfg), dcfg,
+        cvae.init_cogvideox_vae(jax.random.PRNGKey(1), vcfg), vcfg)
+    return VideoCoFController(pipe)
+
+
+def test_family_controller_generate_media(cog_controller):
+    assert cog_controller.family == "cogvideox"
+    rng = np.random.default_rng(0)
+    txt = rng.standard_normal(
+        (1, 8, cog_controller.pipeline.dit_cfg.text_embed_dim)
+    ).astype(np.float32)
+    out = cog_controller.generate_media(
+        txt, negative_embeddings=np.zeros_like(txt), height=16, width=16,
+        num_frames=9, num_inference_steps=2, guidance_scale=6.0, seed=3)
+    assert out["videos"].shape == (1, 3, 9, 16, 16)
+    assert np.isfinite(out["videos"]).all()
+    # a Wan controller refuses the media surface
+    with pytest.raises(RuntimeError):
+        VideoCoFController(object()).generate_media(txt)
+
+
+def test_family_http_generate(cog_controller, tmp_path, monkeypatch):
+    """VERDICT r3 #7: generate through CogVideoX over HTTP — embeddings-in
+    contract, base64 mp4 out; .npz embeddings_path honors the asset
+    allowlist."""
+    import io
+    pytest.importorskip("cv2")
+    from http.server import ThreadingHTTPServer
+    from videocof_tpu.serving.api import ENDPOINT, make_handler
+
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(cog_controller, threading.Lock()))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    def post(payload, timeout=600):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{ENDPOINT}",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as r:
+                return r.status, json.load(r)
+        except urllib.error.HTTPError as e:
+            return e.code, json.load(e)
+
+    rng = np.random.default_rng(1)
+    txt = rng.standard_normal(
+        (1, 8, cog_controller.pipeline.dit_cfg.text_embed_dim)
+    ).astype(np.float32)
+
+    def b64_npy(a):
+        buf = io.BytesIO()
+        np.save(buf, a, allow_pickle=False)
+        return base64.b64encode(buf.getvalue()).decode()
+
+    try:
+        # inline base64 .npy embeddings -> mp4 out
+        code, out = post({
+            "text_embeddings": b64_npy(txt),
+            "negative_embeddings": b64_npy(np.zeros_like(txt)),
+            "height": 16, "width": 16, "num_frames": 9,
+            "sample_step_slider": 2, "cfg_scale_slider": 6.0,
+            "seed_textbox": 3})
+        assert code == 200 and out["message"] == "Success", out
+        assert out["family"] == "cogvideox"
+        assert len(base64.b64decode(out["base64_encoding"])) > 100
+
+        # missing embeddings -> 400
+        code, out = post({"height": 16})
+        assert code == 400
+
+        # embeddings_path outside the allowlist -> 403
+        npz = str(tmp_path / "emb.npz")
+        np.savez(npz, text_embeddings=txt,
+                 negative_embeddings=np.zeros_like(txt))
+        monkeypatch.delenv("VIDEOCOF_ASSET_DIRS", raising=False)
+        code, out = post({"embeddings_path": npz, "height": 16,
+                          "width": 16, "num_frames": 9,
+                          "sample_step_slider": 2})
+        assert code == 403
+
+        # allowlisted .npz path -> Success
+        monkeypatch.setenv("VIDEOCOF_ASSET_DIRS", str(tmp_path))
+        code, out = post({"embeddings_path": npz, "height": 16,
+                          "width": 16, "num_frames": 9,
+                          "sample_step_slider": 2, "cfg_scale_slider": 6.0})
+        assert code == 200 and out["message"] == "Success", out
+        assert len(base64.b64decode(out["base64_encoding"])) > 100
+    finally:
+        server.shutdown()
+
+
+def test_family_switch_via_controller(tmp_path):
+    """Cross-family model switch: a Wan controller pointed at a diffusers
+    Flux checkpoint dir rebuilds the pipeline through the factory (and
+    releases the old DiT device tree)."""
+    safetensors = pytest.importorskip("safetensors")
+    from safetensors.numpy import save_file
+    from videocof_tpu.models import flux as flux_lib
+
+    DCFG = WAN_TINY.replace(in_dim=VAE_TINY.z_dim, out_dim=VAE_TINY.z_dim,
+                            text_dim=T5_TINY.dim)
+    pipe = WanPipeline(
+        wan_dit.init_wan_dit(jax.random.PRNGKey(0), DCFG), DCFG,
+        wan_vae.init_wan_vae(jax.random.PRNGKey(1), VAE_TINY), VAE_TINY,
+        t5_encoder.init_t5_encoder(jax.random.PRNGKey(2), T5_TINY), T5_TINY,
+        dtype=jnp.float32)
+    old_params = pipe.dit_params
+    controller = VideoCoFController(pipe)
+    assert controller.family == "wan"
+
+    # tiny Flux checkpoint dir (key layout from test_family_loaders)
+    cfg0 = flux_lib.FLUX_TINY
+    rng = np.random.default_rng(1)
+    d = cfg0.inner_dim
+
+    def lin(din, dout):
+        return rng.standard_normal((dout, din)).astype(np.float32)
+
+    def vec(n):
+        return rng.standard_normal(n).astype(np.float32)
+
+    sd = {
+        "x_embedder.weight": lin(cfg0.in_channels, d),
+        "x_embedder.bias": vec(d),
+        "context_embedder.weight": lin(cfg0.joint_attention_dim, d),
+        "context_embedder.bias": vec(d),
+        "time_text_embed.timestep_embedder.linear_1.weight": lin(256, d),
+        "time_text_embed.timestep_embedder.linear_1.bias": vec(d),
+        "time_text_embed.timestep_embedder.linear_2.weight": lin(d, d),
+        "time_text_embed.timestep_embedder.linear_2.bias": vec(d),
+        "time_text_embed.text_embedder.linear_1.weight":
+            lin(cfg0.pooled_projection_dim, d),
+        "time_text_embed.text_embedder.linear_1.bias": vec(d),
+        "time_text_embed.text_embedder.linear_2.weight": lin(d, d),
+        "time_text_embed.text_embedder.linear_2.bias": vec(d),
+        "norm_out.linear.weight": lin(d, 2 * d),
+        "norm_out.linear.bias": vec(2 * d),
+        "proj_out.weight": lin(d, cfg0.out_channels),
+        "proj_out.bias": vec(cfg0.out_channels),
+    }
+    hd = cfg0.attention_head_dim
+    for i in range(cfg0.num_layers):
+        pre = f"transformer_blocks.{i}"
+        sd[f"{pre}.norm1.linear.weight"] = lin(d, 6 * d)
+        sd[f"{pre}.norm1.linear.bias"] = vec(6 * d)
+        sd[f"{pre}.norm1_context.linear.weight"] = lin(d, 6 * d)
+        sd[f"{pre}.norm1_context.linear.bias"] = vec(6 * d)
+        for nm in ("to_q", "to_k", "to_v", "add_q_proj", "add_k_proj",
+                   "add_v_proj"):
+            sd[f"{pre}.attn.{nm}.weight"] = lin(d, d)
+            sd[f"{pre}.attn.{nm}.bias"] = vec(d)
+        sd[f"{pre}.attn.to_out.0.weight"] = lin(d, d)
+        sd[f"{pre}.attn.to_out.0.bias"] = vec(d)
+        sd[f"{pre}.attn.to_add_out.weight"] = lin(d, d)
+        sd[f"{pre}.attn.to_add_out.bias"] = vec(d)
+        for nm in ("norm_q", "norm_k", "norm_added_q", "norm_added_k"):
+            sd[f"{pre}.attn.{nm}.weight"] = vec(hd)
+        for ff in ("ff", "ff_context"):
+            sd[f"{pre}.{ff}.net.0.proj.weight"] = lin(d, 4 * d)
+            sd[f"{pre}.{ff}.net.0.proj.bias"] = vec(4 * d)
+            sd[f"{pre}.{ff}.net.2.weight"] = lin(4 * d, d)
+            sd[f"{pre}.{ff}.net.2.bias"] = vec(d)
+    for i in range(cfg0.num_single_layers):
+        pre = f"single_transformer_blocks.{i}"
+        sd[f"{pre}.norm.linear.weight"] = lin(d, 3 * d)
+        sd[f"{pre}.norm.linear.bias"] = vec(3 * d)
+        for nm in ("to_q", "to_k", "to_v"):
+            sd[f"{pre}.attn.{nm}.weight"] = lin(d, d)
+            sd[f"{pre}.attn.{nm}.bias"] = vec(d)
+        for nm in ("norm_q", "norm_k"):
+            sd[f"{pre}.attn.{nm}.weight"] = vec(hd)
+        sd[f"{pre}.proj_mlp.weight"] = lin(d, 4 * d)
+        sd[f"{pre}.proj_mlp.bias"] = vec(4 * d)
+        sd[f"{pre}.proj_out.weight"] = lin(5 * d, d)
+        sd[f"{pre}.proj_out.bias"] = vec(d)
+
+    ckpt = tmp_path / "flux_ckpt"
+    ckpt.mkdir()
+    save_file({k: np.ascontiguousarray(v) for k, v in sd.items()},
+              str(ckpt / "diffusion_pytorch_model.safetensors"))
+    (ckpt / "config.json").write_text(json.dumps({
+        "_class_name": "FluxTransformer2DModel",
+        "patch_size": cfg0.patch_size, "in_channels": cfg0.in_channels,
+        "out_channels": None, "num_layers": cfg0.num_layers,
+        "num_single_layers": cfg0.num_single_layers,
+        "attention_head_dim": cfg0.attention_head_dim,
+        "num_attention_heads": cfg0.num_attention_heads,
+        "joint_attention_dim": cfg0.joint_attention_dim,
+        "pooled_projection_dim": cfg0.pooled_projection_dim,
+        "guidance_embeds": False,
+        "axes_dims_rope": list(cfg0.axes_dims_rope)}))
+
+    controller.update_diffusion_transformer(str(ckpt))
+    assert controller.family == "flux"
+    # old Wan DiT device buffers were released
+    assert all(leaf.is_deleted() for leaf in jax.tree.leaves(old_params)
+               if isinstance(leaf, jax.Array))
+    # the switched pipeline generates (latents out: no VAE resident)
+    rng2 = np.random.default_rng(2)
+    txt = rng2.standard_normal(
+        (1, 4, cfg0.joint_attention_dim)).astype(np.float32)
+    pooled = rng2.standard_normal(
+        (1, cfg0.pooled_projection_dim)).astype(np.float32)
+    out = controller.generate_media(txt, pooled_projections=pooled,
+                                    height=32, width=32,
+                                    num_inference_steps=2, seed=0)
+    assert out["images"].shape[0] == 1
+    assert np.isfinite(out["images"]).all()

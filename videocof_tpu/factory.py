@@ -33,6 +33,72 @@ WAN22_BOUNDARY = 0.875
 VAE22_SUBPATH = "Wan2.2_VAE.pth"
 
 
+# diffusers `_class_name` -> family key for the non-Wan model families
+# (the reference ships these as bare model files driven through external
+# diffusers pipelines; its per-family UIs intended per-family serving —
+# `videox_fun/ui/cogvideox_fun_ui.py`, dead in-snapshot)
+FAMILY_CLASSES = {
+    "CogVideoXTransformer3DModel": "cogvideox",
+    "FluxTransformer2DModel": "flux",
+    "QwenImageTransformer2DModel": "qwenimage",
+}
+
+
+def detect_family(model_name: str) -> str:
+    """'wan' | 'cogvideox' | 'flux' | 'qwenimage' for a checkpoint dir.
+
+    Diffusers-layout checkpoints carry a ``config.json`` with ``_class_name``
+    either at the dir root (bare transformer dir) or under ``transformer/``
+    (full pipeline dir); Wan checkpoint dirs carry neither."""
+    if not model_name or not os.path.isdir(model_name):
+        return "wan"
+    import json
+    for sub in ("", "transformer"):
+        cfgf = os.path.join(model_name, sub, "config.json")
+        if os.path.isfile(cfgf):
+            try:
+                with open(cfgf) as f:
+                    cls = json.load(f).get("_class_name", "")
+            except (OSError, ValueError):
+                continue
+            fam = FAMILY_CLASSES.get(cls)
+            if fam:
+                return fam
+    return "wan"
+
+
+def load_family_pipeline(model_name: str, dtype=jnp.bfloat16,
+                         family: Optional[str] = None):
+    """Build a CogVideoX / Flux / QwenImage pipeline from a checkpoint dir.
+
+    Accepts a bare transformer dir or a diffusers pipeline dir (with
+    ``transformer/`` and optionally ``vae/`` subdirs). Text encoders are out
+    of scope by design (see pipeline/image_pipelines.py): the returned
+    pipelines take precomputed text embeddings."""
+    family = family or detect_family(model_name)
+    tdir = model_name
+    if os.path.isfile(os.path.join(model_name, "transformer",
+                                   "config.json")):
+        tdir = os.path.join(model_name, "transformer")
+    vdir = os.path.join(model_name, "vae")
+    has_vae = os.path.isfile(os.path.join(vdir, "config.json"))
+    from .pipeline import (CogVideoXPipeline, FluxPipeline,
+                           QwenImagePipeline)
+    if family == "cogvideox":
+        if not has_vae:
+            raise ValueError(
+                f"CogVideoX checkpoint {model_name!r} needs a vae/ subdir "
+                "(AutoencoderKLCogVideoX) to decode videos")
+        return CogVideoXPipeline.from_pretrained(tdir, vdir, dtype=dtype)
+    if family == "qwenimage":
+        return QwenImagePipeline.from_pretrained(
+            tdir, vae_path=vdir if os.path.isdir(vdir) else None,
+            dtype=dtype)
+    if family == "flux":
+        return FluxPipeline.from_pretrained(tdir, dtype=dtype)
+    raise ValueError(f"unknown model family {family!r} for {model_name!r}")
+
+
 def is_wan22_moe_dir(model_name: str) -> bool:
     """True when ``model_name`` is a Wan2.2 A14B dual-expert checkpoint dir
     (contains both ``low_noise_model/`` and ``high_noise_model/``)."""
@@ -96,6 +162,12 @@ def load_pipeline(
     the 13.8 GiB tree would exhaust HBM (see utils/layouts.py)."""
     from .utils.jit_cache import enable_persistent_compilation_cache
     enable_persistent_compilation_cache()
+
+    # non-Wan family checkpoint dirs (CogVideoX / Flux / QwenImage) route to
+    # their own pipelines; every Wan-specific knob below is meaningless for
+    # them (they carry no umT5/LoRA/MoE machinery)
+    if not random_init and detect_family(model_name) != "wan":
+        return load_family_pipeline(model_name, dtype=dtype)
 
     if vae_cfg is None:
         # TI2V-5B-style checkpoints ship the Wan2.2 3.8 VAE

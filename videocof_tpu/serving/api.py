@@ -205,6 +205,108 @@ def make_handler(controller: VideoCoFController, lock: threading.Lock,
                 self._reply(200, {"message":
                                   f"Error. error information is {e}"})
 
+        def _infer_media(self, req: dict, t0: float):
+            """Generation for the non-Wan families (controller.family is
+            'cogvideox' / 'flux' / 'qwenimage'). Text embeddings arrive
+            PRECOMPUTED — base64 .npy fields (``text_embeddings``,
+            ``negative_embeddings``, ``pooled_projections``) or an
+            allowlisted server-side ``embeddings_path`` .npz with those
+            keys. Replies: ``base64_encoding`` (mp4) for video output,
+            ``base64_image`` (png) for decoded images, ``base64_latents``
+            (.npy) when no VAE decoder is resident."""
+            import io as _io
+            import time as _time
+
+            import numpy as np
+
+            def _np_b64(s):
+                return np.load(_io.BytesIO(base64.b64decode(s)),
+                               allow_pickle=False)
+
+            try:
+                emb = neg = pooled = None
+                if req.get("embeddings_path"):
+                    path = os.path.realpath(req["embeddings_path"])
+                    roots = [os.path.realpath(r)
+                             for r in _allowed_roots() if r]
+                    if not any(path == r or path.startswith(r + os.sep)
+                               for r in roots):
+                        metrics.observe(0.0, ok=False)
+                        self._reply(403, {"message":
+                                          "embeddings_path outside the "
+                                          "allowed asset directories"})
+                        return
+                    with np.load(path, allow_pickle=False) as z:
+                        emb = z["text_embeddings"]
+                        neg = (z["negative_embeddings"]
+                               if "negative_embeddings" in z else None)
+                        pooled = (z["pooled_projections"]
+                                  if "pooled_projections" in z else None)
+                if req.get("text_embeddings"):
+                    emb = _np_b64(req["text_embeddings"])
+                if req.get("negative_embeddings"):
+                    neg = _np_b64(req["negative_embeddings"])
+                if req.get("pooled_projections"):
+                    pooled = _np_b64(req["pooled_projections"])
+                if emb is None:
+                    metrics.observe(0.0, ok=False)
+                    self._reply(400, {"message":
+                                      "missing text_embeddings (base64 "
+                                      ".npy) or embeddings_path (.npz)"})
+                    return
+                kwargs = dict(
+                    text_embeddings=emb, negative_embeddings=neg,
+                    seed=int(req.get("seed_textbox", 0)),
+                    num_inference_steps=int(req["sample_step_slider"])
+                    if "sample_step_slider" in req else None,
+                    guidance_scale=float(req["cfg_scale_slider"])
+                    if "cfg_scale_slider" in req else None,
+                )
+                if controller.family == "flux":
+                    kwargs["pooled_projections"] = pooled
+                for k in ("height", "width"):
+                    if k in req:
+                        kwargs[k] = int(req[k])
+                if controller.family == "cogvideox":
+                    if "num_frames" in req:
+                        kwargs["num_frames"] = int(req["num_frames"])
+                    if "sampler_dropdown" in req:
+                        kwargs["scheduler"] = "ddim"  # only DDIM is served
+                with metrics._lock:
+                    metrics.busy += 1
+                try:
+                    with lock:
+                        with metrics._lock:
+                            metrics.generating_since = _time.time()
+                        try:
+                            result = controller.generate_media(**kwargs)
+                        finally:
+                            with metrics._lock:
+                                metrics.generating_since = None
+                finally:
+                    with metrics._lock:
+                        metrics.busy -= 1
+                reply = {"message": "Success",
+                         "family": controller.family}
+                if result.get("videos") is not None:
+                    reply["base64_encoding"] = \
+                        controller.encode_video_base64(result["videos"])
+                else:
+                    img = np.asarray(result["images"])
+                    if img.ndim >= 3 and img.shape[-3] == 3:
+                        reply["base64_image"] = \
+                            controller.encode_image_base64(img)
+                    else:     # undecoded latents (no resident VAE)
+                        reply["base64_latents"] = \
+                            controller.encode_array_base64(img)
+                metrics.observe(_time.time() - t0, ok=True)
+                self._reply(200, reply)
+            except Exception as e:
+                import traceback
+                traceback.print_exc()
+                metrics.observe(_time.time() - t0, ok=False)
+                self._reply(500, {"message": f"error: {e}"})
+
         def do_POST(self):
             if self.path in (UPDATE_ENDPOINT, LEGACY_UPDATE_ENDPOINT):
                 self._update_transformer()
@@ -224,6 +326,10 @@ def make_handler(controller: VideoCoFController, lock: threading.Lock,
                 return
             import time as _time
             t0 = _time.time()
+            if controller.family != "wan":
+                # CogVideoX / Flux / QwenImage: embeddings-in contract
+                self._infer_media(req, t0)
+                return
             tmp = None
             try:
                 kwargs = dict(

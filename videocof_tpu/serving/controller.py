@@ -35,6 +35,24 @@ class VideoCoFController:
     # setting never leaks into the next
     _cfg_seq_default: Optional[bool] = None
 
+    # -------------------------------------------------------------- family
+    @property
+    def family(self) -> str:
+        """Which model family the resident pipeline serves: 'wan' (all Wan
+        video editors incl. MoE/VACE/S2V/camera) or one of the non-Wan
+        families ('cogvideox' / 'flux' / 'qwenimage')."""
+        from ..pipeline.image_pipelines import (CogVideoXPipeline,
+                                                FluxPipeline,
+                                                QwenImagePipeline)
+        p = self.pipeline
+        if isinstance(p, CogVideoXPipeline):
+            return "cogvideox"
+        if isinstance(p, FluxPipeline):
+            return "flux"
+        if isinstance(p, QwenImagePipeline):
+            return "qwenimage"
+        return "wan"
+
     # ------------------------------------------------------------- experts
     def _expert_attrs(self):
         """Pipeline attributes holding DiT expert param trees. A Wan2.2 MoE
@@ -96,7 +114,14 @@ class VideoCoFController:
         if not path or path == "none":
             return
         from ..factory import (HIGH_NOISE_SUBPATH, LOW_NOISE_SUBPATH,
-                               is_wan22_moe_dir)
+                               detect_family, is_wan22_moe_dir)
+        target_family = detect_family(path)
+        if target_family != "wan" or self.family != "wan":
+            # cross-family (or within a non-Wan family) switch: the weight
+            # trees are structurally different, so this is a full pipeline
+            # rebuild through the factory, not an in-place tree swap
+            self._switch_family_pipeline(path, target_family)
+            return
         if is_wan22_moe_dir(path):
             # Wan2.2 A14B dual-expert layout: swap BOTH experts. Requires a
             # pipeline that carries a second expert slot (same architecture
@@ -123,6 +148,33 @@ class VideoCoFController:
                 self.ensure_lora(None)
             self._swap_expert("dit_params", path)
         self._merged_loras.clear()
+
+    def _switch_family_pipeline(self, path: str, target_family: str) -> None:
+        """Replace the resident pipeline with one loaded for ``path``'s
+        family (Wan included when switching back). Old DiT device buffers
+        are released FIRST so peak HBM is one model, not two."""
+        import jax
+
+        old = self.pipeline
+        for attr in ("dit_params", "dit_params_2"):
+            tree = getattr(old, attr, None)
+            if tree is not None:
+                setattr(old, attr, None)
+                for leaf in jax.tree.leaves(tree):
+                    if isinstance(leaf, jax.Array) and not leaf.is_deleted():
+                        leaf.delete()
+        import jax.numpy as jnp
+        dtype = getattr(old, "dtype", None) or jnp.bfloat16
+        if target_family == "wan":
+            from ..factory import load_pipeline
+            self.pipeline = load_pipeline(path, dtype=dtype)
+        else:
+            from ..factory import load_family_pipeline
+            self.pipeline = load_family_pipeline(path, dtype=dtype,
+                                                 family=target_family)
+        self.model_name = path
+        self._merged_loras.clear()
+        self._cfg_seq_default = None
 
     def _swap_expert(self, attr: str, path: str) -> None:
         import jax
@@ -269,7 +321,86 @@ class VideoCoFController:
         return {"prompt": prompt, "videos": out.videos,
                 "ground_videos": None, "edit_videos": out.edit_videos}
 
+    # -------------------------------------------------- non-Wan families
+    def generate_media(
+        self,
+        text_embeddings: np.ndarray,
+        negative_embeddings: Optional[np.ndarray] = None,
+        pooled_projections: Optional[np.ndarray] = None,
+        num_inference_steps: Optional[int] = None,
+        guidance_scale: Optional[float] = None,
+        seed: Optional[int] = None,
+        **gen_kwargs,
+    ) -> Dict[str, Any]:
+        """Generation for the CogVideoX / Flux / QwenImage pipelines.
+
+        These families take PRECOMPUTED text embeddings (the standard
+        serving decomposition — their encoders, T5-XXL / CLIP+T5 /
+        Qwen2.5-VL, are out of the reference's scope too; see
+        pipeline/image_pipelines.py). Returns {'videos': [B,3,F,H,W]} for
+        CogVideoX, {'images': [B,3,H,W] or latents} for the image
+        families. Reference intent: the per-family serving UIs at
+        `videox_fun/ui/cogvideox_fun_ui.py` (dead in-snapshot)."""
+        fam = self.family
+        if fam == "wan":
+            raise RuntimeError(
+                "generate_media serves the CogVideoX/Flux/QwenImage "
+                "families; this controller holds a Wan pipeline — use "
+                "generate/generate_t2v")
+        d = self.defaults
+        steps = num_inference_steps or d.num_inference_steps
+        seed = seed if seed is not None else d.seed
+        if fam == "cogvideox":
+            videos = self.pipeline(
+                text_embeddings, negative_embeddings,
+                num_inference_steps=steps,
+                guidance_scale=(guidance_scale
+                                if guidance_scale is not None else 6.0),
+                seed=seed, **gen_kwargs)
+            return {"videos": videos, "images": None}
+        if fam == "qwenimage":
+            images = self.pipeline(
+                text_embeddings, negative_embeddings,
+                num_inference_steps=steps,
+                true_cfg_scale=(guidance_scale
+                                if guidance_scale is not None else 4.0),
+                seed=seed, **gen_kwargs)
+            return {"videos": None, "images": images}
+        images = self.pipeline(   # flux: pooled CLIP projections required
+            text_embeddings,
+            pooled_projections if pooled_projections is not None
+            else np.zeros((np.asarray(text_embeddings).shape[0],
+                           self.pipeline.dit_cfg.pooled_projection_dim),
+                          np.float32),
+            num_inference_steps=steps,
+            guidance=(guidance_scale
+                      if guidance_scale is not None else 3.5),
+            seed=seed, **gen_kwargs)
+        return {"videos": None, "images": images}
+
     # --------------------------------------------------------------- encode
+    @staticmethod
+    def encode_image_base64(image: np.ndarray) -> str:
+        """PNG bytes as base64 for one decoded image ([3, H, W] float in
+        [0, 1]); the image-family twin of ``encode_video_base64``."""
+        from PIL import Image
+        arr = np.asarray(image, np.float32)
+        if arr.ndim == 4:
+            arr = arr[0]
+        arr = np.clip(arr, 0.0, 1.0)
+        arr = (arr * 255.0).round().astype(np.uint8).transpose(1, 2, 0)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode()
+
+    @staticmethod
+    def encode_array_base64(arr: np.ndarray) -> str:
+        """.npy bytes as base64 — the transport for undecoded latents
+        (Flux/Qwen pipelines without a resident VAE decoder)."""
+        buf = io.BytesIO()
+        np.save(buf, np.asarray(arr), allow_pickle=False)
+        return base64.b64encode(buf.getvalue()).decode()
+
     @staticmethod
     def encode_video_base64(video: np.ndarray, fps: int = 16) -> str:
         """mp4 bytes as base64 (the reference API returns base64 mp4 —

@@ -116,15 +116,25 @@ INDEX_HTML = """<!doctype html>
   <div class="row3">
     <div><label>Checkpoint path (VIDEOCOF_MODEL_DIRS allowlist)</label>
       <input type="text" id="model_path"
-             placeholder="/models/Wan2.1-T2V-14B or a Wan2.2 MoE dir"></div>
+             placeholder="/models/Wan2.1-T2V-14B, a Wan2.2 MoE dir, or a CogVideoX/Flux/QwenImage dir"></div>
     <div style="align-self:end">
       <button class="secondary" id="switch">Switch model</button></div>
+    <div></div>
+  </div>
+  <div class="row3">
+    <div><label>Embeddings .npz path (CogVideoX/Flux/QwenImage — server-side,
+        keys: text_embeddings[, negative_embeddings, pooled_projections])</label>
+      <input type="text" id="emb_path" placeholder="assets/embeds.npz"></div>
+    <div><label>Image height/width (uses t2v fields)</label>
+      <input type="text" disabled value="&uarr; t2v height/width/frames"></div>
     <div></div>
   </div>
 </fieldset>
 <button id="go">Edit video</button>
 <div id="status"></div>
 <video id="out" controls style="display:none"></video>
+<img id="outimg" style="display:none; width:100%; margin-top:1rem;
+     border-radius:8px">
 <script>
 const $ = (id) => document.getElementById(id);
 $("switch").onclick = async () => {
@@ -145,6 +155,40 @@ $("switch").onclick = async () => {
   }
 };
 $("go").onclick = async () => {
+  const emb = $("emb_path").value;
+  if (emb) {  // non-Wan family: embeddings-in contract
+    $("go").disabled = true;
+    $("status").textContent = "generating (embeddings-in family mode)...";
+    const body = {
+      embeddings_path: emb,
+      seed_textbox: +$("seed").value,
+      sample_step_slider: +$("steps").value,
+      cfg_scale_slider: +$("cfg").value,
+      height: +$("t2v_h").value, width: +$("t2v_w").value,
+      num_frames: +$("t2v_frames").value,
+    };
+    try {
+      const r = await fetch("/videocof/infer_forward", {
+        method: "POST", headers: {"Content-Type": "application/json"},
+        body: JSON.stringify(body)});
+      const j = await r.json();
+      if (j.message !== "Success") throw new Error(j.message);
+      if (j.base64_encoding) {
+        $("out").src = "data:video/mp4;base64," + j.base64_encoding;
+        $("out").style.display = "block"; $("outimg").style.display = "none";
+      } else if (j.base64_image) {
+        $("outimg").src = "data:image/png;base64," + j.base64_image;
+        $("outimg").style.display = "block"; $("out").style.display = "none";
+      }
+      $("status").textContent = "done (" + j.family + ")" +
+        (j.base64_latents ? " — undecoded latents returned (no VAE resident)" : "");
+    } catch (e) {
+      $("status").textContent = "error: " + e;
+    } finally {
+      $("go").disabled = false;
+    }
+    return;
+  }
   const t2v = $("t2v").checked;
   const f = $("video").files[0];
   if (!t2v && !f) { $("status").textContent = "pick a video first (or check text-to-video)"; return; }
