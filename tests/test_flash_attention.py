@@ -42,7 +42,7 @@ def test_cross_attention_shapes():
 
 
 def test_unsupported_shapes_raise():
-    q = jnp.zeros((1, 64, 2, 64))  # head_dim 64
+    q = jnp.zeros((1, 64, 2, 96))  # head_dim not 64 / %128
     with pytest.raises(NotImplementedError):
         flash_attention(q, q, q, interpret=True)
     with pytest.raises(NotImplementedError):
@@ -50,6 +50,32 @@ def test_unsupported_shapes_raise():
                         jnp.zeros((1, 64, 2, 128)),
                         jnp.zeros((1, 64, 2, 128)),
                         bias=jnp.zeros((1,)), interpret=True)
+
+
+@pytest.mark.parametrize("L", [128, 300])  # 300 exercises padding
+def test_head_dim_64(L):
+    """head_dim 64 (CogVideoX) is first-class in the kernel: forward,
+    gradients, and the masked path all match the naive reference."""
+    q, k, v = (jax.random.normal(jax.random.PRNGKey(i), (1, L, 2, 64),
+                                 jnp.float32) for i in range(3))
+    got = np.asarray(flash_attention(q, k, v, block_q=128, block_k=128,
+                                     interpret=True))
+    want = np.asarray(attention(q, k, v, backend="naive"))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    g = jax.random.normal(jax.random.PRNGKey(9), (1, L, 2, 64), jnp.float32)
+    gf = jax.grad(lambda a: jnp.sum(flash_attention(
+        a, k, v, block_q=128, block_k=128, interpret=True) * g))(q)
+    gn = jax.grad(lambda a: jnp.sum(
+        attention(a, k, v, backend="naive") * g))(q)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gn),
+                               rtol=2e-3, atol=2e-3)
+
+    mask = jnp.arange(L)[None, :] < (L - 17)
+    gotm = np.asarray(flash_attention(q, k, v, kv_mask=mask, block_q=128,
+                                      block_k=128, interpret=True))
+    wantm = np.asarray(attention(q, k, v, mask=mask, backend="naive"))
+    np.testing.assert_allclose(gotm, wantm, rtol=2e-4, atol=2e-4)
 
 
 @pytest.mark.parametrize("L", [128, 200])  # 200 exercises padded backward

@@ -219,3 +219,48 @@ def test_token_pad_multiple_matches_unpadded():
     b = np.asarray(wan_dit.wan_dit_forward(params, cfgp, x, t, ctx, cos,
                                            sin))
     np.testing.assert_allclose(b, a, atol=2e-5, rtol=2e-5)
+
+
+def test_varlen_batch_matches_per_item(setup):
+    """VERDICT r3 #8: ragged (mixed-length) batches. Two samples with
+    different frame counts run BATCHED — the shorter one zero-padded along
+    T, carrying its own rope table (per-sample rope as data) and its valid
+    token count in ``seq_lens`` — and each sample's valid region equals its
+    own unbatched run (reference semantics: per-sample q_lens/k_lens varlen
+    packing, `attention_utils.py:113-146`)."""
+    params, x, t, ctx, cos, sin = setup
+    F_long, F_short = GRID[0], GRID[0] - 2     # 5 vs 3 latent frames
+    hw = GRID[1] * GRID[2]
+    L_long, L_short = F_long * hw, F_short * hw
+
+    x_short = x[1:, :, :F_short]
+    cos_s, sin_s = wan_dit.make_rope_for_geometry(
+        CFG, (F_short, GRID[1], GRID[2]), f_src=1, f_ground=1)
+
+    # per-item (unbatched) references
+    out_long = wan_dit.wan_dit_forward(params, CFG, x[:1], t[:1], ctx[:1],
+                                       cos, sin)
+    out_short = wan_dit.wan_dit_forward(params, CFG, x_short, t[1:],
+                                        ctx[1:], jnp.asarray(cos_s),
+                                        jnp.asarray(sin_s))
+
+    # ragged batch: pad the short sample's latents with garbage (NOT zeros —
+    # proves padded tokens are inert), stack per-sample rope tables padded
+    # with the identity rotation
+    junk = jnp.full((1, CFG.in_dim, F_long - F_short) + x.shape[3:], 7.7)
+    x_b = jnp.concatenate([x[:1], jnp.concatenate([x_short, junk], axis=2)])
+    pad = L_long - L_short
+    cos_b = jnp.stack([jnp.asarray(cos),
+                       jnp.pad(jnp.asarray(cos_s), ((0, pad), (0, 0)),
+                               constant_values=1.0)])
+    sin_b = jnp.stack([jnp.asarray(sin),
+                       jnp.pad(jnp.asarray(sin_s), ((0, pad), (0, 0)))])
+    out_b = wan_dit.wan_dit_forward(
+        params, CFG, x_b, t, ctx, cos_b, sin_b,
+        seq_lens=jnp.array([L_long, L_short]))
+
+    np.testing.assert_allclose(np.asarray(out_b[0]), np.asarray(out_long[0]),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_b[1, :, :F_short]),
+                               np.asarray(out_short[0]),
+                               rtol=2e-5, atol=2e-5)

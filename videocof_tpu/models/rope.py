@@ -128,7 +128,9 @@ def build_rope_cos_sin(
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array,
                compute_dtype=None) -> jax.Array:
     """Rotate consecutive channel pairs of ``x`` [..., L, N, D] by per-token
-    angles (cos/sin of shape [L, D//2]).
+    angles (cos/sin of shape [L, D//2], or [B, L, D//2] for PER-SAMPLE
+    tables — the varlen mixed-length batch path, where each sample carries
+    its own geometry's rope as data).
 
     ``compute_dtype`` defaults to fp32, matching the reference's fp32
     complex rope (`wan_transformer3d.py:135-136`). bf16 avoids fp32-sized
@@ -142,8 +144,12 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array,
     *lead, L, N, D = x.shape
     xf = x.astype(cd).reshape(*lead, L, N, D // 2, 2)
     a, b = xf[..., 0], xf[..., 1]
-    c = cos.reshape(L, 1, D // 2).astype(cd)
-    s = sin.reshape(L, 1, D // 2).astype(cd)
+    if cos.ndim == 3:  # per-sample tables [B, L, D//2]
+        c = cos.reshape(cos.shape[0], L, 1, D // 2).astype(cd)
+        s = sin.reshape(sin.shape[0], L, 1, D // 2).astype(cd)
+    else:
+        c = cos.reshape(L, 1, D // 2).astype(cd)
+        s = sin.reshape(L, 1, D // 2).astype(cd)
     ra = (a * c - b * s).astype(orig_dtype)
     rb = (a * s + b * c).astype(orig_dtype)
     return jnp.stack([ra, rb], axis=-1).reshape(*lead, L, N, D)

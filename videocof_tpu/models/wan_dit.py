@@ -342,12 +342,13 @@ def wan_dit_forward(
     x: jax.Array,                     # [B, C, F, H, W] latents
     t: jax.Array,                     # [B] timesteps (float or int)
     context: jax.Array,               # [B, text_len, text_dim]
-    rope_cos: jax.Array,              # [L, head_dim//2]
+    rope_cos: jax.Array,              # [L, head_dim//2] or [B, L, head_dim//2]
     rope_sin: jax.Array,
     context_mask: Optional[jax.Array] = None,   # [B, text_len] bool
     attn_backend: Optional[str] = None,
     remat_blocks: bool = False,
     sp=None,
+    seq_lens: Optional[jax.Array] = None,       # [B] varlen token counts
 ) -> jax.Array:
     """Velocity prediction [B, out_dim, F, H, W].
 
@@ -358,7 +359,7 @@ def wan_dit_forward(
     out, _ = wan_dit_forward_with_residual(
         params, cfg, x, t, context, rope_cos, rope_sin,
         context_mask=context_mask, attn_backend=attn_backend,
-        remat_blocks=remat_blocks, sp=sp)
+        remat_blocks=remat_blocks, sp=sp, seq_lens=seq_lens)
     return out
 
 
@@ -379,6 +380,7 @@ def wan_dit_forward_with_residual(
     y: Optional[jax.Array] = None,          # i2v conditioning, channel-concat
     y_camera: Optional[jax.Array] = None,   # [B, D, F, H', W'] camera feats
     sp=None,                                # parallel.SPContext or None
+    seq_lens: Optional[jax.Array] = None,   # [B] per-sample valid tokens
 ) -> Tuple[jax.Array, jax.Array]:
     """Forward that exposes the TeaCache token-stream residual: returns
     (velocity, residual). With ``skip_blocks=True`` the block stack is
@@ -456,15 +458,16 @@ def wan_dit_forward_with_residual(
     seq_mask = None
     pad_to = math.lcm(cfg.token_pad_multiple,
                       sp.size if (sp is not None and sp.size > 1) else 1)
+    rope_lead = ((0, 0),) if rope_cos.ndim == 3 else ()  # per-sample tables
     if pad_to > 1:
         Lp = ((L_real + pad_to - 1) // pad_to) * pad_to
         if Lp != L_real:
             pad = Lp - L_real
             hseq = jnp.pad(hseq, ((0, 0), (0, pad), (0, 0)))
             # identity rotation for padded positions
-            rope_cos = jnp.pad(rope_cos, ((0, pad), (0, 0)),
+            rope_cos = jnp.pad(rope_cos, rope_lead + ((0, pad), (0, 0)),
                                constant_values=1.0)
-            rope_sin = jnp.pad(rope_sin, ((0, pad), (0, 0)))
+            rope_sin = jnp.pad(rope_sin, rope_lead + ((0, pad), (0, 0)))
             seq_mask = jnp.broadcast_to((jnp.arange(Lp) < L_real)[None],
                                         (hseq.shape[0], Lp))
             if per_token_t:
@@ -473,10 +476,23 @@ def wan_dit_forward_with_residual(
                 e0 = jnp.pad(e0, ((0, 0), (0, pad), (0, 0), (0, 0)),
                              mode="edge")
                 e = jnp.pad(e, ((0, 0), (0, pad), (0, 0)), mode="edge")
+    if seq_lens is not None:
+        # varlen (ragged) batch: per-sample valid token counts — keys past
+        # a sample's own length leave its softmax, mirroring the reference's
+        # per-sample q_lens/k_lens varlen packing
+        # (`attention_utils.py:113-146`). Padded tokens are pure
+        # passengers: attention is masked, every other op is per-token, and
+        # the caller slices each sample's valid region after unpatchify.
+        seq_mask = (jnp.arange(hseq.shape[1])[None]
+                    < jnp.asarray(seq_lens)[:, None])
     if sp is not None and sp.size > 1:
         hseq = sp.shard_tokens(hseq)
-        rope_cos = sp.shard_rope(rope_cos)
-        rope_sin = sp.shard_rope(rope_sin)
+        if rope_cos.ndim == 3:  # per-sample tables shard like the stream
+            rope_cos = sp.shard_tokens(rope_cos)
+            rope_sin = sp.shard_tokens(rope_sin)
+        else:
+            rope_cos = sp.shard_rope(rope_cos)
+            rope_sin = sp.shard_rope(rope_sin)
         if per_token_t:
             e0 = sp.shard_tokens(e0)
             e = sp.shard_tokens(e)

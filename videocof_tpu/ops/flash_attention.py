@@ -14,9 +14,10 @@ fp32 (preferred_element_type) off bf16 inputs; sequence lengths are padded to
 the block size with -inf key masking.
 
 Full bidirectional attention (video DiT self-attention has no causal mask);
-key-padding masks are handled by the wrapper. Backward pass: inference path
-doesn't need one; training falls back to the XLA composite backend until the
-custom-VJP kernel lands.
+key-padding masks are handled by the wrapper. Backward pass: a custom-VJP
+Pallas kernel pair (`_flash_bwd_*`, below) recomputes probabilities from the
+forward LSE and accumulates dQ/dK/dV tile-wise, so training runs the flash
+path end to end (exactness-tested against the XLA composite backend).
 """
 
 from __future__ import annotations
@@ -417,8 +418,11 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
         raise NotImplementedError("bias not supported by the pallas kernel")
     B, Lq, N, D = q.shape
     Lk = k.shape[1]
-    if D % 128 != 0:
-        raise NotImplementedError(f"head_dim {D} not a multiple of 128")
+    if D % 128 != 0 and D != 64:
+        # D==64 (CogVideoX) is first-class: the D block always spans the
+        # full array dim, which Mosaic tiles at half lane width — still far
+        # ahead of XLA materializing [B,N,L,L] logits in HBM
+        raise NotImplementedError(f"head_dim {D} not a multiple of 128/64")
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     scale = (D ** -0.5) if scale is None else scale
@@ -452,8 +456,8 @@ def flash_attention_with_lse(q: jax.Array, k: jax.Array, v: jax.Array, *,
     needs to merge partial results across rotated KV shards."""
     B, Lq, N, D = q.shape
     Lk = k.shape[1]
-    if D % 128 != 0:
-        raise NotImplementedError(f"head_dim {D} not a multiple of 128")
+    if D % 128 != 0 and D != 64:
+        raise NotImplementedError(f"head_dim {D} not a multiple of 128/64")
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     scale = (D ** -0.5) if scale is None else scale
