@@ -267,11 +267,18 @@ def main():
     # compiled by run(); each stage is one whole-program dispatch + block,
     # the only timing the async tunnel reports faithfully)
     from videocof_tpu.utils.profiling import dit_matmul_flops
-    jvideo = pipe._jit_cache["u8_in"](jax.device_put(video))
+    tc0 = vae_cfg.temporal_compression_ratio
+    g_lat = (reasoning_frames - 1) // tc0 + 1
+    jvideo_u8 = jax.device_put(video)
     t0 = time.time()
-    lat = pipe.vae_encode(jvideo)
-    jax.block_until_ready(lat)
+    # the production prep: u8 normalize + streaming encode + noise + concat
+    # (ONE program under VIDEOCOF_ENCODE_FUSED=1, the default)
+    lat_full = pipe.prepare_cot_latents(jvideo_u8, g_lat,
+                                        jax.random.PRNGKey(0))
+    jax.block_until_ready(lat_full)
     t_encode = time.time() - t0
+    cond0 = (source_frames - 1) // tc0 + 1
+    lat = lat_full[:, :, :cond0]  # the encoded-mu prefix
 
     tc = vae_cfg.temporal_compression_ratio
     cond = (source_frames - 1) // tc + 1

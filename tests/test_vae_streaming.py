@@ -94,3 +94,24 @@ def test_roundtrip_through_streaming(vae):
     y = wan_vae_streaming.decode_streaming(vae, CFG, mu)
     assert y.shape == x.shape
     assert np.isfinite(np.asarray(y)).all()
+
+
+@pytest.mark.parametrize("chunk", [2, 4])
+def test_encode_streaming_fused_matches(vae, chunk):
+    """The one-program fused encode (VIDEOCOF_ENCODE_FUSED, default) is the
+    chunked streaming encode traced inline — same math, one dispatch."""
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 3, 13, 16, 16))
+    mu_s, lv_s = wan_vae_streaming.encode_streaming(vae, CFG, x,
+                                                    chunk_latent=chunk)
+    cache = {}
+    mu_f, lv_f = wan_vae_streaming.encode_streaming_fused(
+        vae, CFG, x, jit_cache=cache, chunk_latent=chunk)
+    np.testing.assert_allclose(np.asarray(mu_f), np.asarray(mu_s),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lv_f), np.asarray(lv_s),
+                               rtol=1e-5, atol=1e-5)
+    # executable cached per geometry
+    assert any(k[0] == "enc_fused" for k in cache)
+    mu_f2, _ = wan_vae_streaming.encode_streaming_fused(
+        vae, CFG, x, jit_cache=cache, chunk_latent=chunk)
+    np.testing.assert_array_equal(np.asarray(mu_f2), np.asarray(mu_f))

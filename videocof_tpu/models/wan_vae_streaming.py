@@ -327,3 +327,26 @@ def encode_streaming(params: Params, cfg: WanVAEConfig, video: jax.Array,
     mu, log_var = finish(feats)
     mean, inv_std = W._scale_arrays(cfg, mu.dtype)
     return (mu - mean) * inv_std, log_var
+
+
+def encode_streaming_fused(params: Params, cfg: WanVAEConfig,
+                           video: jax.Array,
+                           jit_cache: dict,
+                           chunk_latent: int = 4) -> Tuple[jax.Array,
+                                                           jax.Array]:
+    """`encode_streaming` as ONE compiled program per input geometry.
+
+    The chunked path above costs one tunnel dispatch per chunk plus eager
+    concat/quant/normalize tails (~6-8 dispatches for 33 frames at 50-100 ms
+    each on the remote transport). Here the same chunk loop is traced INLINE
+    — identical math, one executable, one dispatch. Memory behaviour is
+    unchanged: XLA sees the same chunk-sized activation live ranges, so the
+    whole-sequence blowup this module exists to avoid stays avoided.
+    Executables are cached per (T, H, W, dtype)."""
+    key = ("enc_fused", video.shape, str(video.dtype), chunk_latent)
+    if key not in jit_cache:
+        def whole(p, vid):
+            return encode_streaming(p, cfg, vid, jit_cache=None,
+                                    chunk_latent=chunk_latent)
+        jit_cache[key] = jax.jit(whole)
+    return jit_cache[key](params, video)

@@ -194,13 +194,15 @@ class WanPipeline:
                                      jnp.asarray(mask))
 
     # ---------------------------------------------------------------- latents
-    def _prepare_video(self, video, prompts) -> jax.Array:
+    def _prepare_video(self, video, prompts, convert: bool = True
+                       ) -> jax.Array:
         """Shared input contract for every pipeline variant: accepts float
         video in [-1, 1] or uint8 in [0, 255] (uint8 crosses the host->device
         link 4x cheaper and is normalized on device), and checks one prompt
-        per batch item."""
+        per batch item. ``convert=False`` leaves uint8 as-is — the fused
+        CoT latent prep normalizes INSIDE its one-program encode."""
         video = jnp.asarray(video)
-        if video.dtype == jnp.uint8:
+        if video.dtype == jnp.uint8 and convert:
             if "u8_in" not in self._jit_cache:
                 self._jit_cache["u8_in"] = jax.jit(
                     lambda x: x.astype(self.dtype) * (2.0 / 255.0) - 1.0)
@@ -225,10 +227,22 @@ class WanPipeline:
     def vae_encode(self, video: jax.Array) -> jax.Array:
         whole, stream = self._vae_mods()
         if video.shape[2] > self.vae_streaming_threshold_frames:
-            mu, _ = stream.encode_streaming(
-                self.vae_params, self.vae_cfg, video.astype(self.dtype),
-                jit_cache=self._vae_jit,
-                chunk_latent=self.vae_encode_chunk)
+            import os as _os
+            fused = getattr(stream, "encode_streaming_fused", None)
+            if fused is not None and \
+                    _os.environ.get("VIDEOCOF_ENCODE_FUSED", "1") == "1":
+                # whole streaming encode as ONE program (same chunk-sized
+                # live ranges, ~6-8x fewer tunnel dispatches); =0 reverts to
+                # one dispatch per chunk
+                mu, _ = fused(self.vae_params, self.vae_cfg,
+                              video.astype(self.dtype),
+                              jit_cache=self._vae_jit,
+                              chunk_latent=self.vae_encode_chunk)
+            else:
+                mu, _ = stream.encode_streaming(
+                    self.vae_params, self.vae_cfg, video.astype(self.dtype),
+                    jit_cache=self._vae_jit,
+                    chunk_latent=self.vae_encode_chunk)
         else:
             mu, _ = whole.encode(self.vae_params, self.vae_cfg,
                                  video.astype(self.dtype))
@@ -330,7 +344,45 @@ class WanPipeline:
                             noise: Optional[jax.Array] = None) -> jax.Array:
         """[src | noise(ground+tgt)] — `prepare_cot_video_latents:381-419`.
         Source latents use the distribution mode (mu). ``noise`` overrides
-        the PRNG draw (deterministic cross-framework runs / oracle tests)."""
+        the PRNG draw (deterministic cross-framework runs / oracle tests).
+
+        Default path (`VIDEOCOF_ENCODE_FUSED=1`): the WHOLE prep — uint8
+        normalize, streaming VAE encode (chunk loop traced inline), noise
+        draw, concat — is ONE compiled program. On the remote transport
+        that's 1 dispatch where the chunked path pays ~8-10 (50-100 ms
+        each). `=0` reverts to the per-chunk dispatch path."""
+        import os as _os
+        video = jnp.asarray(video)
+        if noise is None and _os.environ.get("VIDEOCOF_ENCODE_FUSED",
+                                             "1") == "1":
+            ckey = ("cot_prep_fused", video.shape, str(video.dtype),
+                    ground_latent_count, self.vae_encode_chunk)
+            if ckey not in self._vae_jit:
+                whole, stream = self._vae_mods()
+                use_stream = (video.shape[2]
+                              > self.vae_streaming_threshold_frames)
+                cfg, dtype = self.vae_cfg, self.dtype
+                chunk, g = self.vae_encode_chunk, ground_latent_count
+
+                def prog(vp, vid, k):
+                    v = (vid.astype(dtype) * (2.0 / 255.0) - 1.0
+                         if vid.dtype == jnp.uint8 else vid.astype(dtype))
+                    if use_stream:
+                        mu, _ = stream.encode_streaming(vp, cfg, v,
+                                                        jit_cache=None,
+                                                        chunk_latent=chunk)
+                    else:
+                        mu, _ = whole.encode(vp, cfg, v)
+                    B, C, Tl, H, W = mu.shape
+                    nz = jax.random.normal(k, (B, C, Tl + g, H, W),
+                                           jnp.float32)
+                    return jnp.concatenate([mu.astype(jnp.float32), nz],
+                                           axis=2)
+
+                self._vae_jit[ckey] = jax.jit(prog)
+            return self._vae_jit[ckey](self.vae_params, video, key)
+        if video.dtype == jnp.uint8:  # __call__ defers u8 normalize to here
+            video = self._prepare_video(video, ["x"] * video.shape[0])
         mu = self.vae_encode(video)
         B, C, Tl, H, W = mu.shape
         if noise is None:
@@ -1000,7 +1052,9 @@ class WanPipeline:
                 _t0 = now
 
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
-        video = self._prepare_video(video, prompts)
+        # the CoT path's fused latent prep normalizes u8 in-program
+        video = self._prepare_video(video, prompts,
+                                    convert=not (cot and latents is None))
         B = video.shape[0]
 
         do_cfg = guidance_scale > 1.0

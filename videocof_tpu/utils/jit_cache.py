@@ -43,5 +43,8 @@ def enable_persistent_compilation_cache(path: str | None = None) -> str:
     jax.config.update("jax_compilation_cache_dir", path)
     # only big graphs are worth the disk: sub-10s compiles recompile fine
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    if os.environ.get("VIDEOCOF_JIT_CACHE_DEBUG") == "1":
+        # log WHY a lookup missed (first-seen key vs backend/version drift)
+        jax.config.update("jax_explain_cache_misses", True)
     _enabled_path = path
     return path
