@@ -162,8 +162,10 @@ def test_decode_to_numpy01_streaming_matches_whole(pipe, monkeypatch):
 
 def test_decode_single_fetch_matches_two_fetch(pipe, monkeypatch):
     """The default single-fetch decode (segments -> device u8 -> one host
-    copy) must be bit-identical to the per-segment two-fetch path, cot and
-    non-cot, including the ground/edit split points."""
+    copy, per-chunk work fused in-program) must match the per-segment
+    two-fetch path to within one u8 quantization step (the in-program
+    scale/clip fuses differently, so values sitting ON a rounding boundary
+    may flip by 1/255), cot and non-cot, split points identical."""
     rng = np.random.default_rng(0)
     z = jnp.asarray(rng.normal(size=(1, VAE_TINY.z_dim, 7, 4, 4))
                     .astype(np.float32))
@@ -172,13 +174,17 @@ def test_decode_single_fetch_matches_two_fetch(pipe, monkeypatch):
         ref = pipe._decode_outputs(z, cot, cc, glc)
         monkeypatch.setenv("VIDEOCOF_DECODE_SINGLE_FETCH", "1")
         got = pipe._decode_outputs(z, cot, cc, glc)
-        np.testing.assert_array_equal(got.videos, ref.videos)
+
+        def close(a, b):
+            np.testing.assert_allclose(a, b, atol=1.01 / 255)
+            assert (np.abs(a - b) > 1e-6).mean() < 1e-3
+
+        close(got.videos, ref.videos)
         if ref.ground_videos is None:
             assert got.ground_videos is None
         else:
-            np.testing.assert_array_equal(got.ground_videos,
-                                          ref.ground_videos)
-        np.testing.assert_array_equal(got.edit_videos, ref.edit_videos)
+            close(got.ground_videos, ref.ground_videos)
+        close(got.edit_videos, ref.edit_videos)
 
 
 def test_teacache_forced_plan_step0_sanitized(pipe, video, monkeypatch):

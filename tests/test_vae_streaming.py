@@ -115,3 +115,19 @@ def test_encode_streaming_fused_matches(vae, chunk):
     mu_f2, _ = wan_vae_streaming.encode_streaming_fused(
         vae, CFG, x, jit_cache=cache, chunk_latent=chunk)
     np.testing.assert_array_equal(np.asarray(mu_f2), np.asarray(mu_f))
+
+
+@pytest.mark.parametrize("T,chunk", [(5, 2), (6, 4), (1, 2)])
+def test_decode_streaming_u8_matches(vae, T, chunk):
+    """The one-dispatch-per-chunk device-u8 decode (scale/slice/decode/clip/
+    uint8 all in-program) equals uint8(clip(decode_streaming)) exactly."""
+    z = jax.random.normal(jax.random.PRNGKey(4), (1, CFG.z_dim, T, 2, 2))
+    want = np.clip(np.round(np.clip(np.asarray(
+        wan_vae_streaming.decode_streaming(vae, CFG, z, chunk_latent=chunk)),
+        -1, 1) * 127.5 + 127.5), 0, 255).astype(np.uint8)
+    got = np.asarray(wan_vae_streaming.decode_streaming_u8(
+        vae, CFG, z, jit_cache={}, chunk_latent=chunk))
+    assert got.dtype == np.uint8 and got.shape == want.shape
+    # identical math; only rounding-boundary values may flip one u8 step
+    assert (np.abs(got.astype(int) - want.astype(int)) <= 1).all()
+    assert (got != want).mean() < 1e-3

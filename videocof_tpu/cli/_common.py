@@ -202,8 +202,10 @@ def run_items(pipe, args, subset, rank: int, *, num_inference_steps: int,
                 m, _, _ = load_video_frames(item["control_mask_path"],
                                             args.num_frames,
                                             rng=np.random.default_rng(0))
-                # [-1,1] RGB -> {0,1} single channel (bright = generate)
-                mask = (m.mean(axis=1, keepdims=True) > 0.0
+                # RGB -> {0,1} single channel (bright = generate); mid-gray
+                # threshold in whichever range the loader returned
+                thresh = 127.5 if m.dtype == np.uint8 else 0.0
+                mask = (m.mean(axis=1, keepdims=True) > thresh
                         ).astype(np.float32)
             out = pipe.control_to_video(
                 prompt, ctrl, mask=mask,

@@ -161,6 +161,75 @@ def decode_streaming_chunks(params: Params, cfg: WanVAEConfig, z: jax.Array,
         t += k
 
 
+def decode_streaming_u8(params: Params, cfg: WanVAEConfig, z: jax.Array,
+                        jit_cache: dict, chunk_latent: int = 4,
+                        compute_dtype=None) -> jax.Array:
+    """Device-resident uint8 streaming decode with NOTHING eager per chunk.
+
+    The generator path (`decode_streaming_chunks` + a separate uint8 post
+    program per chunk) pays ~4 tunnel dispatches per chunk: an eager latent
+    scale, an eager chunk slice, the decode step, and the uint8 convert —
+    each with a 50-400 ms floor on the remote transport. Here every chunk is
+    ONE dispatch: the executable takes the FULL latent plus a traced start
+    index, slices/scales inside, decodes, and emits the clipped uint8 chunk
+    (4x smaller than the bf16 chunk it replaces on device). Program sizes
+    stay chunk-sized — this does NOT re-open the fused-scan-decode
+    interleaving regression (see BASELINE.md negative results).
+
+    Keeps the streaming==whole-sequence exactness contract: same math as
+    `decode_streaming` followed by clip/round/uint8 (tests pin equality)."""
+    cd = jnp.dtype(compute_dtype) if compute_dtype is not None else z.dtype
+    T = z.shape[2]
+    n_full = (T - 1) // chunk_latent
+    rem = (T - 1) - n_full * chunk_latent
+
+    def scale(x):
+        mean, inv_std = W._scale_arrays(cfg, cd)
+        return x.astype(cd) / inv_std + mean
+
+    def post(y):
+        return jnp.clip(jnp.round(
+            jnp.clip(y, -1.0, 1.0).astype(jnp.float32) * 127.5 + 127.5),
+            0, 255).astype(jnp.uint8)
+
+    def init_fn(p, zf):
+        x = W.causal_conv3d(scale(zf[:, :, :1]), p["post_quant_conv"])
+        tape = _Tape(None)
+        out = _decoder_stream(p["decoder"], cfg, x, tape, first=True)
+        return post(out), tape.out
+
+    def step_body(p, zi, caches):
+        x = W.causal_conv3d(scale(zi), p["post_quant_conv"])
+        tape = _Tape(caches)
+        out = _decoder_stream(p["decoder"], cfg, x, tape, first=False)
+        return post(out), tape.out
+
+    def step_fn(p, zf, start, caches):
+        zi = jax.lax.dynamic_slice_in_dim(zf, start, chunk_latent, axis=2)
+        return step_body(p, zi, caches)
+
+    def rem_fn(p, zf, caches):  # static tail chunk (rem < chunk_latent)
+        return step_body(p, zf[:, :, 1 + n_full * chunk_latent:], caches)
+
+    ki = ("dec_u8_init", z.shape, str(cd))
+    ks = ("dec_u8_step", z.shape, chunk_latent, str(cd))
+    kr = ("dec_u8_rem", z.shape, chunk_latent, str(cd))
+    if ki not in jit_cache:
+        jit_cache[ki] = jax.jit(init_fn)
+        jit_cache[ks] = jax.jit(step_fn, donate_argnums=(3,))
+        jit_cache[kr] = jax.jit(rem_fn, donate_argnums=(2,))
+
+    out0, caches = jit_cache[ki](params, z)
+    parts = [out0]
+    for i in range(n_full):
+        o, caches = jit_cache[ks](params, z, 1 + i * chunk_latent, caches)
+        parts.append(o)
+    if rem:
+        o, _ = jit_cache[kr](params, z, caches)
+        parts.append(o)
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=2)
+
+
 def make_fused_decode_fn(cfg: WanVAEConfig, T: int, chunk_latent: int = 2,
                          to_uint8: bool = True):
     """Build a pure jittable ``fn(params, z)`` that decodes ``T`` latent

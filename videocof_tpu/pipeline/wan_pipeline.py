@@ -289,19 +289,27 @@ class WanPipeline:
         concatenates there, so multiple segments can share ONE host fetch
         (`_decode_outputs`): on transports with a per-transfer latency floor
         (the axon tunnel: ~0.5 s/fetch) every avoided fetch is wall-clock."""
-        post_u8 = self._post_u8()
-        chunk_gen = getattr(self._vae_mods()[1], "decode_streaming_chunks",
-                            None)
-        if (z.shape[2] > self.vae_streaming_threshold_frames
-                and chunk_gen is not None):
+        import os as _os
+        if z.shape[2] > self.vae_streaming_threshold_frames:
+            stream = self._vae_mods()[1]
+            u8_stream = getattr(stream, "decode_streaming_u8", None)
+            if u8_stream is not None and \
+                    _os.environ.get("VIDEOCOF_DECODE_INPROGRAM", "1") == "1":
+                # one dispatch per chunk, everything (scale/slice/decode/
+                # clip/uint8) in-program — see wan_vae_streaming
+                return u8_stream(self.vae_params, self.vae_cfg, z,
+                                 jit_cache=self._vae_jit,
+                                 chunk_latent=self.vae_decode_chunk,
+                                 compute_dtype=self.dtype)
+            post_u8 = self._post_u8()
             chunks = [post_u8(c) for c in
-                      chunk_gen(
+                      stream.decode_streaming_chunks(
                           self.vae_params, self.vae_cfg,
                           z.astype(self.dtype), jit_cache=self._vae_jit,
                           chunk_latent=self.vae_decode_chunk)]
             return (chunks[0] if len(chunks) == 1
                     else jnp.concatenate(chunks, axis=2))
-        return post_u8(self.vae_decode(z))
+        return self._post_u8()(self.vae_decode(z))
 
     def decode_to_numpy01(self, z: jax.Array) -> np.ndarray:
         """Decode + map [-1,1] -> [0,1]. The video crosses host<->device as

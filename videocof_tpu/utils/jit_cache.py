@@ -41,8 +41,11 @@ def enable_persistent_compilation_cache(path: str | None = None) -> str:
         return path
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
-    # only big graphs are worth the disk: sub-10s compiles recompile fine
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    # cache EVERYTHING: on this environment every compile — even an eager
+    # reshape — is a 2-7 s remote-compile-service round trip (measured via
+    # VIDEOCOF_JIT_CACHE_DEBUG=1: ~180 sub-10s eager-op compiles made every
+    # fresh process pay minutes before this went to 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     if os.environ.get("VIDEOCOF_JIT_CACHE_DEBUG") == "1":
         # log WHY a lookup missed (first-seen key vs backend/version drift)
         jax.config.update("jax_explain_cache_misses", True)
