@@ -147,3 +147,64 @@ def test_pipeline_yuv420_fetch_matches_host_twin(monkeypatch):
     np.testing.assert_allclose(yuv.videos, expected, atol=1e-6)
     # and the chroma loss stays bounded even on noise-like content
     assert np.abs(yuv.videos - base.videos).mean() < 0.08
+
+
+def test_i420_upload_device_matches_host():
+    """The device-side I420 -> RGB[-1,1] (the h2d upload twin) agrees with
+    the host reconstruction `i420_to_rgb01` exactly (same BT.601 math)."""
+    import jax.numpy as jnp
+
+    from videocof_tpu.utils.colorspace import (i420_to_rgb01,
+                                               i420_to_rgbm11_jax)
+    rng = np.random.default_rng(0)
+    i420 = rng.integers(0, 256, (1, 3, 12, 8), dtype=np.uint8)  # H=8, W=8
+    dev = np.asarray(i420_to_rgbm11_jax(jnp.asarray(i420)))
+    assert dev.shape == (1, 3, 3, 8, 8)
+
+    # the documented formula twin (the numpy fallback in i420_to_rgb01):
+    # nearest-neighbour chroma upsample + studio-swing BT.601
+    H = 8
+    y = i420[:, :, :H].astype(np.float32)
+    u = i420[:, :, H:H + H // 4].reshape(1, 3, H // 2, 4)
+    v = i420[:, :, H + H // 4:].reshape(1, 3, H // 2, 4)
+    u = u.repeat(2, axis=2).repeat(2, axis=3).astype(np.float32) - 128.0
+    v = v.repeat(2, axis=2).repeat(2, axis=3).astype(np.float32) - 128.0
+    c = 1.164 * (y - 16.0)
+    want = np.clip(np.stack([c + 1.596 * v, c - 0.391 * u - 0.813 * v,
+                             c + 2.018 * u], axis=1), 0, 255)
+    np.testing.assert_allclose(dev, want / 255.0 * 2.0 - 1.0, atol=1e-5)
+
+    # cv2's fixed-point host path agrees for in-gamut video (saturated
+    # random chroma clips differently); smoke-level agreement only
+    host01 = i420_to_rgb01(i420)
+    assert np.abs(dev - (host01 * 2.0 - 1.0)).mean() < 2e-2
+
+
+def test_pipeline_accepts_i420_input():
+    """A CoT edit fed codec-native I420 planes equals the same edit fed the
+    host-reconstructed RGB video (both fused-prep and fallback paths)."""
+    import jax
+    import jax.numpy as jnp
+
+    from videocof_tpu.configs import T5_TINY, VAE_TINY, WAN_TINY
+    from videocof_tpu.models import t5_encoder, wan_dit, wan_vae
+    from videocof_tpu.pipeline import WanPipeline
+    from videocof_tpu.utils.colorspace import i420_to_rgb01
+
+    VCFG = VAE_TINY
+    DCFG = WAN_TINY.replace(in_dim=VCFG.z_dim, out_dim=VCFG.z_dim,
+                            text_dim=T5_TINY.dim)
+    pipe = WanPipeline(
+        wan_dit.init_wan_dit(jax.random.PRNGKey(0), DCFG), DCFG,
+        wan_vae.init_wan_vae(jax.random.PRNGKey(1), VCFG), VCFG,
+        t5_encoder.init_t5_encoder(jax.random.PRNGKey(2), T5_TINY), T5_TINY,
+        dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    i420 = rng.integers(0, 256, (1, 9, 48, 32), dtype=np.uint8)  # H=32 W=32
+    rgb = i420_to_rgb01(i420) * 2.0 - 1.0
+
+    kw = dict(source_frames=9, reasoning_frames=4, num_inference_steps=2,
+              seed=5, fused_sampling=False)
+    a = pipe(i420, "p", **kw)
+    b = pipe(rgb.astype(np.float32), "p", **kw)
+    np.testing.assert_allclose(a.videos, b.videos, atol=1.01 / 255)

@@ -131,3 +131,32 @@ def test_save_video_uses_native_encoder(tmp_path):
     save_video(vid, path, fps=10)
     n, h, w, _ = runtime.video_info(path)
     assert (n, h, w) == (10, 48, 64)
+
+
+def test_decode_i420_matches_rgb_decode(test_video):
+    """Native I420 decode (codec-native planes, half the RGB bytes) agrees
+    with the RGB decode path after host reconstruction — the two are
+    different orderings of the same YUV->RGB conversion, so agreement is
+    coefficient-rounding-level, not bitwise."""
+    from videocof_tpu.utils.colorspace import i420_to_rgb01
+
+    idx = [0, 7, 19]
+    i420 = runtime.decode_frames_i420(test_video, idx, 48, 64)
+    assert i420.shape == (3, 72, 64) and i420.dtype == np.uint8
+    rgb01 = i420_to_rgb01(i420[None])[0]                 # [3, T, H, W] 0..1
+    ref01 = (runtime.decode_frames(test_video, idx, 48, 64)
+             .transpose(1, 0, 2, 3) + 1.0) / 2.0
+    assert np.abs(rgb01 - ref01).mean() < 0.02
+    assert np.abs(rgb01 - ref01).max() < 0.12
+
+
+def test_decode_i420_scatter_and_pad(test_video):
+    """Caller-order scatter and repeat-last padding match decode_frames."""
+    idx = [19, 0, 7]
+    a = runtime.decode_frames_i420(test_video, idx, 48, 64)
+    b = runtime.decode_frames_i420(test_video, sorted(idx), 48, 64)
+    np.testing.assert_array_equal(a[1], b[0])
+    np.testing.assert_array_equal(a[0], b[2])
+    padded = runtime.decode_frames_i420(test_video, [29, 400, 401], 48, 64)
+    np.testing.assert_array_equal(padded[1], padded[0])
+    np.testing.assert_array_equal(padded[2], padded[0])

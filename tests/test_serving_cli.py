@@ -1007,3 +1007,36 @@ def test_family_switch_via_controller(tmp_path):
                                     num_inference_steps=2, seed=0)
     assert out["images"].shape[0] == 1
     assert np.isfinite(out["images"]).all()
+
+
+def test_cli_edit_with_i420_upload(tiny_pipe, tmp_path, monkeypatch):
+    """VIDEOCOF_UPLOAD_YUV420=1 routes the CLI's source clip through the
+    codec-native I420 loader (half the u8 RGB upload bytes); the pipeline
+    upsamples chroma on device and the full edit + side-by-side outputs
+    land."""
+    cv2 = pytest.importorskip("cv2")
+    import videocof_tpu.cli._common as common
+    import videocof_tpu.cli.fast_infer as cli
+
+    clip = str(tmp_path / "clip.mp4")
+    w = cv2.VideoWriter(clip, cv2.VideoWriter_fourcc(*"mp4v"), 12, (32, 32))
+    rng = np.random.default_rng(0)
+    for _ in range(12):
+        w.write(rng.integers(0, 256, (32, 32, 3)).astype(np.uint8))
+    w.release()
+
+    monkeypatch.setattr(common, "build_pipeline_from_args",
+                        lambda args, dtype=None, **kw: tiny_pipe)
+    monkeypatch.setattr(cli, "build_pipeline_from_args",
+                        lambda args, dtype=None, **kw: tiny_pipe)
+    monkeypatch.setenv("VIDEOCOF_UPLOAD_YUV420", "1")
+    out_dir = str(tmp_path / "out")
+    monkeypatch.setattr(sys, "argv", [
+        "fast_infer", "--video_path", clip, "--prompt", "remove the cat",
+        "--output_dir", out_dir, "--source_frames", "9",
+        "--reasoning_frames", "4", "--random_init",
+        "--num_inference_steps", "1"])
+    cli.main()
+    files = os.listdir(out_dir)
+    assert "gen_clip.mp4" in files
+    assert "gen_clip_compare.mp4" in files

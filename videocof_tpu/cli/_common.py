@@ -258,8 +258,16 @@ def run_items(pipe, args, subset, rank: int, *, num_inference_steps: int,
         prompt, _ = item_prompt(item)
         print(f"[proc {rank}] {fname}: {prompt}", file=sys.stderr)
 
-        video, h, w = load_video_frames(item["source_video_path"],
-                                        args.source_frames, rng=rng)
+        # codec-native I420 upload (half the u8 RGB bytes, chroma upsampled
+        # on device) on transports below the same threshold the decode-side
+        # fetch uses; VIDEOCOF_UPLOAD_YUV420=1/0 overrides
+        from ..utils import transport
+        env_up = os.environ.get("VIDEOCOF_UPLOAD_YUV420")
+        use_i420 = (env_up == "1" if env_up is not None
+                    else transport.should_fetch_yuv420())
+        video, h, w = load_video_frames(
+            item["source_video_path"], args.source_frames, rng=rng,
+            dtype="i420" if use_i420 else "uint8")
         out = pipe(video, prompt,
                    negative_prompt=negative_prompt,
                    source_frames=args.source_frames,
@@ -275,6 +283,9 @@ def run_items(pipe, args, subset, rank: int, *, num_inference_steps: int,
             args.output_dir, f"gen_{base}_reason_edit.mp4"), args.fps)
         edit = out.videos[:, :, -args.source_frames:]
         save_results(edit, out_path, args.fps)
+        if video.ndim == 4:  # I420 planes -> RGB01 for the comparison strip
+            from ..utils.colorspace import i420_to_rgb01
+            video = i420_to_rgb01(video)
         save_side_by_side(video, edit, os.path.join(
             args.output_dir, f"gen_{base}_compare.mp4"), args.fps)
         with open(os.path.join(args.output_dir, f"gen_{base}_info.txt"),

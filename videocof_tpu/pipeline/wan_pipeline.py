@@ -197,16 +197,26 @@ class WanPipeline:
     def _prepare_video(self, video, prompts, convert: bool = True
                        ) -> jax.Array:
         """Shared input contract for every pipeline variant: accepts float
-        video in [-1, 1] or uint8 in [0, 255] (uint8 crosses the host->device
-        link 4x cheaper and is normalized on device), and checks one prompt
-        per batch item. ``convert=False`` leaves uint8 as-is — the fused
-        CoT latent prep normalizes INSIDE its one-program encode."""
+        video in [-1, 1], uint8 RGB in [0, 255] ([B, 3, T, H, W] — crosses
+        the host->device link 4x cheaper than fp32 and is normalized on
+        device), or uint8 I420 planes ([B, T, H*3//2, W] — codec-native
+        4:2:0, HALF the u8 RGB bytes; the chroma upsample runs on device).
+        Checks one prompt per batch item. ``convert=False`` leaves uint8
+        as-is — the fused CoT latent prep converts INSIDE its one-program
+        encode."""
         video = jnp.asarray(video)
         if video.dtype == jnp.uint8 and convert:
-            if "u8_in" not in self._jit_cache:
-                self._jit_cache["u8_in"] = jax.jit(
-                    lambda x: x.astype(self.dtype) * (2.0 / 255.0) - 1.0)
-            video = self._jit_cache["u8_in"](video)
+            if video.ndim == 4:  # I420 planes
+                if "i420_in" not in self._jit_cache:
+                    self._jit_cache["i420_in"] = jax.jit(
+                        lambda x: colorspace.i420_to_rgbm11_jax(x)
+                        .astype(self.dtype))
+                video = self._jit_cache["i420_in"](video)
+            else:
+                if "u8_in" not in self._jit_cache:
+                    self._jit_cache["u8_in"] = jax.jit(
+                        lambda x: x.astype(self.dtype) * (2.0 / 255.0) - 1.0)
+                video = self._jit_cache["u8_in"](video)
         if len(prompts) != video.shape[0]:
             raise ValueError(
                 f"got {len(prompts)} prompts for batch of {video.shape[0]}")
@@ -367,14 +377,21 @@ class WanPipeline:
                     ground_latent_count, self.vae_encode_chunk)
             if ckey not in self._vae_jit:
                 whole, stream = self._vae_mods()
-                use_stream = (video.shape[2]
-                              > self.vae_streaming_threshold_frames)
+                # pixel-frame count: axis 1 for 4D I420 planes, axis 2 for
+                # 5D [B, C, T, H, W]
+                n_frames = (video.shape[1] if video.ndim == 4
+                            else video.shape[2])
+                use_stream = n_frames > self.vae_streaming_threshold_frames
                 cfg, dtype = self.vae_cfg, self.dtype
                 chunk, g = self.vae_encode_chunk, ground_latent_count
 
                 def prog(vp, vid, k):
-                    v = (vid.astype(dtype) * (2.0 / 255.0) - 1.0
-                         if vid.dtype == jnp.uint8 else vid.astype(dtype))
+                    if vid.dtype == jnp.uint8 and vid.ndim == 4:
+                        v = colorspace.i420_to_rgbm11_jax(vid).astype(dtype)
+                    elif vid.dtype == jnp.uint8:
+                        v = vid.astype(dtype) * (2.0 / 255.0) - 1.0
+                    else:
+                        v = vid.astype(dtype)
                     if use_stream:
                         mu, _ = stream.encode_streaming(vp, cfg, v,
                                                         jit_cache=None,

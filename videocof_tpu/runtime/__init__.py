@@ -53,6 +53,14 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+    # I420 decode may be absent from an older kept-alive .so
+    try:
+        lib.vcf_decode_frames_i420.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)]
+        lib._vcf_has_i420 = True
+    except AttributeError:
+        lib._vcf_has_i420 = False
     # Encoder symbols may be ABSENT from a pre-encoder .so kept alive by the
     # "rebuild failed; using existing" path above — degrade to decode-only
     # (encode falls back to cv2/ffmpeg) instead of AttributeError-ing the
@@ -123,6 +131,42 @@ def decode_frames(path: str, indices: Sequence[int], out_h: int, out_w: int
             raise IOError(lib.vcf_last_error().decode())
         if r == 0:
             raise ValueError(f"no frames decoded from {path}")
+    inv = np.empty_like(order)
+    inv[order] = np.arange(nf)
+    return out[inv]
+
+
+def decode_frames_i420(path: str, indices: Sequence[int], out_h: int,
+                       out_w: int) -> np.ndarray:
+    """-> uint8 [T, out_h*3//2, out_w] packed I420 planes (codec-native
+    4:2:0 — HALF the bytes of uint8 RGB; the pipelines upsample chroma on
+    device, see `utils/colorspace.i420_to_rgbm11_jax`). Same sequential-walk
+    /scatter-back contract as `decode_frames`. Falls back to cv2 decode +
+    RGB->I420 when the native runtime (or its i420 symbol) is absent."""
+    assert out_h % 2 == 0 and out_w % 2 == 0, (out_h, out_w)
+    req = np.asarray(list(indices), np.int64)
+    order = np.argsort(req, kind="stable")
+    idx = req[order]
+    nf = len(idx)
+    lib = _load()
+    if lib is not None and getattr(lib, "_vcf_has_i420", False):
+        out = np.empty((nf, out_h * 3 // 2, out_w), np.uint8)
+        r = lib.vcf_decode_frames_i420(
+            path.encode(), idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            nf, out_h, out_w,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        if r < 0:
+            raise IOError(lib.vcf_last_error().decode())
+        if r == 0:
+            raise ValueError(f"no frames decoded from {path}")
+    else:
+        import cv2
+        rgbf = (decode_frames(path, idx, out_h, out_w) + 1.0) * 127.5
+        rgb = np.round(rgbf).astype(np.uint8)          # [T, 3, H, W]
+        out = np.empty((nf, out_h * 3 // 2, out_w), np.uint8)
+        for t in range(nf):
+            out[t] = cv2.cvtColor(rgb[t].transpose(1, 2, 0),
+                                  cv2.COLOR_RGB2YUV_I420)
     inv = np.empty_like(order)
     inv[order] = np.arange(nf)
     return out[inv]

@@ -192,6 +192,65 @@ int vcf_decode_frames(const char* path, const int64_t* indices, int n,
   return written;
 }
 
+// Decode the given frame indices, resize to (out_h, out_w) — both even —
+// and write packed uint8 I420 planes at out[i * (out_h*3/2) * out_w]:
+// H rows of Y, then the U plane (H/2 x W/2) packed row-major into H/4 rows
+// of width W, then V likewise (the layout cv2's COLOR_YUV2RGB_I420 and the
+// repo's colorspace helpers consume). For 4:2:0 sources this is the
+// codec-native representation — HALF the bytes of uint8 RGB, which is the
+// point: the host->device upload is the biggest single transfer in the
+// edit pipeline and the chroma upsample runs on device.
+int vcf_decode_frames_i420(const char* path, const int64_t* indices, int n,
+                           int out_h, int out_w, uint8_t* out) {
+  if (n <= 0) return 0;
+  if ((out_h % 2) || (out_w % 2)) {
+    set_error("i420 output needs even height/width");
+    return -1;
+  }
+  Decoder d;
+  if (!d.open(path)) return -1;
+
+  const size_t ysz = (size_t)out_h * out_w;
+  const size_t csz = ysz / 4;
+  const size_t fsz = ysz + 2 * csz;  // H*3/2 rows of W
+  std::vector<uint8_t> yuv(fsz);
+  uint8_t* planes[3] = {yuv.data(), yuv.data() + ysz, yuv.data() + ysz + csz};
+  int strides[3] = {out_w, out_w / 2, out_w / 2};
+  SwsContext* sws = nullptr;
+  int written = 0;
+  int64_t max_wanted = *std::max_element(indices, indices + n);
+
+  walk_frames(d, [&](AVFrame* frame, int64_t idx) {
+    bool wanted = false;
+    for (int i = 0; i < n; ++i)
+      if (indices[i] == idx) wanted = true;
+    if (wanted) {
+      if (!sws) {
+        sws = sws_getContext(frame->width, frame->height,
+                             (AVPixelFormat)frame->format, out_w, out_h,
+                             AV_PIX_FMT_YUV420P, SWS_BILINEAR, nullptr,
+                             nullptr, nullptr);
+      }
+      sws_scale(sws, frame->data, frame->linesize, 0, frame->height, planes,
+                strides);
+      for (int i = 0; i < n; ++i) {
+        if (indices[i] != idx) continue;
+        memcpy(out + (size_t)i * fsz, yuv.data(), fsz);
+        ++written;
+      }
+    }
+    return idx < max_wanted;
+  });
+
+  if (sws) sws_freeContext(sws);
+  if (written > 0 && written < n) {  // repeat-last padding (see above)
+    for (int i = written; i < n; ++i)
+      memcpy(out + (size_t)i * fsz, out + (size_t)(written - 1) * fsz, fsz);
+    written = n;
+  }
+  return written;
+}
+
 // Batch API: decode several videos on a small thread pool (one video per
 // thread); all outputs share the target geometry. Returns 0 on success.
 int vcf_decode_batch(const char** paths, int n_videos, const int64_t* indices,

@@ -52,6 +52,31 @@ def rgb_to_i420(u8):
     return jnp.concatenate([yq, uq, vq], axis=2)
 
 
+def i420_to_rgbm11_jax(i420) -> "jnp.ndarray":
+    """[B, T, H*3//2, W] uint8 I420 -> [B, 3, T, H, W] float32 in [-1, 1],
+    jittable — the UPLOAD twin of `rgb_to_i420`: video sources are 4:2:0
+    already, so shipping the codec-native planes host->device halves the
+    biggest transfer in the edit pipeline (40 -> 20 MB at 33x480p) and the
+    chip does the chroma upsample. Same math as the NumPy fallback in
+    `i420_to_rgb01` (nearest-neighbour chroma upsample, studio-swing BT.601),
+    so host and device reconstructions agree exactly."""
+    B, T, Hp, W = i420.shape
+    H = (Hp * 2) // 3
+    y = i420[:, :, :H].astype(jnp.float32)
+    u = i420[:, :, H:H + H // 4].reshape(B, T, H // 2, W // 2)
+    v = i420[:, :, H + H // 4:].reshape(B, T, H // 2, W // 2)
+    u = jnp.repeat(jnp.repeat(u, 2, axis=2), 2, axis=3
+                   ).astype(jnp.float32) - 128.0
+    v = jnp.repeat(jnp.repeat(v, 2, axis=2), 2, axis=3
+                   ).astype(jnp.float32) - 128.0
+    c = 1.164 * (y - 16.0)
+    r = c + 1.596 * v
+    g = c - 0.391 * u - 0.813 * v
+    b = c + 2.018 * u
+    rgb = jnp.stack([r, g, b], axis=1)            # [B, 3, T, H, W]
+    return jnp.clip(rgb, 0.0, 255.0) * (2.0 / 255.0) - 1.0
+
+
 def i420_to_rgb01(i420: np.ndarray) -> np.ndarray:
     """[B, T, H*3//2, W] uint8 I420 -> [B, 3, T, H, W] float32 in [0, 1].
 

@@ -30,8 +30,12 @@ def load_video_frames(video_path: str, source_frames: int,
     (`fast_infer.py:43-92`): stride = total // source_frames, random start,
     repeat the last frame if the clip runs short. Decode runs through the
     native C++ runtime (single sequential stream walk) when built, else cv2.
+
+    ``dtype="i420"`` returns codec-native packed 4:2:0 planes
+    [1, T, H*3//2, W] uint8 — HALF the u8 RGB upload; the pipelines accept
+    them directly and upsample chroma on device (requires even H and W).
     """
-    from ..runtime import decode_frames, video_info
+    from ..runtime import decode_frames, decode_frames_i420, video_info
     total, h, w, _fps = video_info(video_path)
     if total < 1:
         raise ValueError(f"no frames in {video_path}")
@@ -40,9 +44,11 @@ def load_video_frames(video_path: str, source_frames: int,
     rng = rng or np.random.default_rng(0)
     start = int(rng.integers(0, hi))
     idx = [min(start + i * stride, total - 1) for i in range(source_frames)]
+    if dtype == "i420" and h % 2 == 0 and w % 2 == 0:
+        return decode_frames_i420(video_path, idx, h, w)[None], h, w
     arr = decode_frames(video_path, idx, h, w)    # [T, 3, H, W] in [-1, 1]
     arr = arr.transpose(1, 0, 2, 3)[None]
-    if dtype == "uint8":
+    if dtype != "float32":
         # exact inverse of the decoder's px * 2/255 - 1 normalization
         arr = np.round((arr + 1.0) * 127.5).astype(np.uint8)
     return arr, h, w
