@@ -5,6 +5,7 @@ from .dataset import (CoTTripletDataset, apply_gray_overlay,
                       interpolate_ground_frames)
 from .datasets_extra import (ImageVideoControlDataset, ImageVideoDataset,
                              VideoEditDataset, VideoEditReasoningDataset)
+from .datasets_legacy import VideoDataset, WebVid10M, legacy_random_mask
 from .camera import (CameraPose, plucker_rays, pose_params_to_embedding,
                      process_pose_file, relative_poses)
 
@@ -13,6 +14,7 @@ __all__ = ["derive_ground_object_from_instruction", "build_cot_prompt",
            "build_gray_mask", "apply_gray_region_effect",
            "apply_gray_overlay", "ImageVideoDataset",
            "ImageVideoControlDataset", "VideoEditDataset",
-           "VideoEditReasoningDataset", "CameraPose", "plucker_rays",
+           "VideoEditReasoningDataset", "VideoDataset", "WebVid10M",
+           "legacy_random_mask", "CameraPose", "plucker_rays",
            "pose_params_to_embedding", "process_pose_file",
            "relative_poses"]
