@@ -229,15 +229,20 @@ def main():
         jvideo.block_until_ready()
         log(f"profile: h2d upload ({video.nbytes/1e6:.0f}MB) "
             f"{time.time()-t0:.2f}s")
-        jvideo = pipe._jit_cache["u8_in"](jvideo)
+        # the cot path defers u8 conversion into the fused prep program, so
+        # the pipeline's 'u8_in' cache entry may not exist — build our own
+        jvideo = _jax.jit(
+            lambda x: x.astype(jnp.bfloat16) * (2.0 / 255.0) - 1.0)(jvideo)
         t0 = time.time()
         lat = pipe.vae_encode(jvideo)
         lat.block_until_ready()
         log(f"profile: vae encode {time.time()-t0:.2f}s -> {lat.shape}")
         import videocof_tpu.models.wan_dit as _wd
         cc = (lat.shape[2] + 1, lat.shape[3] // 2, lat.shape[4] // 2)
-        cos, sin = _wd.make_rope_for_geometry(dit_cfg, cc, f_src=9, f_ground=1)
-        step = pipe._step_fn(False, 1.0, 9)
+        f_src = lat.shape[2]  # condition latent frames at this geometry
+        cos, sin = _wd.make_rope_for_geometry(dit_cfg, cc, f_src=f_src,
+                                              f_ground=1)
+        step = pipe._step_fn(False, 1.0, f_src)
         full_lat = jnp.concatenate(
             [lat.astype(jnp.float32),
              jnp.zeros_like(lat[:, :, :1], jnp.float32)], axis=2)

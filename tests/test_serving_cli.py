@@ -1040,3 +1040,82 @@ def test_cli_edit_with_i420_upload(tiny_pipe, tmp_path, monkeypatch):
     files = os.listdir(out_dir)
     assert "gen_clip.mp4" in files
     assert "gen_clip_compare.mp4" in files
+
+
+def test_http_api_embeddings_payload_against_wan_is_clear_400(controller):
+    """An embeddings-in (non-Wan family) payload posted while a Wan pipeline
+    is resident must name the mismatch, not fail on missing video fields."""
+    from videocof_tpu.serving.api import make_handler, ENDPOINT
+    from http.server import ThreadingHTTPServer
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0),
+                                 make_handler(controller, threading.Lock()))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{ENDPOINT}",
+            data=json.dumps({"embeddings_path": "assets/embeds.npz",
+                             "height": 32, "width": 32}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req, timeout=60) as r:
+                code, out = r.status, json.load(r)
+        except urllib.error.HTTPError as e:
+            code, out = e.code, json.load(e)
+        assert code == 400
+        assert "resident pipeline is Wan" in out["message"]
+    finally:
+        server.shutdown()
+
+
+def test_family_switch_back_to_wan_preserves_load_kwargs(controller,
+                                                         monkeypatch,
+                                                         tmp_path):
+    """A cross-family round trip (Wan -> CogVideoX -> Wan) must rebuild the
+    Wan pipeline with its ORIGINAL load kwargs (quantize etc.): dropping
+    them would reload a 14B fp8 deployment as bf16 and OOM the chip."""
+    import videocof_tpu.factory as factory
+    from videocof_tpu.pipeline.image_pipelines import CogVideoXPipeline
+
+    controller.wan_load_kwargs = {"quantize": "fp8", "boundary": 0.9}
+    wan_pipe = controller.pipeline
+    fake_cog = object.__new__(CogVideoXPipeline)
+
+    seen = {}
+    monkeypatch.setattr(factory, "detect_family",
+                        lambda p: "cogvideox" if "cog" in p else "wan")
+    monkeypatch.setattr(
+        factory, "load_family_pipeline",
+        lambda path, dtype, family: (seen.setdefault("fam", family),
+                                     fake_cog)[1])
+    monkeypatch.setattr(
+        factory, "load_pipeline",
+        lambda path, dtype, **kw: (seen.setdefault("wan_kw", kw),
+                                   wan_pipe)[1])
+    monkeypatch.setenv("VIDEOCOF_MODEL_DIRS", str(tmp_path))
+
+    cog_dir = tmp_path / "cog_model"
+    wan_dir = tmp_path / "wan_model"
+    cog_dir.mkdir(), wan_dir.mkdir()
+
+    controller.update_diffusion_transformer(str(cog_dir))
+    assert controller.family == "cogvideox" and seen["fam"] == "cogvideox"
+    controller.update_diffusion_transformer(str(wan_dir))
+    assert controller.pipeline is wan_pipe
+    assert seen["wan_kw"] == {"quantize": "fp8", "boundary": 0.9}
+
+
+def test_wan22_uint8_input_matches_float(moe_pipe):
+    """Wan22Pipeline must route uint8 video through the fused in-program
+    prep (convert deferred) and equal the prenormalized float path — the
+    MoE __call__ used to eagerly convert, silently bypassing the
+    one-program u8 prep."""
+    rng = np.random.default_rng(5)
+    u8 = rng.integers(0, 256, (1, 3, 9, 32, 32), dtype=np.uint8)
+    f32 = u8.astype(np.float32) * (2.0 / 255.0) - 1.0
+    kw = dict(source_frames=9, reasoning_frames=4, num_inference_steps=2,
+              seed=3)
+    a = moe_pipe(f32, "remove the box", **kw)
+    b = moe_pipe(u8, "remove the box", **kw)
+    np.testing.assert_allclose(a.videos, b.videos, atol=2e-2)

@@ -131,3 +131,16 @@ def test_decode_streaming_u8_matches(vae, T, chunk):
     # identical math; only rounding-boundary values may flip one u8 step
     assert (np.abs(got.astype(int) - want.astype(int)) <= 1).all()
     assert (got != want).mean() < 1e-3
+
+
+def test_decode_streaming_u8_shared_cache_chunk_switch(vae):
+    """A second decode with a different chunk_latent through the SAME
+    jit_cache must compile its own step/rem programs (the guard used to key
+    on the chunk-independent init entry and KeyError'd)."""
+    z = jax.random.normal(jax.random.PRNGKey(5), (1, CFG.z_dim, 5, 2, 2))
+    cache = {}
+    a = np.asarray(wan_vae_streaming.decode_streaming_u8(
+        vae, CFG, z, jit_cache=cache, chunk_latent=2))
+    b = np.asarray(wan_vae_streaming.decode_streaming_u8(
+        vae, CFG, z, jit_cache=cache, chunk_latent=4))
+    np.testing.assert_array_equal(a, b)

@@ -70,3 +70,18 @@ def test_batch_edit_matches_per_item(pipe, guidance):
         np.testing.assert_allclose(outs[i].videos, ref.videos,
                                    atol=1.01 / 255, err_msg=f"item {i}")
         assert outs[i].edit_videos.shape == ref.edit_videos.shape
+
+
+def test_batch_edit_rejects_sp_pipelines(pipe):
+    """batch_edit never threads sp= through the DiT, so SP/TP/cfg-parallel
+    backends would mis-partition the unsharded tokens — it must refuse
+    loudly instead of silently mis-computing."""
+    pipe.sp_mesh = object()
+    try:
+        with pytest.raises(NotImplementedError, match="sequence/tensor"):
+            batch_edit(pipe, [_mk(0, 9)], [9],
+                       [np.zeros((DCFG.text_len, DCFG.text_dim), np.float32)],
+                       reasoning_frames=4, num_inference_steps=1,
+                       guidance_scale=1.0, seeds=[0])
+    finally:
+        pipe.sp_mesh = None

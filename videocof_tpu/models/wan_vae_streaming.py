@@ -214,8 +214,10 @@ def decode_streaming_u8(params: Params, cfg: WanVAEConfig, z: jax.Array,
     ki = ("dec_u8_init", z.shape, str(cd))
     ks = ("dec_u8_step", z.shape, chunk_latent, str(cd))
     kr = ("dec_u8_rem", z.shape, chunk_latent, str(cd))
-    if ki not in jit_cache:
-        jit_cache[ki] = jax.jit(init_fn)
+    # guard on the chunk-bearing key: init is chunk-independent and may
+    # already be cached from a call with a different chunk_latent
+    if ks not in jit_cache:
+        jit_cache.setdefault(ki, jax.jit(init_fn))
         jit_cache[ks] = jax.jit(step_fn, donate_argnums=(3,))
         jit_cache[kr] = jax.jit(rem_fn, donate_argnums=(2,))
 

@@ -134,7 +134,15 @@ def batch_edit(
     state = sched.init_state(latents)
 
     dit_cfg = pipe.dit_cfg
-    backend = pipe._backend_for(do_cfg)
+    if getattr(pipe, "sp_mesh", None) is not None:
+        # the varlen step never threads sp= through wan_dit_forward, so an
+        # SP/TP/cfg-parallel backend would run against unsharded tokens
+        # (shape mismatch or silent mis-partitioning). Mixed-length batching
+        # is a single-chip convenience; shard over items with DP instead.
+        raise NotImplementedError(
+            "varlen.batch_edit does not compose with sequence/tensor/"
+            "cfg-parallel pipelines; disable_sequence_parallel() first")
+    backend = pipe.attn_backend
     g = float(guidance_scale)
     dtype = pipe.dtype
 

@@ -321,7 +321,10 @@ class Wan22Pipeline(WanPipeline):
                  output_latents: bool = False,
                  solver_order: Optional[int] = None) -> WanPipelineOutput:
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
-        video = self._prepare_video(video, prompts)
+        # the CoT path's fused latent prep normalizes u8 in-program (same
+        # contract as WanPipeline.__call__)
+        video = self._prepare_video(video, prompts,
+                                    convert=not (cot and latents is None))
         B = video.shape[0]
 
         do_cfg = guidance_scale > 1.0

@@ -330,6 +330,15 @@ def make_handler(controller: VideoCoFController, lock: threading.Lock,
                 # CogVideoX / Flux / QwenImage: embeddings-in contract
                 self._infer_media(req, t0)
                 return
+            if req.get("embeddings_path") or req.get("text_embeddings"):
+                # embeddings-in payload against a Wan pipeline: the Wan
+                # handler would ignore those fields and fail confusingly on
+                # the missing video/prompt — name the real mismatch instead
+                self._reply(400, {"message": "embeddings-in payload but the "
+                                  "resident pipeline is Wan; switch to a "
+                                  "CogVideoX/Flux/QwenImage checkpoint via "
+                                  "update_diffusion_transformer first"})
+                return
             tmp = None
             try:
                 kwargs = dict(
@@ -486,12 +495,14 @@ def main():
     args = p.parse_args()
 
     from ..factory import load_pipeline
-    pipe = load_pipeline(args.model_name or "", random_init=args.random_init,
-                         quantize=args.quantize,
-                         offload_t5=args.offload_t5,
-                         high_noise_model=args.high_noise_model,
-                         boundary=args.boundary)
-    serve(VideoCoFController(pipe, model_name=args.model_name),
+    load_kwargs = dict(random_init=args.random_init, quantize=args.quantize,
+                       offload_t5=args.offload_t5,
+                       high_noise_model=args.high_noise_model,
+                       boundary=args.boundary)
+    pipe = load_pipeline(args.model_name or "", **load_kwargs)
+    # the controller re-applies these on a cross-family switch back to Wan
+    serve(VideoCoFController(pipe, model_name=args.model_name,
+                             wan_load_kwargs=load_kwargs),
           host=args.host, port=args.port)
 
 

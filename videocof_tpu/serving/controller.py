@@ -34,6 +34,11 @@ class VideoCoFController:
     # per-request payload knob resets to this when absent so one request's
     # setting never leaks into the next
     _cfg_seq_default: Optional[bool] = None
+    # load_pipeline kwargs the resident Wan pipeline was built with
+    # (quantize/high_noise_model/boundary/...). A cross-family switch BACK
+    # to Wan rebuilds with these — without them the 14B fp8 deployment
+    # (13.83 GiB resident) would reload as ~27 GiB bf16 and OOM the chip.
+    wan_load_kwargs: Dict[str, Any] = field(default_factory=dict)
 
     # -------------------------------------------------------------- family
     @property
@@ -156,6 +161,10 @@ class VideoCoFController:
         import jax
 
         old = self.pipeline
+        if self.family == "wan" and self._params_quantized():
+            # remember quantization across the family round-trip even when
+            # the server didn't thread its load kwargs through
+            self.wan_load_kwargs.setdefault("quantize", "fp8")
         for attr in ("dit_params", "dit_params_2"):
             tree = getattr(old, attr, None)
             if tree is not None:
@@ -167,7 +176,8 @@ class VideoCoFController:
         dtype = getattr(old, "dtype", None) or jnp.bfloat16
         if target_family == "wan":
             from ..factory import load_pipeline
-            self.pipeline = load_pipeline(path, dtype=dtype)
+            self.pipeline = load_pipeline(path, dtype=dtype,
+                                          **self.wan_load_kwargs)
         else:
             from ..factory import load_family_pipeline
             self.pipeline = load_family_pipeline(path, dtype=dtype,
