@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--len", type=int, default=29696, dest="length")
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--configs", type=str, default=DEFAULT_CONFIGS)
+    ap.add_argument("--bwd", action="store_true",
+                    help="sweep the TRAINING path: full vjp (fwd-with-LSE "
+                         "+ dq kernel + dkv kernel) per config")
     args = ap.parse_args()
 
     jit_cache.enable_persistent_compilation_cache()
@@ -57,6 +60,12 @@ def main():
     k = jax.random.normal(kk, (BN, L, D), jnp.bfloat16)
     v = jax.random.normal(kv, (BN, L, D), jnp.bfloat16)
 
+    if args.bwd:
+        # training-path FLOPs through the custom VJP: fwd (4 L^2 D) + dq
+        # kernel (recompute s + ds + dq = 6) + dkv kernel (s + dp + dv + dk
+        # = 8) per L^2 D pair
+        flops = 18.0 * BN * float(L) * L * D * args.iters
+
     results = []
     for spec in args.configs.split(","):
         bq, bk = (int(x) for x in spec.split(":"))
@@ -64,6 +73,15 @@ def main():
         @jax.jit
         def run(q, k, v, bq=bq, bk=bk):
             def body(c, _):
+                if args.bwd:
+                    def f(qq, kk, vv):
+                        return jnp.sum(
+                            _flash_core(qq, kk, vv, scale, bq, bk, False)
+                            .astype(jnp.float32) * 1e-3)
+                    _, grads = jax.value_and_grad(f, argnums=(0, 1, 2))(
+                        c, k, v)
+                    # feed dq back so iterations serialize
+                    return grads[0].astype(jnp.bfloat16), ()
                 o = _flash_core(c, k, v, scale, bq, bk, False)
                 # feed o back so iterations serialize (no dead-code collapse)
                 return o.astype(jnp.bfloat16), ()

@@ -10,6 +10,7 @@ all-reduce/reduce-scatter is inserted by XLA from the shardings.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
@@ -107,7 +108,10 @@ def make_train_step(
 
     data_sharding = NamedSharding(mesh, P("data"))
 
-    @jax.jit
+    # donate the state: without it the old and new params + optimizer
+    # state coexist across the update (2x train-state HBM — the 1.3B full
+    # fine-tune ResourceExhausts one 16 GB v5e exactly this way)
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step_fn(state: TrainState, batch, rng) -> Tuple[TrainState, jax.Array]:
         x0 = jax.lax.with_sharding_constraint(batch["x0"], data_sharding)
         noise = jax.random.normal(rng, x0.shape, x0.dtype)
@@ -172,7 +176,7 @@ def make_lora_train_step(
 
     data_sharding = NamedSharding(mesh, P("data"))
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))   # see make_train_step
     def step_fn(state: LoRATrainState, base_params, batch, rng
                 ) -> Tuple[LoRATrainState, jax.Array]:
         x0 = jax.lax.with_sharding_constraint(batch["x0"], data_sharding)
