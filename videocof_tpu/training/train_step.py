@@ -98,7 +98,16 @@ def make_train_step(
         return fsdp_param_sharding(mesh, tree, min_size=fsdp_min_size)
 
     def init_fn(params) -> TrainState:
-        params = jax.device_put(params, _shardings(params))
+        # Reshard through a jitted identity, NOT device_put: step_fn donates
+        # the state, and device_put ALIASES the caller's buffer for leaves
+        # whose sharding is already right (replicated leaves reuse the
+        # device-0 source buffer even with may_alias=False) — donation would
+        # then delete the caller's own param buffers out from under it. Jit
+        # outputs are always fresh buffers unless themselves donated. The
+        # copy is transient init-time HBM only; the donation it protects
+        # saves 2x state HBM on every step.
+        params = jax.jit(lambda p: p,
+                         out_shardings=_shardings(params))(params)
         opt_state = jax.jit(
             optimizer.init,
             out_shardings=_shardings(
