@@ -93,10 +93,20 @@ def main():
 
     ok = [c for c in args.chunks if "error" not in results[c]]
     for r in range(args.reps):
-        for c in ok:
+        for c in list(ok):
             pipe.vae_decode_chunk = c
             t0 = time.time()
-            pipe._decode_outputs(lat, True, 9, 1)
+            try:
+                pipe._decode_outputs(lat, True, 9, 1)
+            except Exception as e:
+                # A chunk that warmed can still OOM on a later rep once HBM
+                # is fragmented by the bigger chunks' executables — record
+                # and drop it rather than killing the sweep.
+                results[c]["error"] = (
+                    f"rep {r}: {type(e).__name__}: {str(e)[:300]}")
+                log(f"rep {r} chunk {c}: FAILED {results[c]['error']}")
+                ok.remove(c)
+                continue
             w = time.time() - t0
             results[c]["walls"].append(round(w, 2))
             log(f"rep {r} chunk {c}: {w:.2f}s")

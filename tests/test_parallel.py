@@ -122,6 +122,35 @@ def test_train_step_runs_sharded():
     assert any("data" in str(l.sharding.spec) for l in flat)
 
 
+def test_train_init_never_aliases_caller_buffers():
+    """Regression: `init_fn` used jax.device_put, which ALIASES the caller's
+    buffer for leaves whose sharding is already right (replicated leaves
+    reuse the source buffer even with may_alias=False) — so the donated
+    step_fn deleted the caller's own params. init_fn now reshards through a
+    jitted identity (always fresh buffers); the caller's pytree must stay
+    alive and usable after a donated step."""
+    mesh = make_mesh(data=2, seq=4)
+    params = wan_dit.init_wan_dit(jax.random.PRNGKey(0), CFG)
+    init_fn, step_fn = make_train_step(
+        mesh, CFG, optax.adamw(1e-4), use_ulysses=True, fsdp_min_size=1024)
+    state = init_fn(params)
+    cos, sin = wan_dit.make_rope_for_geometry(CFG, GRID, f_src=2, f_ground=1)
+    batch = {
+        "x0": jax.random.normal(jax.random.PRNGKey(1), SHAPE, jnp.float32),
+        "context": jax.random.normal(
+            jax.random.PRNGKey(2), (2, CFG.text_len, CFG.text_dim),
+            jnp.float32),
+        "rope_cos": jnp.asarray(cos), "rope_sin": jnp.asarray(sin),
+        "timesteps": jnp.array([250, 750], jnp.int32),
+    }
+    state, loss = step_fn(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(loss))
+    # the donated step must not have deleted the CALLER's buffers
+    assert not any(l.is_deleted() for l in jax.tree.leaves(params))
+    # and they must still be readable (a deleted buffer raises here)
+    _ = float(jax.tree.leaves(params)[0].sum())
+
+
 def test_timestep_band_sampler():
     from videocof_tpu.training import DiscreteSampling
     ds = DiscreteSampling(group_num=4, num_train_timesteps=1000)
