@@ -100,6 +100,36 @@ def test_streaming_decode_equals_whole_seq(vae):
                                    atol=2e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("T,chunk", [(3, 2), (5, 2), (1, 2)])
+def test_decode_streaming_u8_matches(vae, T, chunk):
+    """Wan2.2 one-dispatch-per-chunk device-u8 decode (scale/slice/decode/
+    unpatchify/clip/uint8 in-program) equals uint8(clip(decode_streaming))."""
+    from videocof_tpu.models import wan_vae22_streaming as S
+    z = jax.random.normal(jax.random.PRNGKey(6), (1, CFG.z_dim, T, 2, 2))
+    want = np.clip(np.round(np.clip(np.asarray(
+        S.decode_streaming(vae, CFG, z, chunk_latent=chunk)),
+        -1, 1) * 127.5 + 127.5), 0, 255).astype(np.uint8)
+    got = np.asarray(S.decode_streaming_u8(
+        vae, CFG, z, jit_cache={}, chunk_latent=chunk))
+    assert got.dtype == np.uint8 and got.shape == want.shape
+    # identical math; only rounding-boundary values may flip one u8 step
+    assert (np.abs(got.astype(int) - want.astype(int)) <= 1).all()
+    assert (got != want).mean() < 1e-3
+
+
+def test_decode_streaming_chunks_matches(vae):
+    """The generator fallback (unclipped, unpatchified chunks) concatenates
+    to exactly clip^-1 of decode_streaming."""
+    from videocof_tpu.models import wan_vae22_streaming as S
+    z = jax.random.normal(jax.random.PRNGKey(7), (1, CFG.z_dim, 5, 2, 2))
+    whole = np.asarray(S.decode_streaming(vae, CFG, z, chunk_latent=2))
+    parts = list(S.decode_streaming_chunks(vae, CFG, z, jit_cache={},
+                                           chunk_latent=2))
+    got = np.clip(np.concatenate([np.asarray(p) for p in parts], axis=2),
+                  -1.0, 1.0)
+    np.testing.assert_allclose(got, whole, atol=2e-5, rtol=1e-5)
+
+
 def test_streaming_jit_cache_reuse(vae):
     from videocof_tpu.models import wan_vae22_streaming as S
     cache = {}

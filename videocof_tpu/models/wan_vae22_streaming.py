@@ -157,6 +157,121 @@ def _decoder_stream(p: Params, cfg: Wan22VAEConfig, x, tape: _Tape,
     return h
 
 
+def _dec_scale_arrays(cfg: Wan22VAEConfig, dtype):
+    mean = jnp.asarray(cfg.latent_mean, dtype)[None, :, None, None, None]
+    inv_std = (1.0 / jnp.asarray(cfg.latent_std, jnp.float32)).astype(
+        dtype)[None, :, None, None, None]
+    return mean, inv_std
+
+
+def decode_streaming_chunks(params: Params, cfg: Wan22VAEConfig,
+                            z: jax.Array, jit_cache: Optional[dict] = None,
+                            chunk_latent: int = 2):
+    """Yield decoded pixel chunks (UNCLIPPED, unpatchified, in decode order)
+    — the Wan2.2 twin of `wan_vae_streaming.decode_streaming_chunks`, used
+    by the pipeline's segment-decode fallback path. `unpatchify2` is
+    frame-local, so applying it per chunk equals applying it to the whole
+    concatenated sequence."""
+    mean, inv_std = _dec_scale_arrays(cfg, z.dtype)
+    z = z / inv_std + mean
+
+    dec, pq = params["decoder"], params["post_quant_conv"]
+
+    def init_fn(z0):
+        x = W.causal_conv3d(z0, pq)
+        tape = _Tape(None)
+        out = _decoder_stream(dec, cfg, x, tape, first=True)
+        return unpatchify2(out, cfg.patch_size), tape.out
+
+    def step_fn(zi, caches):
+        x = W.causal_conv3d(zi, pq)
+        tape = _Tape(caches)
+        out = _decoder_stream(dec, cfg, x, tape, first=False)
+        return unpatchify2(out, cfg.patch_size), tape.out
+
+    if jit_cache is not None:
+        if "v22_dec_chunk_init" not in jit_cache:
+            jit_cache["v22_dec_chunk_init"] = jax.jit(init_fn)
+            jit_cache["v22_dec_chunk_step"] = jax.jit(
+                step_fn, donate_argnums=(1,))
+        init_fn = jit_cache["v22_dec_chunk_init"]
+        step_fn = jit_cache["v22_dec_chunk_step"]
+
+    T = z.shape[2]
+    out0, caches = init_fn(z[:, :, :1])
+    yield out0
+    t = 1
+    while t < T:
+        k = min(chunk_latent, T - t)
+        o, caches = step_fn(z[:, :, t:t + k], caches)
+        yield o
+        t += k
+
+
+def decode_streaming_u8(params: Params, cfg: Wan22VAEConfig, z: jax.Array,
+                        jit_cache: dict, chunk_latent: int = 2,
+                        compute_dtype=None) -> jax.Array:
+    """Device-resident uint8 streaming decode, ONE dispatch per chunk —
+    the Wan2.2 twin of `wan_vae_streaming.decode_streaming_u8` (see there
+    for the dispatch-cost rationale). Each program takes the FULL latent
+    plus a traced start index and emits the clipped uint8 unpatchified
+    chunk. Same math as `decode_streaming` + clip/round/uint8 (tests pin
+    equality)."""
+    cd = jnp.dtype(compute_dtype) if compute_dtype is not None else z.dtype
+    T = z.shape[2]
+    n_full = (T - 1) // chunk_latent
+    rem = (T - 1) - n_full * chunk_latent
+
+    def scale(x):
+        mean, inv_std = _dec_scale_arrays(cfg, cd)
+        return x.astype(cd) / inv_std + mean
+
+    def post(y):
+        y = unpatchify2(y, cfg.patch_size)
+        return jnp.clip(jnp.round(
+            jnp.clip(y, -1.0, 1.0).astype(jnp.float32) * 127.5 + 127.5),
+            0, 255).astype(jnp.uint8)
+
+    def init_fn(p, zf):
+        x = W.causal_conv3d(scale(zf[:, :, :1]), p["post_quant_conv"])
+        tape = _Tape(None)
+        out = _decoder_stream(p["decoder"], cfg, x, tape, first=True)
+        return post(out), tape.out
+
+    def step_body(p, zi, caches):
+        x = W.causal_conv3d(scale(zi), p["post_quant_conv"])
+        tape = _Tape(caches)
+        out = _decoder_stream(p["decoder"], cfg, x, tape, first=False)
+        return post(out), tape.out
+
+    def step_fn(p, zf, start, caches):
+        zi = jax.lax.dynamic_slice_in_dim(zf, start, chunk_latent, axis=2)
+        return step_body(p, zi, caches)
+
+    def rem_fn(p, zf, caches):  # static tail chunk (rem < chunk_latent)
+        return step_body(p, zf[:, :, 1 + n_full * chunk_latent:], caches)
+
+    ki = ("v22_dec_u8_init", z.shape, str(cd))
+    ks = ("v22_dec_u8_step", z.shape, chunk_latent, str(cd))
+    kr = ("v22_dec_u8_rem", z.shape, chunk_latent, str(cd))
+    # guard on the chunk-bearing key: init is chunk-independent and may
+    # already be cached from a call with a different chunk_latent
+    if ks not in jit_cache:
+        jit_cache.setdefault(ki, jax.jit(init_fn))
+        jit_cache[ks] = jax.jit(step_fn, donate_argnums=(3,))
+        jit_cache[kr] = jax.jit(rem_fn, donate_argnums=(2,))
+
+    out0, caches = jit_cache[ki](params, z)
+    parts = [out0]
+    for i in range(n_full):
+        o, caches = jit_cache[ks](params, z, 1 + i * chunk_latent, caches)
+        parts.append(o)
+    if rem:
+        o, _ = jit_cache[kr](params, z, caches)
+        parts.append(o)
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=2)
+
+
 def decode_streaming(params: Params, cfg: Wan22VAEConfig, z: jax.Array,
                      jit_cache: Optional[dict] = None,
                      chunk_latent: int = 2) -> jax.Array:
