@@ -186,6 +186,35 @@ def test_load_flux_dir(tmp_path):
         jnp.zeros((8, 3)), jnp.zeros((4, 3)))
     assert out.shape == (1, 8, cfg.out_channels)
 
+    # host-side conversion (device=False) is bit-identical to the device one
+    host = flux_lib.convert_flux_state_dict(sd, cfg, jnp.float32,
+                                            device=False)
+    assert isinstance(host["blocks"]["attn"]["q"]["kernel"], np.ndarray)
+    _tree_equal(host, params)
+
+    # quantize="fp8" loads fp8 leaves (host-quantized, then shipped) and the
+    # forward stays close to the full-precision one
+    from videocof_tpu.utils.fp8 import is_fp8_leaf
+    cfg8, p8 = flux_lib.load_flux(path, dtype=jnp.float32, quantize="fp8")
+    assert is_fp8_leaf(p8["blocks"]["attn"]["q"]["kernel"])
+    assert is_fp8_leaf(p8["single_blocks"]["attn"]["q"]["kernel"])
+    assert not is_fp8_leaf(p8["time_embed"]["fc1"]["kernel"])
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 8, cfg.in_channels))
+    ctx = jax.random.normal(jax.random.PRNGKey(4),
+                            (1, 4, cfg.joint_attention_dim))
+    pooled = jax.random.normal(jax.random.PRNGKey(5),
+                               (1, cfg.pooled_projection_dim))
+    args = (x, ctx, pooled, jnp.asarray([0.5]), jnp.zeros((8, 3)),
+            jnp.zeros((4, 3)))
+    base = np.asarray(flux_lib.flux_forward(params, cfg, *args))
+    got = np.asarray(flux_lib.flux_forward(p8, cfg8, *args))
+    assert np.isfinite(got).all()
+    # this checkpoint is UNIT-VARIANCE random (far harsher than trained or
+    # fan-in-scaled weights: activations reach thousands and the quantized
+    # AdaLN mods compound) — observed ~6% mean-relative; trained-scale
+    # inits stay inside 5% (test_fp8.py::test_fp8_flux_forward)
+    assert np.abs(got - base).mean() < 0.12 * np.abs(base).mean() + 0.05
+
 
 def test_load_qwenimage_and_cogvideox_vae_dir(tmp_path):
     torch = pytest.importorskip("torch")

@@ -215,3 +215,104 @@ def test_precompile_fused_moe_then_ship():
                 if isinstance(k, tuple) and k and k[0] == "fused22"]) == 1
     np.testing.assert_allclose(got.videos, want.videos,
                                atol=(1.0 / 255.0) + 1e-6)
+
+
+# ---------------------------------------------------- image families (r4)
+
+def _rel_close(out, base):
+    err = np.abs(np.asarray(out) - np.asarray(base))
+    assert err.mean() < 0.05 * np.abs(np.asarray(base)).mean() + 0.05
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fp8_flux_forward():
+    """fp8 storage through the Flux forward: both scan stacks get per-layer
+    scales, the AdaLN drivers (time/text/guidance embeds, norm*/lin) stay
+    high precision, and the forward stays close to the fp32 one."""
+    from videocof_tpu.models import flux
+    cfg = flux.FLUX_TINY.replace(guidance_embeds=True)
+    params = flux.init_flux(jax.random.PRNGKey(0), cfg)
+    # the loader's exclude list: block AdaLN linears DO quantize (they are
+    # 27% of Flux-dev's params — the 16 GB fit depends on it)
+    q = quantize_params_fp8(params, exclude=flux.FLUX_FP8_EXCLUDE)
+    assert is_fp8_leaf(q["blocks"]["attn"]["q"]["kernel"])
+    assert q["blocks"]["attn"]["q"]["kernel"]["scale"].shape == \
+        (cfg.num_layers,)
+    assert is_fp8_leaf(q["single_blocks"]["attn"]["q"]["kernel"])
+    assert q["single_blocks"]["attn"]["q"]["kernel"]["scale"].shape == \
+        (cfg.num_single_layers,)
+    assert is_fp8_leaf(q["blocks"]["norm1"]["lin"]["kernel"])
+    assert is_fp8_leaf(q["single_blocks"]["norm"]["lin"]["kernel"])
+    assert not is_fp8_leaf(q["time_embed"]["fc1"]["kernel"])
+    assert not is_fp8_leaf(q["text_embed"]["fc1"]["kernel"])
+    assert not is_fp8_leaf(q["guidance_embed"]["fc1"]["kernel"])
+    assert not is_fp8_leaf(q["norm_out"]["lin"]["kernel"])
+    # the conservative default keeps every AdaLN driver high precision
+    qd = quantize_params_fp8(params)
+    assert not is_fp8_leaf(qd["blocks"]["norm1"]["lin"]["kernel"])
+
+    B, Li, Lt = 2, 16, 8
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, Li, cfg.in_channels))
+    ctx = jax.random.normal(jax.random.PRNGKey(2),
+                            (B, Lt, cfg.joint_attention_dim))
+    pooled = jax.random.normal(jax.random.PRNGKey(3),
+                               (B, cfg.pooled_projection_dim))
+    t = jnp.array([0.9, 0.4])
+    img_ids = jnp.stack([jnp.zeros(Li), jnp.arange(Li) // 4,
+                         jnp.arange(Li) % 4], axis=1)
+    txt_ids = jnp.zeros((Lt, 3))
+    g = jnp.array([3.5, 3.5])
+    base = flux.flux_forward(params, cfg, x, ctx, pooled, t, img_ids,
+                             txt_ids, guidance=g)
+    out = flux.flux_forward(q, cfg, x, ctx, pooled, t, img_ids, txt_ids,
+                            guidance=g)
+    _rel_close(out, base)
+
+
+def test_fp8_qwenimage_forward():
+    from videocof_tpu.models import qwenimage as qi
+    cfg = qi.QWENIMAGE_TINY
+    params = qi.init_qwenimage(jax.random.PRNGKey(0), cfg)
+    # loader exclude: the per-stream modulation linears quantize (34% of
+    # the 20B's params); embedders/head mod stay high precision
+    q = quantize_params_fp8(params, exclude=qi.QWEN_FP8_EXCLUDE)
+    assert is_fp8_leaf(q["blocks"]["attn"]["q"]["kernel"])
+    assert is_fp8_leaf(q["blocks"]["img_mod"]["lin"]["kernel"])
+    assert is_fp8_leaf(q["blocks"]["txt_mod"]["lin"]["kernel"])
+    assert not is_fp8_leaf(q["time_embed"]["fc1"]["kernel"])
+    assert not is_fp8_leaf(q["norm_out"]["lin"]["kernel"])
+    # conservative default keeps the mod linears high precision
+    qd = quantize_params_fp8(params)
+    assert not is_fp8_leaf(qd["blocks"]["img_mod"]["lin"]["kernel"])
+
+    B, Li, Lt = 2, 16, 6
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, Li, cfg.in_channels))
+    ctx = jax.random.normal(jax.random.PRNGKey(2),
+                            (B, Lt, cfg.joint_attention_dim))
+    t = jnp.array([0.8, 0.3])
+    img_ids = jnp.stack([jnp.zeros(Li), jnp.arange(Li) // 4,
+                         jnp.arange(Li) % 4], axis=1)
+    txt_ids = jnp.zeros((Lt, 3))
+    base = qi.qwenimage_forward(params, cfg, x, ctx, t, img_ids, txt_ids)
+    out = qi.qwenimage_forward(q, cfg, x, ctx, t, img_ids, txt_ids)
+    _rel_close(out, base)
+
+
+def test_fp8_cogvideox_forward():
+    from videocof_tpu.models import cogvideox as cg
+    cfg = cg.COGVIDEOX_TINY
+    params = cg.init_cogvideox(jax.random.PRNGKey(0), cfg)
+    q = quantize_params_fp8(params)
+    assert is_fp8_leaf(q["blocks"]["attn"]["q"]["kernel"])
+    assert not is_fp8_leaf(q["blocks"]["norm2"]["lin"]["kernel"])
+    assert not is_fp8_leaf(q["time_mlp"]["fc1"]["kernel"])
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, cfg.in_channels,
+                                                  8, 8))
+    ctx = jax.random.normal(jax.random.PRNGKey(2),
+                            (2, cfg.max_text_seq_length,
+                             cfg.text_embed_dim))
+    t = jnp.array([999.0, 250.0])
+    base = cg.cogvideox_forward(params, cfg, x, ctx, t)
+    out = cg.cogvideox_forward(q, cfg, x, ctx, t)
+    _rel_close(out, base)

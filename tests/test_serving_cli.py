@@ -1087,8 +1087,10 @@ def test_family_switch_back_to_wan_preserves_load_kwargs(controller,
                         lambda p: "cogvideox" if "cog" in p else "wan")
     monkeypatch.setattr(
         factory, "load_family_pipeline",
-        lambda path, dtype, family: (seen.setdefault("fam", family),
-                                     fake_cog)[1])
+        lambda path, dtype, family, quantize=None: (
+            seen.setdefault("fam", family),
+            seen.setdefault("fam_quantize", quantize),
+            fake_cog)[2])
     monkeypatch.setattr(
         factory, "load_pipeline",
         lambda path, dtype, **kw: (seen.setdefault("wan_kw", kw),
@@ -1101,6 +1103,8 @@ def test_family_switch_back_to_wan_preserves_load_kwargs(controller,
 
     controller.update_diffusion_transformer(str(cog_dir))
     assert controller.family == "cogvideox" and seen["fam"] == "cogvideox"
+    # the deployment-level quantize intent rides the cross-family switch
+    assert seen["fam_quantize"] == "fp8"
     controller.update_diffusion_transformer(str(wan_dir))
     assert controller.pipeline is wan_pipe
     assert seen["wan_kw"] == {"quantize": "fp8", "boundary": 0.9}

@@ -68,7 +68,8 @@ def detect_family(model_name: str) -> str:
 
 
 def load_family_pipeline(model_name: str, dtype=jnp.bfloat16,
-                         family: Optional[str] = None):
+                         family: Optional[str] = None,
+                         quantize: Optional[str] = None):
     """Build a CogVideoX / Flux / QwenImage pipeline from a checkpoint dir.
 
     Accepts a bare transformer dir or a diffusers pipeline dir (with
@@ -89,13 +90,15 @@ def load_family_pipeline(model_name: str, dtype=jnp.bfloat16,
             raise ValueError(
                 f"CogVideoX checkpoint {model_name!r} needs a vae/ subdir "
                 "(AutoencoderKLCogVideoX) to decode videos")
-        return CogVideoXPipeline.from_pretrained(tdir, vdir, dtype=dtype)
+        return CogVideoXPipeline.from_pretrained(tdir, vdir, dtype=dtype,
+                                                 quantize=quantize)
     if family == "qwenimage":
         return QwenImagePipeline.from_pretrained(
             tdir, vae_path=vdir if os.path.isdir(vdir) else None,
-            dtype=dtype)
+            dtype=dtype, quantize=quantize)
     if family == "flux":
-        return FluxPipeline.from_pretrained(tdir, dtype=dtype)
+        return FluxPipeline.from_pretrained(tdir, dtype=dtype,
+                                            quantize=quantize)
     raise ValueError(f"unknown model family {family!r} for {model_name!r}")
 
 

@@ -184,21 +184,24 @@ def init_cogvideox(key, cfg: CogVideoXConfig, dtype=jnp.float32) -> Params:
 
 def convert_cogvideox_state_dict(sd: Dict[str, np.ndarray],
                                  cfg: CogVideoXConfig,
-                                 dtype=jnp.float32) -> Params:
+                                 dtype=jnp.float32, device=True) -> Params:
     """diffusers-layout `CogVideoXTransformer3DModel` state dict (numpy
     values) -> our pytree. Key layout per the reference
     `cogvideox_transformer3d.py:394-443` (diffusers module names:
     `ff.net.0.proj` / `ff.net.2`, `to_out.0`, `norm1.norm`, ...)."""
+    conv = jnp.asarray if device else (lambda a, d: np.asarray(a, d))
+    stack = jnp.stack if device else np.stack
+
     def lin(prefix):
-        p = {"kernel": jnp.asarray(
+        p = {"kernel": conv(
             np.ascontiguousarray(sd[prefix + ".weight"].T), dtype)}
         if prefix + ".bias" in sd:
-            p["bias"] = jnp.asarray(sd[prefix + ".bias"], dtype)
+            p["bias"] = conv(sd[prefix + ".bias"], dtype)
         return p
 
     def ln(prefix):
-        return {"scale": jnp.asarray(sd[prefix + ".weight"], jnp.float32),
-                "bias": jnp.asarray(sd[prefix + ".bias"], jnp.float32)}
+        return {"scale": conv(sd[prefix + ".weight"], jnp.float32),
+                "bias": conv(sd[prefix + ".bias"], jnp.float32)}
 
     def f32(p):
         return {k: v.astype(jnp.float32) for k, v in p.items()}
@@ -208,8 +211,8 @@ def convert_cogvideox_state_dict(sd: Dict[str, np.ndarray],
     pw = sd["patch_embed.proj.weight"]
     if pw.ndim == 4:
         pw = pw.reshape(pw.shape[0], -1)
-    patch = {"kernel": jnp.asarray(np.ascontiguousarray(pw.T), dtype),
-             "bias": jnp.asarray(sd["patch_embed.proj.bias"], dtype)}
+    patch = {"kernel": conv(np.ascontiguousarray(pw.T), dtype),
+             "bias": conv(sd["patch_embed.proj.bias"], dtype)}
 
     def block(i):
         pre = f"transformer_blocks.{i}"
@@ -222,15 +225,11 @@ def convert_cogvideox_state_dict(sd: Dict[str, np.ndarray],
                 "v": lin(f"{pre}.attn1.to_v"),
                 "o": lin(f"{pre}.attn1.to_out.0"),
                 "norm_q": {
-                    "scale": jnp.asarray(sd[f"{pre}.attn1.norm_q.weight"],
-                                         dtype),
-                    "bias": jnp.asarray(sd[f"{pre}.attn1.norm_q.bias"],
-                                        dtype)},
+                    "scale": conv(sd[f"{pre}.attn1.norm_q.weight"], dtype),
+                    "bias": conv(sd[f"{pre}.attn1.norm_q.bias"], dtype)},
                 "norm_k": {
-                    "scale": jnp.asarray(sd[f"{pre}.attn1.norm_k.weight"],
-                                         dtype),
-                    "bias": jnp.asarray(sd[f"{pre}.attn1.norm_k.bias"],
-                                        dtype)},
+                    "scale": conv(sd[f"{pre}.attn1.norm_k.weight"], dtype),
+                    "bias": conv(sd[f"{pre}.attn1.norm_k.bias"], dtype)},
             },
             "norm2": {"lin": f32(lin(f"{pre}.norm2.linear")),
                       "norm": ln(f"{pre}.norm2.norm")},
@@ -244,7 +243,7 @@ def convert_cogvideox_state_dict(sd: Dict[str, np.ndarray],
         "text_proj": lin("patch_embed.text_proj"),
         "time_mlp": {"fc1": f32(lin("time_embedding.linear_1")),
                      "fc2": f32(lin("time_embedding.linear_2"))},
-        "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
+        "blocks": jax.tree.map(lambda *xs: stack(xs), *blocks),
         "norm_final": ln("norm_final"),
         "norm_out": {"lin": f32(lin("norm_out.linear")),
                      "norm": ln("norm_out.norm")},
@@ -261,7 +260,7 @@ _CONFIG_KEYS = ("num_attention_heads", "attention_head_dim", "in_channels",
                 "use_rotary_positional_embeddings")
 
 
-def load_cogvideox(model_dir: str, dtype=jnp.bfloat16
+def load_cogvideox(model_dir: str, dtype=jnp.bfloat16, quantize=None
                    ) -> Tuple[CogVideoXConfig, Params]:
     """diffusers-layout checkpoint dir (config.json + safetensors, the
     layout `CogVideoXTransformer3DModel.from_pretrained` consumes —
@@ -275,6 +274,16 @@ def load_cogvideox(model_dir: str, dtype=jnp.bfloat16
     cfg = CogVideoXConfig(**{k: raw[k] for k in _CONFIG_KEYS if k in raw
                              and raw[k] is not None})
     sd = W_.load_state_dict(model_dir)
+    if quantize == "fp8":
+        # host-side quantization: the bf16 copy never ships (same staging
+        # as the Wan 14B fp8 path)
+        from ..utils.fp8 import quantize_params_fp8
+        params = convert_cogvideox_state_dict(sd, cfg, dtype=dtype,
+                                              device=False)
+        del sd
+        return cfg, jax.tree.map(jnp.asarray, quantize_params_fp8(params))
+    if quantize:
+        raise ValueError(f"unknown quantize mode {quantize!r}")
     return cfg, convert_cogvideox_state_dict(sd, cfg, dtype=dtype)
 
 
@@ -305,7 +314,7 @@ def cog_block_apply(p, cfg: CogVideoXConfig, vid, txt, temb, rope_cs,
     N, hd = cfg.num_attention_heads, cfg.attention_head_dim
 
     nv, nt, gate, egate = _ln_zero(p["norm1"], vid, txt, temb, eps)
-    cdtype = p["attn"]["q"]["kernel"].dtype
+    cdtype = W._kernel_dtype(p["attn"]["q"])
     nt, nv = nt.astype(cdtype), nv.astype(cdtype)
 
     # project PER STREAM then concat (identical math to projecting the
@@ -335,7 +344,7 @@ def cog_block_apply(p, cfg: CogVideoXConfig, vid, txt, temb, rope_cs,
 
     nv, nt, gate, egate = _ln_zero(p["norm2"], vid, txt, temb, eps)
     joint = jnp.concatenate([nt, nv], axis=1).astype(
-        p["ff"]["fc1"]["kernel"].dtype)
+        W._kernel_dtype(p["ff"]["fc1"]))
     h = W._linear(joint, p["ff"]["fc1"])
     h = jax.nn.gelu(h, approximate=True)
     h = W._linear(h, p["ff"]["fc2"]).astype(jnp.float32)
@@ -369,7 +378,7 @@ def cogvideox_forward(
     p = cfg.patch_size
     pt = cfg.patch_size_t or 1
     f, hh, ww = F // pt, H // p, W_ // p
-    cdtype = params["patch_proj"]["kernel"].dtype
+    cdtype = W._kernel_dtype(params["patch_proj"])
 
     temb = _timestep_embed(params, cfg, timestep)
 

@@ -55,6 +55,15 @@ class FluxConfig:
         return dataclasses.replace(self, **kw)
 
 
+# fp8 exclusions for Flux: unlike Wan (whose per-block modulation is a tiny
+# [1, 6, d] table), Flux's AdaLN linears are full d->6d matmuls holding ~27%
+# of all params (~3.2B = 12.8 GB fp32) — they MUST quantize for the 12B to
+# fit one 16 GB chip (total fp8 ~11.9 GB). Only the global embedders and the
+# output-head modulation (tiny, drive every block / the final scale) stay
+# high precision; 1-D rms/bias leaves skip quantization via ndim < 2.
+FLUX_FP8_EXCLUDE = ("bias", "time_embed", "text_embed", "guidance_embed",
+                    "norm_")  # norm_out head mod + norm_q/k rms weights
+
 FLUX_DEV = FluxConfig(guidance_embeds=True)
 FLUX_TINY = FluxConfig(in_channels=8, out_channels=8, num_layers=2,
                        num_single_layers=2, attention_head_dim=16,
@@ -151,24 +160,32 @@ def init_flux(key, cfg: FluxConfig, dtype=jnp.float32) -> Params:
 
 # -------------------------------------------------------- checkpoint loading
 
-def _np_lin(sd, prefix, dtype):
-    p = {"kernel": jnp.asarray(np.ascontiguousarray(sd[prefix + ".weight"].T),
-                               dtype)}
+def _np_lin(sd, prefix, dtype, device=True):
+    """``device=False`` keeps leaves as host numpy (ml_dtypes handles bf16)
+    so a 12B-class model can be quantized to fp8 host-side WITHOUT ever
+    materializing the bf16 copy in HBM (24 GB > the chip)."""
+    conv = jnp.asarray if device else (lambda a, d: np.asarray(a, d))
+    p = {"kernel": conv(np.ascontiguousarray(sd[prefix + ".weight"].T),
+                        dtype)}
     if prefix + ".bias" in sd:
-        p["bias"] = jnp.asarray(sd[prefix + ".bias"], dtype)
+        p["bias"] = conv(sd[prefix + ".bias"], dtype)
     return p
 
 
-def _np_rms(sd, prefix, dtype):
-    return {"weight": jnp.asarray(sd[prefix + ".weight"], dtype)}
+def _np_rms(sd, prefix, dtype, device=True):
+    conv = jnp.asarray if device else (lambda a, d: np.asarray(a, d))
+    return {"weight": conv(sd[prefix + ".weight"], dtype)}
 
 
 def convert_flux_state_dict(sd: Dict[str, np.ndarray], cfg: FluxConfig,
-                            dtype=jnp.float32) -> Params:
+                            dtype=jnp.float32, device=True) -> Params:
     """diffusers-layout `FluxTransformer2DModel` state dict (numpy values) ->
-    our pytree (module names per `flux_transformer2d.py:426-505,638-695`)."""
+    our pytree (module names per `flux_transformer2d.py:426-505,638-695`).
+    ``device=False`` -> host numpy leaves (see `_np_lin`)."""
+    stack = jnp.stack if device else np.stack
+
     def lin(prefix, dt=dtype):
-        return _np_lin(sd, prefix, dt)
+        return _np_lin(sd, prefix, dt, device=device)
 
     def dual(i):
         pre = f"transformer_blocks.{i}"
@@ -185,12 +202,12 @@ def convert_flux_state_dict(sd: Dict[str, np.ndarray], cfg: FluxConfig,
                 "add_k": lin(f"{pre}.attn.add_k_proj"),
                 "add_v": lin(f"{pre}.attn.add_v_proj"),
                 "add_o": lin(f"{pre}.attn.to_add_out"),
-                "norm_q": _np_rms(sd, f"{pre}.attn.norm_q", dtype),
-                "norm_k": _np_rms(sd, f"{pre}.attn.norm_k", dtype),
+                "norm_q": _np_rms(sd, f"{pre}.attn.norm_q", dtype, device),
+                "norm_k": _np_rms(sd, f"{pre}.attn.norm_k", dtype, device),
                 "norm_added_q": _np_rms(sd, f"{pre}.attn.norm_added_q",
-                                        dtype),
+                                        dtype, device),
                 "norm_added_k": _np_rms(sd, f"{pre}.attn.norm_added_k",
-                                        dtype),
+                                        dtype, device),
             },
             "ff": {"fc1": lin(f"{pre}.ff.net.0.proj"),
                    "fc2": lin(f"{pre}.ff.net.2")},
@@ -206,8 +223,8 @@ def convert_flux_state_dict(sd: Dict[str, np.ndarray], cfg: FluxConfig,
                 "q": lin(f"{pre}.attn.to_q"),
                 "k": lin(f"{pre}.attn.to_k"),
                 "v": lin(f"{pre}.attn.to_v"),
-                "norm_q": _np_rms(sd, f"{pre}.attn.norm_q", dtype),
-                "norm_k": _np_rms(sd, f"{pre}.attn.norm_k", dtype),
+                "norm_q": _np_rms(sd, f"{pre}.attn.norm_q", dtype, device),
+                "norm_k": _np_rms(sd, f"{pre}.attn.norm_k", dtype, device),
             },
             "proj_mlp": lin(f"{pre}.proj_mlp"),
             "proj_out": lin(f"{pre}.proj_out"),
@@ -226,10 +243,10 @@ def convert_flux_state_dict(sd: Dict[str, np.ndarray], cfg: FluxConfig,
             "fc2": lin("time_text_embed.text_embedder.linear_2",
                        jnp.float32)},
         "blocks": jax.tree.map(
-            lambda *xs: jnp.stack(xs),
+            lambda *xs: stack(xs),
             *[dual(i) for i in range(cfg.num_layers)]),
         "single_blocks": jax.tree.map(
-            lambda *xs: jnp.stack(xs),
+            lambda *xs: stack(xs),
             *[single(i) for i in range(cfg.num_single_layers)]),
         "norm_out": {"lin": lin("norm_out.linear", jnp.float32)},
         "proj_out": lin("proj_out"),
@@ -249,10 +266,14 @@ _CONFIG_KEYS = ("patch_size", "in_channels", "out_channels", "num_layers",
                 "pooled_projection_dim", "guidance_embeds", "axes_dims_rope")
 
 
-def load_flux(model_dir: str, dtype=jnp.bfloat16
+def load_flux(model_dir: str, dtype=jnp.bfloat16, quantize=None
               ) -> Tuple[FluxConfig, Params]:
     """diffusers-layout checkpoint dir -> (config, params)
-    (`flux_transformer2d.py:958-1048` from_pretrained layout)."""
+    (`flux_transformer2d.py:958-1048` from_pretrained layout).
+
+    ``quantize="fp8"`` converts host-side and quantizes BEFORE the device
+    ship (Flux-dev bf16 is 24 GB — it must never exist in HBM; the fp8 copy
+    is 12 GB and fits one 16 GB chip, same staging as the Wan 14B path)."""
     import json
     import os
 
@@ -265,6 +286,14 @@ def load_flux(model_dir: str, dtype=jnp.bfloat16
     kw.setdefault("out_channels", kw.get("in_channels", 64))
     cfg = FluxConfig(**kw)
     sd = W_.load_state_dict(model_dir)
+    if quantize == "fp8":
+        from ..utils.fp8 import quantize_params_fp8
+        params = convert_flux_state_dict(sd, cfg, dtype=dtype, device=False)
+        del sd
+        params = quantize_params_fp8(params, exclude=FLUX_FP8_EXCLUDE)
+        return cfg, jax.tree.map(jnp.asarray, params)
+    if quantize:
+        raise ValueError(f"unknown quantize mode {quantize!r}")
     return cfg, convert_flux_state_dict(sd, cfg, dtype=dtype)
 
 
@@ -288,7 +317,7 @@ def flux_dual_block(p, cfg: FluxConfig, img, txt, temb, rope_cs,
     N, hd = cfg.num_attention_heads, cfg.attention_head_dim
     B, Li, D = img.shape
     Lt = txt.shape[1]
-    cdtype = p["attn"]["q"]["kernel"].dtype
+    cdtype = W._kernel_dtype(p["attn"]["q"])
 
     sh, sc, g_msa, sh_m, sc_m, g_mlp = _ada_zero(p["norm1"], temb, 6)
     csh, csc, cg_msa, csh_m, csc_m, cg_mlp = _ada_zero(p["norm1_context"],
@@ -336,7 +365,7 @@ def flux_single_block(p, cfg: FluxConfig, x, temb, rope_cs,
     eps = cfg.eps
     N, hd = cfg.num_attention_heads, cfg.attention_head_dim
     B, L, D = x.shape
-    cdtype = p["attn"]["q"]["kernel"].dtype
+    cdtype = W._kernel_dtype(p["attn"]["q"])
 
     sh, sc, gate = _ada_zero(p["norm"], temb, 3)
     nx = (W._layer_norm(x, 1e-6) * (1 + sc[:, None]) + sh[:, None]
@@ -378,7 +407,7 @@ def flux_forward(
     attn_backend=None,
     sp=None,                         # parallel.SPContext or None
 ) -> jax.Array:
-    cdtype = params["x_embedder"]["kernel"].dtype
+    cdtype = W._kernel_dtype(params["x_embedder"])
     img = W._linear(hidden_states.astype(cdtype), params["x_embedder"]
                     ).astype(jnp.float32)
     txt = W._linear(encoder_hidden_states.astype(cdtype),

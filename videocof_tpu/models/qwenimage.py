@@ -46,6 +46,11 @@ class QwenImageConfig:
         return dataclasses.replace(self, **kw)
 
 
+# fp8 exclusions (same rationale as flux.FLUX_FP8_EXCLUDE): the per-stream
+# img_mod/txt_mod AdaLN linears are full d->6d matmuls (~34% of all params)
+# and must quantize; embedders/head mod stay high precision.
+QWEN_FP8_EXCLUDE = ("bias", "time_embed", "txt_norm", "norm_")
+
 QWENIMAGE = QwenImageConfig()
 QWENIMAGE_TINY = QwenImageConfig(in_channels=8, out_channels=8, num_layers=2,
                                  attention_head_dim=16,
@@ -102,15 +107,17 @@ def init_qwenimage(key, cfg: QwenImageConfig, dtype=jnp.float32) -> Params:
 # -------------------------------------------------------- checkpoint loading
 
 def convert_qwenimage_state_dict(sd, cfg: QwenImageConfig,
-                                 dtype=jnp.float32) -> Params:
+                                 dtype=jnp.float32, device=True) -> Params:
     """diffusers-layout `QwenImageTransformer2DModel` state dict (numpy
     values) -> our pytree (module names per
     `qwenimage_transformer2d.py:369-415,517-560`; the per-stream modulation
     is an `nn.Sequential(SiLU, Linear)`, hence the `.1` index)."""
     from .flux import _np_lin, _np_rms
 
+    stack = jnp.stack if device else np.stack
+
     def lin(prefix, dt=dtype):
-        return _np_lin(sd, prefix, dt)
+        return _np_lin(sd, prefix, dt, device=device)
 
     def block(i):
         pre = f"transformer_blocks.{i}"
@@ -126,12 +133,12 @@ def convert_qwenimage_state_dict(sd, cfg: QwenImageConfig,
                 "add_k": lin(f"{pre}.attn.add_k_proj"),
                 "add_v": lin(f"{pre}.attn.add_v_proj"),
                 "add_o": lin(f"{pre}.attn.to_add_out"),
-                "norm_q": _np_rms(sd, f"{pre}.attn.norm_q", dtype),
-                "norm_k": _np_rms(sd, f"{pre}.attn.norm_k", dtype),
+                "norm_q": _np_rms(sd, f"{pre}.attn.norm_q", dtype, device),
+                "norm_k": _np_rms(sd, f"{pre}.attn.norm_k", dtype, device),
                 "norm_added_q": _np_rms(sd, f"{pre}.attn.norm_added_q",
-                                        dtype),
+                                        dtype, device),
                 "norm_added_k": _np_rms(sd, f"{pre}.attn.norm_added_k",
-                                        dtype),
+                                        dtype, device),
             },
             "img_mlp": {"fc1": lin(f"{pre}.img_mlp.net.0.proj"),
                         "fc2": lin(f"{pre}.img_mlp.net.2")},
@@ -142,13 +149,13 @@ def convert_qwenimage_state_dict(sd, cfg: QwenImageConfig,
     return {
         "img_in": lin("img_in"),
         "txt_in": lin("txt_in"),
-        "txt_norm": _np_rms(sd, "txt_norm", dtype),
+        "txt_norm": _np_rms(sd, "txt_norm", dtype, device),
         "time_embed": {
             "fc1": lin("time_text_embed.timestep_embedder.linear_1",
                        jnp.float32),
             "fc2": lin("time_text_embed.timestep_embedder.linear_2",
                        jnp.float32)},
-        "blocks": jax.tree.map(lambda *xs: jnp.stack(xs),
+        "blocks": jax.tree.map(lambda *xs: stack(xs),
                                *[block(i) for i in range(cfg.num_layers)]),
         "norm_out": {"lin": lin("norm_out.linear", jnp.float32)},
         "proj_out": lin("proj_out"),
@@ -160,10 +167,15 @@ _CONFIG_KEYS = ("patch_size", "in_channels", "out_channels", "num_layers",
                 "joint_attention_dim", "axes_dims_rope")
 
 
-def load_qwenimage(model_dir: str, dtype=jnp.bfloat16
+def load_qwenimage(model_dir: str, dtype=jnp.bfloat16, quantize=None
                    ) -> Tuple[QwenImageConfig, Params]:
     """diffusers-layout checkpoint dir -> (config, params)
-    (`qwenimage_transformer2d.py:760-854` from_pretrained layout)."""
+    (`qwenimage_transformer2d.py:760-854` from_pretrained layout).
+
+    ``quantize="fp8"`` quantizes host-side before the device ship. NOTE:
+    the full 20B QwenImage is ~20 GB even in fp8 — beyond one 16 GB v5e;
+    single-chip fp8 serves distilled/pruned variants, the full model needs
+    the TP path (parallel/tp.py) over >=2 chips."""
     import json
     import os
 
@@ -175,6 +187,15 @@ def load_qwenimage(model_dir: str, dtype=jnp.bfloat16
         kw["axes_dims_rope"] = tuple(kw["axes_dims_rope"])
     cfg = QwenImageConfig(**kw)
     sd = W_.load_state_dict(model_dir)
+    if quantize == "fp8":
+        from ..utils.fp8 import quantize_params_fp8
+        params = convert_qwenimage_state_dict(sd, cfg, dtype=dtype,
+                                              device=False)
+        del sd
+        return cfg, jax.tree.map(jnp.asarray, quantize_params_fp8(
+            params, exclude=QWEN_FP8_EXCLUDE))
+    if quantize:
+        raise ValueError(f"unknown quantize mode {quantize!r}")
     return cfg, convert_qwenimage_state_dict(sd, cfg, dtype=dtype)
 
 
@@ -213,7 +234,7 @@ def qwen_block_apply(p, cfg: QwenImageConfig, img, txt, temb, rope_cs,
     N, hd = cfg.num_attention_heads, cfg.attention_head_dim
     B, Li, D = img.shape
     Lt = txt.shape[1]
-    cdtype = p["attn"]["q"]["kernel"].dtype
+    cdtype = W._kernel_dtype(p["attn"]["q"])
 
     img_mod = W._linear(jax.nn.silu(temb), p["img_mod"]["lin"], jnp.float32)
     txt_mod = W._linear(jax.nn.silu(temb), p["txt_mod"]["lin"], jnp.float32)
@@ -277,7 +298,7 @@ def qwenimage_forward(
     attn_backend=None,
     sp=None,                           # parallel.SPContext or None
 ) -> jax.Array:
-    cdtype = params["img_in"]["kernel"].dtype
+    cdtype = W._kernel_dtype(params["img_in"])
     img = W._linear(hidden_states.astype(cdtype), params["img_in"]
                     ).astype(jnp.float32)
     txt = W._rms_norm(encoder_hidden_states.astype(cdtype),

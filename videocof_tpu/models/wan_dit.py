@@ -80,6 +80,15 @@ def _kernel(p, dtype=None):
     return k.astype(dtype) if dtype is not None else k
 
 
+def _kernel_dtype(p):
+    """Compute dtype implied by a weight leaf WITHOUT materializing it:
+    fp8-stored {"fp8","scale"} leaves compute in bfloat16 (`_kernel`'s
+    dequant target), plain arrays in their own dtype. Use this instead of
+    `p["kernel"].dtype` — that eager read crashes on fp8 dicts."""
+    k = p["kernel"]
+    return jnp.bfloat16 if isinstance(k, dict) else k.dtype
+
+
 def _linear(x, p, dtype=None):
     k = _kernel(p, dtype)
     dtype = dtype or k.dtype

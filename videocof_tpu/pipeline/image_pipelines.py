@@ -93,8 +93,10 @@ class CogVideoXPipeline(_SPMixin):
 
     @classmethod
     def from_pretrained(cls, transformer_dir: str, vae_dir: str,
-                        dtype=jnp.bfloat16) -> "CogVideoXPipeline":
-        dcfg, dparams = cog.load_cogvideox(transformer_dir, dtype=dtype)
+                        dtype=jnp.bfloat16,
+                        quantize=None) -> "CogVideoXPipeline":
+        dcfg, dparams = cog.load_cogvideox(transformer_dir, dtype=dtype,
+                                           quantize=quantize)
         vcfg, vparams = cvae.load_cogvideox_vae(vae_dir, dtype=dtype)
         return cls(dparams, dcfg, vparams, vcfg, dtype=dtype)
 
@@ -218,9 +220,11 @@ class QwenImagePipeline(_SPMixin):
     @classmethod
     def from_pretrained(cls, transformer_dir: str,
                         vae_path: Optional[str] = None,
-                        dtype=jnp.bfloat16) -> "QwenImagePipeline":
+                        dtype=jnp.bfloat16,
+                        quantize=None) -> "QwenImagePipeline":
         from ..models import qwenimage_vae, weights
-        cfg, params = qwen_lib.load_qwenimage(transformer_dir, dtype=dtype)
+        cfg, params = qwen_lib.load_qwenimage(transformer_dir, dtype=dtype,
+                                              quantize=quantize)
         vparams = vcfg = None
         if vae_path:
             vcfg = qwenimage_vae.QWENIMAGE_VAE_CONFIG
@@ -304,8 +308,9 @@ class FluxPipeline(_SPMixin):
 
     @classmethod
     def from_pretrained(cls, transformer_dir: str, decode_fn=None,
-                        dtype=jnp.bfloat16) -> "FluxPipeline":
-        cfg, params = flux_lib.load_flux(transformer_dir, dtype=dtype)
+                        dtype=jnp.bfloat16, quantize=None) -> "FluxPipeline":
+        cfg, params = flux_lib.load_flux(transformer_dir, dtype=dtype,
+                                         quantize=quantize)
         return cls(params, cfg, decode_fn=decode_fn, dtype=dtype)
 
     def __call__(self, text_embeddings: jax.Array,

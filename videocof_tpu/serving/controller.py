@@ -180,8 +180,12 @@ class VideoCoFController:
                                           **self.wan_load_kwargs)
         else:
             from ..factory import load_family_pipeline
-            self.pipeline = load_family_pipeline(path, dtype=dtype,
-                                                 family=target_family)
+            # the deployment-level quantize intent (--quantize) applies
+            # across families: a 12B Flux needs fp8 on a 16 GB chip for
+            # exactly the same reason the 14B Wan does
+            self.pipeline = load_family_pipeline(
+                path, dtype=dtype, family=target_family,
+                quantize=self.wan_load_kwargs.get("quantize"))
         self.model_name = path
         self._merged_loras.clear()
         self._cfg_seq_default = None

@@ -27,11 +27,18 @@ import numpy as np
 E4M3_MAX = 448.0
 
 # param-path substrings kept in high precision (reference excludes
-# 'modulation'; norms/biases are tiny and precision-sensitive)
-DEFAULT_EXCLUDE = ("modulation", "norm", "bias", "time_mlp", "time_proj")
+# 'modulation'; norms/biases are tiny and precision-sensitive). The list
+# covers every model family's AdaLN/timestep names: Wan (modulation,
+# time_mlp/time_proj), Flux (time_embed/text_embed/guidance_embed; its
+# norm*/lin modulations match 'norm'), QwenImage (img_mod/txt_mod,
+# time_embed), CogVideoX (time_embed; its norm1/lin matches 'norm').
+DEFAULT_EXCLUDE = ("modulation", "norm", "bias", "time_mlp", "time_proj",
+                   "time_embed", "text_embed", "guidance_embed",
+                   "img_mod", "txt_mod")
 
-# path prefixes whose leaves are scan-stacked on axis 0 (per-layer scales)
-DEFAULT_STACKED = ("blocks",)
+# path prefixes whose leaves are scan-stacked on axis 0 (per-layer scales);
+# 'single_blocks' is Flux's second stack
+DEFAULT_STACKED = ("blocks", "single_blocks")
 
 
 def _path_str(path: Tuple) -> str:
