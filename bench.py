@@ -33,6 +33,13 @@ Variants: BENCH_STEPS=50 BENCH_CFG=1  -> the reference standard path
           BENCH_4X=1                  -> 133-frame (4x) length extrapolation
           BENCH_SMALL=1               -> CPU smoke geometry
           BENCH_14B=0                 -> skip the 14B fp8 e2e headline probe
+          BENCH_WALL_BUDGET=3300      -> whole-process wall budget (s): the
+                                         1.3B record is ALWAYS printed as a
+                                         complete JSON line the moment it is
+                                         measured; the 14B phase only starts
+                                         if >= BENCH_14B_MIN_REMAINING (900)
+                                         seconds remain, and its subprocess
+                                         timeout is clamped to the remainder
 """
 
 import json
@@ -48,6 +55,7 @@ def log(*a):
 
 
 def main():
+    t_main_start = time.time()
     import jax
 
     if os.environ.get("BENCH_SMALL") == "1":
@@ -415,6 +423,14 @@ def main():
         **extra,
     }
 
+    # Emit the 1.3B record IMMEDIATELY as a complete JSON line, before the
+    # (long) 14B phase starts: if an outer driver timeout kills this process
+    # mid-14B, a parseable result already sits on stdout. The combined line
+    # printed at the end stays the final emission (parsers taking the LAST
+    # json line get the richest record available at kill time either way).
+    print(json.dumps(record_1p3b))
+    sys.stdout.flush()
+
     # ---- flagship: the 14B fp8 END-TO-END on this same chip — the
     # apples-to-apples comparison against the reference's ~30 s/video
     # 14B-on-H100 headline (`README.md:46,124`). Runs in a SUBPROCESS so its
@@ -425,6 +441,24 @@ def main():
     run_14b = (os.environ.get("BENCH_14B", "1") == "1" and not small
                and dev.platform == "tpu" and steps == 4 and not do_cfg
                and not teacache and not moe and source_frames == 33)
+
+    # Wall-budget guard (round-4 postmortem): the driver runs this script
+    # under an outer timeout; starting a 14B phase that cannot finish inside
+    # the remaining budget produced rc 124 with zero parsed output two rounds
+    # running. BENCH_WALL_BUDGET (s, whole-process) bounds us: the 14B phase
+    # only starts if the remaining budget covers a warm-cache probe
+    # (BENCH_14B_MIN_REMAINING, default 900 s — measured warm runs are
+    # ~6-9 min incl. weight ship), and the subprocess timeout is clamped to
+    # what is actually left.
+    wall_budget = float(os.environ.get("BENCH_WALL_BUDGET", "3300"))
+    min_remaining = float(os.environ.get("BENCH_14B_MIN_REMAINING", "900"))
+    remaining = wall_budget - (time.time() - t_main_start)
+    if run_14b and remaining < min_remaining:
+        log(f"skipping 14B phase: {remaining:.0f}s left of "
+            f"{wall_budget:.0f}s budget < {min_remaining:.0f}s minimum")
+        fp8_14b = {"error": f"skipped: {remaining:.0f}s wall budget left"}
+        run_14b = False
+
     if run_14b:
         import gc
         import subprocess
@@ -437,10 +471,12 @@ def main():
         gc.collect()
         cmd = [sys.executable, "scripts/probe_14b_e2e.py", "--keep-decoder",
                "--ffn-chunks", "4", "--reps", "1"]
-        timeout_s = float(os.environ.get("BENCH_14B_TIMEOUT", "2400"))
+        timeout_cfg = float(os.environ.get("BENCH_14B_TIMEOUT", "2400"))
         for attempt in (1, 2):
             # a run right after another TPU process frees 13.8 GiB can hit
             # a transient ResourceExhausted (worker reclaim lag) — retry once
+            remaining = wall_budget - (time.time() - t_main_start)
+            timeout_s = min(timeout_cfg, max(60.0, remaining - 60.0))
             try:
                 r = subprocess.run(cmd, capture_output=True, text=True,
                                    timeout=timeout_s)
@@ -458,6 +494,9 @@ def main():
                 break
             log(f"14b probe attempt {attempt} failed: "
                 f"{fp8_14b.get('error', 'no value')}")
+            if wall_budget - (time.time() - t_main_start) < min_remaining:
+                log("no retry: wall budget exhausted")
+                break
             time.sleep(20.0)
 
     if fp8_14b and fp8_14b.get("value"):
@@ -467,7 +506,7 @@ def main():
         out["fast_1.3b"] = record_1p3b
         print(json.dumps(out))
     else:
-        if run_14b:
+        if fp8_14b is not None:
             record_1p3b["fp8_14b"] = fp8_14b
         print(json.dumps(record_1p3b))
 
