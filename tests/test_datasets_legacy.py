@@ -137,3 +137,52 @@ def test_resize_shortest_center_crop_semantics():
     out2 = _resize_shortest_center_crop(frames, (32, 64))
     assert out2.shape == (2, 32, 64, 3)
     assert (out2[:, :, :8] == 0).all() and (out2[:, :, -8:] == 0).all()
+
+
+@pytest.fixture()
+def image_json(tmp_path):
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    items = []
+    for name, (h, w) in [("a", (48, 64)), ("b", (80, 40))]:
+        rgb = np.zeros((h, w, 3), np.uint8)
+        rgb[..., 0] = 200   # R=200 marker to catch BGR/RGB swaps
+        cv2.imwrite(str(img_dir / f"{name}.png"),
+                    cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
+        items.append({"file_path": f"{name}.png", "text": f"img {name}"})
+    items.append({"file_path": "missing.png", "text": "broken"})
+    json_path = str(tmp_path / "cc.json")
+    with open(json_path, "w") as f:
+        json.dump(items, f)
+    return json_path, str(img_dir)
+
+
+def test_cc15m_transform_mode(image_json):
+    from videocof_tpu.data import CC15M
+    json_path, img_dir = image_json
+    ds = CC15M(json_path, img_dir, resolution=32, seed=0)
+    assert len(ds) == 3
+    s = ds[0]
+    # [C, H, W] float32 in [-1, 1]; R=200 -> 200/127.5 - 1
+    assert s["pixel_values"].shape == (3, 32, 32)
+    assert s["pixel_values"].dtype == np.float32
+    np.testing.assert_allclose(s["pixel_values"][0], 200 / 127.5 - 1,
+                               atol=1e-6)
+    np.testing.assert_allclose(s["pixel_values"][1:], -1.0, atol=1e-6)
+    assert s["text"] == "img a"
+    # tuple resolution
+    s2 = CC15M(json_path, img_dir, resolution=(32, 48), seed=0)[1]
+    assert s2["pixel_values"].shape == (3, 32, 48)
+
+
+def test_cc15m_bucket_and_retry(image_json):
+    from videocof_tpu.data import CC15M
+    json_path, img_dir = image_json
+    ds = CC15M(json_path, img_dir, resolution=32, enable_bucket=True, seed=0)
+    s = ds[0]
+    assert s["pixel_values"].shape == (48, 64, 3)
+    assert s["pixel_values"].dtype == np.uint8
+    assert s["pixel_values"][0, 0, 0] == 200      # RGB order preserved
+    # the broken item resamples to a readable one instead of raising
+    s_broken = ds[2]
+    assert s_broken["idx"] in (0, 1)

@@ -1,6 +1,7 @@
 """Legacy caption-dataset family — behavioural rebuild of the reference's
 `videox_fun/data/dataset_video.py` (WebVid10M `:80-156`, VideoDataset
-`:158-241`, its 4-mode `get_random_mask` `:24-62`).
+`:158-241`, its 4-mode `get_random_mask` `:24-62`) and
+`videox_fun/data/dataset_image.py` (CC15M `:12-66`).
 
 These are the pre-CoF text-video pretraining loaders (WebVid-10M CSV rows /
 generic ``{file_path, text}`` JSON lists). The CoF triplet work never uses
@@ -167,6 +168,48 @@ class WebVid10M(_LegacyVideoDataset):
     def _item_path_text(self, item: dict) -> Tuple[str, str]:
         return (os.path.join(self.data_root, f"{item['videoid']}.mp4"),
                 item.get("name", ""))
+
+
+class CC15M(_RetryDataset):
+    """Legacy caption-image loader — behavioural rebuild of the reference's
+    `videox_fun/data/dataset_image.py:12-66` (the t2v trainer's
+    image-pretraining source): a JSON list of ``{file_path, text}`` items,
+    ``video_folder`` optionally prefixing relative paths.
+
+    - ``enable_bucket=False``: torchvision ``Resize(resolution[0])``
+      shortest-side + ``CenterCrop(resolution)`` + ``[-1, 1]`` normalize ->
+      float32 ``[C, H, W]`` (`:29-34,61`).
+    - ``enable_bucket=True``: the raw ``[H, W, C]`` uint8 pixels (`:63`).
+    - load failures retry with a random resample (`:52-58`; bounded here).
+    """
+
+    def __init__(self, json_path: str, video_folder: Optional[str] = None,
+                 resolution=512, enable_bucket: bool = False,
+                 seed: int = 0, max_retries: int = 100):
+        with open(json_path, encoding="utf-8") as f:
+            self.items = json.load(f)
+        self.data_root = video_folder or ""
+        res = resolution
+        self.resolution = (res, res) if isinstance(res, int) else tuple(res)
+        self.enable_bucket = enable_bucket
+        self.rng = np.random.default_rng(seed)
+        self.max_retries = max_retries
+
+    def _load_one(self, idx: int) -> Dict[str, np.ndarray]:
+        import cv2
+        item = self.items[idx]
+        path = self._path(item["file_path"])
+        bgr = cv2.imread(path, cv2.IMREAD_COLOR)
+        if bgr is None:
+            raise ValueError(f"unreadable image {path}")
+        rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+        text = item.get("text", "")
+        if self.enable_bucket:
+            return {"pixel_values": rgb, "text": text, "idx": idx}
+        frames = _resize_shortest_center_crop(rgb[None], self.resolution)
+        # [C, H, W] float32 in [-1, 1] (ToTensor + Normalize(.5, .5))
+        pix = _norm_chw(frames)[:, 0]
+        return {"pixel_values": pix, "text": text, "idx": idx}
 
 
 class VideoDataset(_LegacyVideoDataset):
