@@ -25,6 +25,23 @@ Column/row assignment per block (kernels are [layers, in, out]-stacked):
     ffn                   fc1                         column
                           fc2                         row
     modulation / norms / embeddings / head            replicated
+
+The same name rules cover the image families (Flux / QwenImage,
+`models/flux.py` / `models/qwenimage.py`; reference adapters
+`qwenimage_transformer2d.py`, `dist/qwen_xfuser.py` expose only SP):
+
+    attn                  add_q/k/v                   column
+                          add_o                       row
+                          norm_*q/k (per-HEAD-dim rms) replicated
+    *_mlp / ff*           fc1 / fc2                   column / row
+    single_blocks         proj_mlp                    column
+                          proj_out                    row
+    AdaLN linears         img_mod/txt_mod/norm1/
+                          norm1_context/norm .lin     column (27-34% of the
+                                                      big image models'
+                                                      params — the lever
+                                                      that makes a 20B fit
+                                                      shrink with TP)
 """
 
 from __future__ import annotations
@@ -40,26 +57,35 @@ from ..ops import attention as _attention
 # leaf-name -> which dim of the *unstacked* param is sharded; kernels carry a
 # leading stacked-layer axis that stays unsharded. "out" = last dim,
 # "in" = second-to-last (row-parallel), None = replicated.
-_COLUMN = ("q", "k", "v", "k_img", "v_img", "fc1")
-_ROW = ("o", "fc2")
-_NORM_FOLLOW = ("norm_q", "norm_k", "norm_k_img")
+_COLUMN = ("q", "k", "v", "k_img", "v_img", "fc1",
+           "add_q", "add_k", "add_v", "proj_mlp")
+_ROW = ("o", "fc2", "add_o", "proj_out")
+_NORM_FOLLOW = ("norm_q", "norm_k", "norm_k_img",
+                "norm_added_q", "norm_added_k")
+# AdaLN modulation linears (d -> 6d/3d) inside blocks: Wan keeps these as a
+# tiny [L, 6, d] table (replicated), but Flux/Qwen make them full matmuls
+# holding 27-34% of all params — column-shard their out dim.
+_ADALN_PARENTS = ("img_mod", "txt_mod", "norm1", "norm1_context", "norm")
+_BLOCK_STACKS = frozenset(("blocks", "blocks2", "single_blocks"))
 
 
 def _spec_for(path, leaf, axis: str) -> P:
     names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
     leaf_name = names[-1]
-    parent = names[-2] if len(names) > 1 else ""
-    grand = names[-3] if len(names) > 2 else ""
-    if "blocks" not in names and "blocks2" not in names:
+    if not (_BLOCK_STACKS & set(names)):
         return P()  # embeddings / head / time mlp stay replicated
     # quantized storage: utils/fp8.py replaces the "kernel" LEAF with a
     # {"fp8","scale"} dict, so those leaves sit one level deeper
     # (.../q/kernel/fp8). Shard fp8 like the kernel it replaces; per-layer
     # scales replicate.
-    if parent == "kernel" and leaf_name in ("fp8", "scale"):
+    if len(names) > 1 and names[-2] == "kernel" \
+            and leaf_name in ("fp8", "scale"):
         if leaf_name == "scale":
             return P()
-        leaf_name, parent = "kernel", grand
+        names = names[:-1]             # .../q/kernel
+        leaf_name = "kernel"
+    parent = names[-2] if len(names) > 1 else ""
+    grand = names[-3] if len(names) > 2 else ""
 
     def last_dim(d=-1):
         spec = [None] * leaf.ndim
@@ -71,7 +97,13 @@ def _spec_for(path, leaf, axis: str) -> P:
     if parent in _ROW:
         # row-parallel: contract dim sharded; bias added once, post-reduce
         return last_dim(-2) if leaf_name == "kernel" else P()
+    if parent == "lin" and grand in _ADALN_PARENTS:
+        return last_dim(-1)            # image-family AdaLN: column
     if parent in _NORM_FOLLOW and leaf_name == "weight":
+        if grand == "attn":
+            # Flux/Qwen rms weights span the per-HEAD dim (shared by every
+            # head), not the flattened model dim — replicate
+            return P()
         return last_dim(-1)            # q/k RMS weights follow the out shard
     return P()
 
@@ -111,11 +143,19 @@ def tp_fsdp_param_shardings(mesh: Mesh, params: Any, tp_axis: str = "model",
 
 
 def validate_tp(cfg, mesh: Mesh, axis: str = "model") -> None:
+    """Works for WanDiTConfig (num_heads/ffn_dim) and the image-family
+    configs (num_attention_heads, FFN = 4 * inner_dim)."""
     tp = mesh.shape[axis]
-    if cfg.num_heads % tp:
-        raise ValueError(f"num_heads {cfg.num_heads} % tp {tp} != 0")
-    if cfg.ffn_dim % tp:
-        raise ValueError(f"ffn_dim {cfg.ffn_dim} % tp {tp} != 0")
+    heads = getattr(cfg, "num_heads", None)
+    if heads is None:
+        heads = cfg.num_attention_heads
+    ffn = getattr(cfg, "ffn_dim", None)
+    if ffn is None:
+        ffn = 4 * cfg.inner_dim
+    if heads % tp:
+        raise ValueError(f"num_heads {heads} % tp {tp} != 0")
+    if ffn % tp:
+        raise ValueError(f"ffn_dim {ffn} % tp {tp} != 0")
 
 
 def make_tp_attention(mesh: Mesh, model_axis: str = "model",
