@@ -1069,9 +1069,27 @@ def test_http_api_embeddings_payload_against_wan_is_clear_400(controller):
         server.shutdown()
 
 
+@pytest.fixture()
+def restore_dit_params(controller):
+    """Family-switch tests delete the shared tiny pipe's DiT device buffers
+    (_switch_family_pipeline frees the old tree to cap peak HBM); snapshot
+    them and restore afterwards so later tests can still generate."""
+    import jax
+    import jax.numpy as jnp
+
+    pipe = controller.pipeline
+    snap = {a: jax.tree.map(np.asarray, getattr(pipe, a))
+            for a in ("dit_params", "dit_params_2")
+            if getattr(pipe, a, None) is not None}
+    yield
+    for a, tree in snap.items():
+        setattr(pipe, a, jax.tree.map(jnp.asarray, tree))
+
+
 def test_family_switch_back_to_wan_preserves_load_kwargs(controller,
                                                          monkeypatch,
-                                                         tmp_path):
+                                                         tmp_path,
+                                                         restore_dit_params):
     """A cross-family round trip (Wan -> CogVideoX -> Wan) must rebuild the
     Wan pipeline with its ORIGINAL load kwargs (quantize etc.): dropping
     them would reload a 14B fp8 deployment as bf16 and OOM the chip."""
@@ -1108,6 +1126,118 @@ def test_family_switch_back_to_wan_preserves_load_kwargs(controller,
     controller.update_diffusion_transformer(str(wan_dir))
     assert controller.pipeline is wan_pipe
     assert seen["wan_kw"] == {"quantize": "fp8", "boundary": 0.9}
+
+
+def test_concurrent_requests_serialize_on_busy_lock(controller, test_video,
+                                                    monkeypatch):
+    """Two simultaneous infer_forward POSTs against ONE resident pipeline:
+    the per-chip busy lock serializes the generations (never >1 in flight),
+    both succeed, and /metrics counts are consistent afterwards."""
+    import time as _t
+
+    from videocof_tpu.serving.api import ENDPOINT, Metrics, make_handler
+    from http.server import ThreadingHTTPServer
+
+    metrics = Metrics()
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(controller, threading.Lock(),
+                                       metrics))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    active, max_active = [0], [0]
+    orig = controller.generate
+
+    def tracked(*a, **kw):
+        active[0] += 1
+        max_active[0] = max(max_active[0], active[0])
+        try:
+            _t.sleep(0.3)       # widen any would-be overlap window
+            return orig(*a, **kw)
+        finally:
+            active[0] -= 1
+
+    monkeypatch.setattr(controller, "generate", tracked)
+
+    with open(test_video, "rb") as f:
+        vid_b64 = base64.b64encode(f.read()).decode()
+    payload = json.dumps({"prompt_textbox": "remove the dog",
+                          "source_video": vid_b64, "seed_textbox": 3,
+                          "sample_step_slider": 2}).encode()
+
+    results = [None, None]
+
+    def post(i):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{ENDPOINT}", data=payload,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            results[i] = json.load(r)
+
+    try:
+        threads = [threading.Thread(target=post, args=(i,)) for i in (0, 1)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert all(r and r["message"] == "Success" for r in results)
+        assert max_active[0] == 1, "generations overlapped past the lock"
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/metrics") as r:
+            text = r.read().decode()
+        assert "videocof_requests_total 2" in text
+        assert "videocof_generate_seconds_count 2" in text
+        assert "videocof_failures_total 0" in text
+        assert "videocof_busy 0" in text
+    finally:
+        server.shutdown()
+
+
+def test_inferred_quantize_scoped_to_families_that_need_it(
+        controller, monkeypatch, tmp_path, restore_dit_params):
+    """Quantization INFERRED from the resident Wan params (no explicit
+    --quantize) must NOT silently downgrade a CogVideoX-class load that
+    fits bf16, must carry to Flux-dev-class targets, and must survive the
+    Wan round-trip (advisor round-4 finding)."""
+    import videocof_tpu.factory as factory
+    from videocof_tpu.pipeline.image_pipelines import (CogVideoXPipeline,
+                                                       FluxPipeline)
+    from videocof_tpu.serving.controller import VideoCoFController
+
+    controller.wan_load_kwargs = {}      # no explicit --quantize
+    controller._inferred_quantize = None
+    wan_pipe = controller.pipeline
+    monkeypatch.setattr(VideoCoFController, "_params_quantized",
+                        lambda self: True)
+
+    def fam_of(p):
+        for f in ("cog", "flux"):
+            if f in p:
+                return {"cog": "cogvideox", "flux": "flux"}[f]
+        return "wan"
+
+    seen = {}
+    fakes = {"cogvideox": object.__new__(CogVideoXPipeline),
+             "flux": object.__new__(FluxPipeline)}
+    monkeypatch.setattr(factory, "detect_family", fam_of)
+    monkeypatch.setattr(
+        factory, "load_family_pipeline",
+        lambda path, dtype, family, quantize=None: (
+            seen.__setitem__(family, quantize), fakes[family])[1])
+    monkeypatch.setattr(
+        factory, "load_pipeline",
+        lambda path, dtype, **kw: (seen.__setitem__("wan_kw", kw),
+                                   wan_pipe)[1])
+    monkeypatch.setenv("VIDEOCOF_MODEL_DIRS", str(tmp_path))
+    for d in ("cog_m", "flux_m", "wan_m"):
+        (tmp_path / d).mkdir()
+
+    controller.update_diffusion_transformer(str(tmp_path / "cog_m"))
+    assert seen["cogvideox"] is None         # bf16-fitting family: no fp8
+    controller.update_diffusion_transformer(str(tmp_path / "flux_m"))
+    assert seen["flux"] == "fp8"             # 12B-class: inferred fp8 rides
+    controller.update_diffusion_transformer(str(tmp_path / "wan_m"))
+    assert seen["wan_kw"] == {"quantize": "fp8"}  # round-trip stays fp8
 
 
 def test_wan22_uint8_input_matches_float(moe_pipe):

@@ -139,3 +139,21 @@ def test_streaming_jit_cache_reuse(vae):
     assert "v22_enc_init" in cache and "v22_enc_step" in cache
     b = S.encode_streaming(vae, CFG, video, jit_cache=cache, chunk_latent=2)
     np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), atol=1e-6)
+
+
+def test_decode_streaming_u8_bf16_compute_matches(vae):
+    """The PIPELINE calls the Wan2.2 decode_streaming_u8 with
+    compute_dtype=bf16; pin it against the fp32 streaming decode with a
+    bf16-grade u8 tolerance (advisor round-4: the bf16 path was untested)."""
+    from videocof_tpu.models import wan_vae22_streaming as S
+    z = jax.random.normal(jax.random.PRNGKey(10), (1, CFG.z_dim, 3, 2, 2))
+    want = np.clip(np.round(np.clip(np.asarray(
+        S.decode_streaming(vae, CFG, z, chunk_latent=2)),
+        -1, 1) * 127.5 + 127.5), 0, 255).astype(np.uint8)
+    got = np.asarray(S.decode_streaming_u8(
+        vae, CFG, z, jit_cache={}, chunk_latent=2,
+        compute_dtype=jnp.bfloat16))
+    assert got.dtype == np.uint8 and got.shape == want.shape
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.max() <= 12, diff.max()     # bf16 rounding, not a scale bug
+    assert diff.mean() < 1.0, diff.mean()

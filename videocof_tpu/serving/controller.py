@@ -39,6 +39,13 @@ class VideoCoFController:
     # to Wan rebuilds with these — without them the 14B fp8 deployment
     # (13.83 GiB resident) would reload as ~27 GiB bf16 and OOM the chip.
     wan_load_kwargs: Dict[str, Any] = field(default_factory=dict)
+    # quantization INFERRED from the resident Wan params when the server
+    # didn't thread an explicit --quantize. Kept separate from
+    # wan_load_kwargs so a cross-family switch doesn't silently downgrade a
+    # small model (e.g. CogVideoX-2B fits bf16 comfortably); it only
+    # applies to Wan round-trips and to families that need it to exist on
+    # a 16 GB chip at all (Flux-dev/QwenImage class).
+    _inferred_quantize: Optional[str] = None
 
     # -------------------------------------------------------------- family
     @property
@@ -161,10 +168,12 @@ class VideoCoFController:
         import jax
 
         old = self.pipeline
-        if self.family == "wan" and self._params_quantized():
+        if (self.family == "wan" and self._params_quantized()
+                and "quantize" not in self.wan_load_kwargs):
             # remember quantization across the family round-trip even when
-            # the server didn't thread its load kwargs through
-            self.wan_load_kwargs.setdefault("quantize", "fp8")
+            # the server didn't thread its load kwargs through — but as
+            # INFERRED intent, not an explicit load kwarg
+            self._inferred_quantize = "fp8"
         for attr in ("dit_params", "dit_params_2"):
             tree = getattr(old, attr, None)
             if tree is not None:
@@ -176,16 +185,27 @@ class VideoCoFController:
         dtype = getattr(old, "dtype", None) or jnp.bfloat16
         if target_family == "wan":
             from ..factory import load_pipeline
-            self.pipeline = load_pipeline(path, dtype=dtype,
-                                          **self.wan_load_kwargs)
+            kw = dict(self.wan_load_kwargs)
+            if "quantize" not in kw and self._inferred_quantize:
+                kw["quantize"] = self._inferred_quantize
+            self.pipeline = load_pipeline(path, dtype=dtype, **kw)
         else:
             from ..factory import load_family_pipeline
             # the deployment-level quantize intent (--quantize) applies
             # across families: a 12B Flux needs fp8 on a 16 GB chip for
-            # exactly the same reason the 14B Wan does
+            # exactly the same reason the 14B Wan does. Quantization that
+            # was merely INFERRED from the resident Wan params only carries
+            # to families that need it to fit at all — CogVideoX-class
+            # models fit bf16 and must not be silently downgraded.
+            quantize = self.wan_load_kwargs.get("quantize")
+            if (quantize is None and self._inferred_quantize
+                    and target_family in ("flux", "qwenimage")):
+                quantize = self._inferred_quantize
+                print(f"[controller] applying inferred quantize="
+                      f"{quantize!r} to {target_family} load "
+                      f"(no explicit --quantize)", flush=True)
             self.pipeline = load_family_pipeline(
-                path, dtype=dtype, family=target_family,
-                quantize=self.wan_load_kwargs.get("quantize"))
+                path, dtype=dtype, family=target_family, quantize=quantize)
         self.model_name = path
         self._merged_loras.clear()
         self._cfg_seq_default = None
