@@ -97,8 +97,9 @@ def load_family_pipeline(model_name: str, dtype=jnp.bfloat16,
             tdir, vae_path=vdir if os.path.isdir(vdir) else None,
             dtype=dtype, quantize=quantize)
     if family == "flux":
-        return FluxPipeline.from_pretrained(tdir, dtype=dtype,
-                                            quantize=quantize)
+        return FluxPipeline.from_pretrained(
+            tdir, vae_path=vdir if has_vae else None, dtype=dtype,
+            quantize=quantize)
     raise ValueError(f"unknown model family {family!r} for {model_name!r}")
 
 

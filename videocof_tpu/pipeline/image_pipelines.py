@@ -308,9 +308,17 @@ class FluxPipeline(_SPMixin):
 
     @classmethod
     def from_pretrained(cls, transformer_dir: str, decode_fn=None,
-                        dtype=jnp.bfloat16, quantize=None) -> "FluxPipeline":
+                        vae_path=None, dtype=jnp.bfloat16,
+                        quantize=None) -> "FluxPipeline":
         cfg, params = flux_lib.load_flux(transformer_dir, dtype=dtype,
                                          quantize=quantize)
+        if decode_fn is None and vae_path is not None:
+            # in-repo 2D KL-VAE decoder (models/kl_vae.py): pixels without
+            # diffusers' external AutoencoderKL
+            from ..models import kl_vae
+            vcfg, vparams = kl_vae.load_kl_vae(vae_path, dtype=dtype)
+            decode_fn = kl_vae.make_decode_fn(vparams, vcfg,
+                                              compute_dtype=dtype)
         return cls(params, cfg, decode_fn=decode_fn, dtype=dtype)
 
     def __call__(self, text_embeddings: jax.Array,
