@@ -59,6 +59,11 @@ def main():
     ap.add_argument("--adafactor", action="store_true",
                     help="factored optimizer state instead of AdamW")
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--remat-policy", default=None,
+                    help="jax.checkpoint_policies name (e.g. "
+                         "dots_with_no_batch_dims_saveable) or "
+                         "'save_names:attn_out,xattn_out' — selective AC "
+                         "instead of full remat")
     args = ap.parse_args()
 
     if args.cpu:
@@ -77,6 +82,8 @@ def main():
     pt, ph, pw = cfg.patch_size
     lat_shape = (args.batch, cfg.in_dim, f * pt, h * ph, w * pw)
     remat = not args.no_remat
+    if remat and args.remat_policy:
+        remat = args.remat_policy  # string policy -> _remat_wrap
 
     dev = jax.devices()[0]
     log(f"device: {dev.device_kind} ({dev.platform}); model {args.model}, "
@@ -152,7 +159,7 @@ def main():
         "train_tflops_per_s_3x_fwd": round(tf, 1),
         "train_mfu_vs_197tf": round(tf / 197.0, 3),
         "optimizer": "adafactor" if args.adafactor else "adamw",
-        "remat": remat,
+        "remat": remat if isinstance(remat, bool) else f"policy:{remat}",
         "lora_rank": args.rank if args.lora else None,
         "hbm": mem,
     }

@@ -28,6 +28,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 import numpy as np
 
 from ..configs import WanDiTConfig
@@ -237,6 +238,32 @@ def _i2v_cross_attn(x_in, p, num_heads, eps, ctx_img, ctx_txt, txt_mask,
     return _linear(out, p["o"])
 
 
+def _remat_wrap(block_fn, remat_blocks):
+    """Selective activation checkpointing for the scanned block stack.
+
+    ``remat_blocks`` is False (no remat), True (full remat — recompute
+    everything in the backward), a `jax.checkpoint_policies` attribute name
+    (e.g. ``"dots_with_no_batch_dims_saveable"``), or
+    ``"save_names:attn_out,xattn_out"`` to save only the tagged attention
+    outputs (`wan_block_apply` names them via `checkpoint_name`) — the
+    trade-memory-for-recompute dial `scripts/probe_train_step.py
+    --remat-policy` sweeps on the real chip."""
+    if not remat_blocks:
+        return block_fn
+    policy = None
+    if isinstance(remat_blocks, str):
+        if remat_blocks.startswith("save_names:"):
+            names = remat_blocks.split(":", 1)[1].split(",")
+            policy = jax.checkpoint_policies.save_only_these_names(*names)
+        else:
+            policy = getattr(jax.checkpoint_policies, remat_blocks, None)
+            if policy is None:
+                raise ValueError(
+                    f"unknown remat policy {remat_blocks!r}; use a "
+                    "jax.checkpoint_policies name or 'save_names:<n1,n2>'")
+    return jax.checkpoint(block_fn, policy=policy)
+
+
 def wan_block_apply(p: Params, cfg: WanDiTConfig, x, e0, context,
                     rope_cs, seq_mask=None, context_mask=None,
                     attn_backend=None):
@@ -261,6 +288,8 @@ def wan_block_apply(p: Params, cfg: WanDiTConfig, x, e0, context,
     y = _attn_qkv(tx.astype(context.dtype), p["self_attn"], cfg.num_heads, eps,
                   rope_cs=rope_cs, kv_mask=seq_mask, backend=attn_backend,
                   rope_dtype=jnp.dtype(cfg.rope_dtype))
+    # no-op tag unless a name-based remat policy is active (_remat_wrap)
+    y = _checkpoint_name(y, "attn_out")
     x = (x.astype(jnp.float32) + y.astype(jnp.float32) * e_[2]).astype(sdt)
 
     # cross-attention (t2v: plain text K/V — `wan_transformer3d.py:308-336`;
@@ -282,6 +311,7 @@ def wan_block_apply(p: Params, cfg: WanDiTConfig, x, e0, context,
         y = _attn_qkv(nxc, p["cross_attn"], cfg.num_heads,
                       eps, kv_in=context, kv_mask=context_mask,
                       backend=xattn_backend)
+    y = _checkpoint_name(y, "xattn_out")
     x = (x.astype(jnp.float32) + y.astype(jnp.float32)).astype(sdt)
 
     # gated FFN (optionally in sequential token chunks — bounds the
@@ -515,7 +545,7 @@ def wan_dit_forward_with_residual(
                                context_mask=context_mask,
                                attn_backend=attn_backend)
 
-    body_fn = jax.checkpoint(block_fn) if remat_blocks else block_fn
+    body_fn = _remat_wrap(block_fn, remat_blocks)
 
     def body(carry, bp):
         return body_fn(bp, carry), None
