@@ -76,9 +76,11 @@ class WanPipeline:
         # streaming VAE: bounded memory per step (two compiled graphs per
         # geometry); the whole-sequence path is used for short clips
         self.vae_streaming_threshold_frames = 2
-        # 2 latent frames per streaming decode step: chunk 4 is ~1s faster at
-        # 480p but sits on the HBM cliff of a 16GB chip next to 1.3B weights
-        self.vae_decode_chunk = 2
+        # 3 latent frames per streaming decode step: one fewer ~0.5 s tunnel
+        # dispatch than 2 for the 9-frame edit segment (r5 sweep,
+        # scripts/probe_decode_chunk.py); chunk 4 ResourceExhausts beside
+        # resident 1.3B weights on a 16 GB chip (measured, r5)
+        self.vae_decode_chunk = 3
         self.vae_encode_chunk = 4
         self._rope_cache: Dict[Any, Any] = {}
         # Sequential CFG: run cond/uncond as TWO batch-1 dispatches of the
