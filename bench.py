@@ -138,6 +138,7 @@ def main():
     # traffic on the DiT step. Override with BENCH_STREAM_DTYPE=float32.
     dit_cfg = WAN21_T2V_1_3B.replace(
         stream_dtype=os.environ.get("BENCH_STREAM_DTYPE", "bfloat16"),
+        rope_dtype=os.environ.get("BENCH_ROPE_DTYPE", "bfloat16"),
         token_pad_multiple=128)
     vae_cfg = WanVAEConfig()
     t5_cfg = T5Config()

@@ -79,13 +79,14 @@ def main():
     peak = 197.0 if jax.devices()[0].platform == "tpu" else float("nan")
 
     def timed(name, fn, *a, flops=None):
-        out = fn(*a)                      # compile + warm
-        jax.block_until_ready(out)
+        # every variant returns an IN-PROGRAM scalar; float() is the only
+        # reliable barrier on the async tunnel (block_until_ready can
+        # return early on remote arrays — observed on this transport)
+        float(fn(*a))                     # compile + warm
         walls = []
         for _ in range(args.reps):
             t0 = time.time()
-            out = fn(*a)
-            jax.block_until_ready(out)
+            float(fn(*a))
             walls.append(time.time() - t0)
         med = float(np.median(walls))
         rec = {"median_s": round(med, 4),
@@ -98,14 +99,20 @@ def main():
 
     results = {}
 
-    full = jax.jit(lambda p, xx, tt, cc, co, si: wan_dit.wan_dit_forward(
-        p, base_cfg, xx, tt, cc, co, si))
+    # dispatch + scalar-fetch floor: subtract mentally from every wall
+    null = jax.jit(lambda s: jnp.sum(s[:2, :2]))
+    results["null_floor"] = timed("null_floor", null, x[0, 0, 0])
+
+    full = jax.jit(lambda p, xx, tt, cc, co, si: jnp.sum(
+        wan_dit.wan_dit_forward(p, base_cfg, xx, tt, cc, co, si)
+        .astype(jnp.float32)))
     results["full"] = timed("full", full, params, x, t, ctx, cos, sin,
                             flops=fwd_flops)
 
     bf_cfg = base_cfg.replace(rope_dtype="bfloat16")
-    rope_bf = jax.jit(lambda p, xx, tt, cc, co, si: wan_dit.wan_dit_forward(
-        p, bf_cfg, xx, tt, cc, co, si))
+    rope_bf = jax.jit(lambda p, xx, tt, cc, co, si: jnp.sum(
+        wan_dit.wan_dit_forward(p, bf_cfg, xx, tt, cc, co, si)
+        .astype(jnp.float32)))
     results["rope_bf16"] = timed("rope_bf16", rope_bf, params, x, t, ctx,
                                  cos, sin, flops=fwd_flops)
 
@@ -126,7 +133,7 @@ def main():
             return wan_dit.wan_block_apply(
                 bp, base_cfg, carry, e0, ctx_d, (cos_p, sin_p)), None
         out, _ = jax.lax.scan(body, s, p["blocks"])
-        return out
+        return jnp.sum(out.astype(jnp.float32))
 
     blk_flops = (fwd_flops * Lpad / tokens)  # ~ all FLOPs live in the blocks
     results["blocks_only"] = timed("blocks_only", blocks_only, params,
@@ -144,7 +151,7 @@ def main():
         def body(carry, _):
             return attn(carry, carry, carry), None
         out, _ = jax.lax.scan(body, qq, None, length=base_cfg.num_layers)
-        return out
+        return jnp.sum(out.astype(jnp.float32))
 
     attn_flops = base_cfg.num_layers * 4 * Lpad * Lpad * D
     results["attn_iter"] = timed("attn_iter", attn_iter, q,

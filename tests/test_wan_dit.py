@@ -264,3 +264,33 @@ def test_varlen_batch_matches_per_item(setup):
     np.testing.assert_allclose(np.asarray(out_b[1, :, :F_short]),
                                np.asarray(out_short[0]),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_rope_bf16_close(setup):
+    """rope_dtype='bfloat16' (the 14B lever; bench default as of r5 — buys
+    ~1.2% step time on the 1.3B, probe_mfu_gap.py) stays close to the fp32
+    rope tables."""
+    params, x, t, ctx, cos, sin = setup
+    a = wan_dit.wan_dit_forward(params, CFG, x, t, ctx, cos, sin)
+    b = wan_dit.wan_dit_forward(params, CFG.replace(rope_dtype="bfloat16"),
+                                x, t, ctx, cos, sin)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=0.05, rtol=0.05)
+    # and it must not be a silent no-op: the tables really are cast
+    assert not np.allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_remat_policy_matches(setup):
+    """Named checkpoint policies (and the tagged-attention save_names form)
+    are numerically identical to the unremat forward."""
+    params, x, t, ctx, cos, sin = setup
+    a = wan_dit.wan_dit_forward(params, CFG, x, t, ctx, cos, sin)
+    for pol in ("dots_with_no_batch_dims_saveable",
+                "save_names:attn_out,xattn_out"):
+        b = wan_dit.wan_dit_forward(params, CFG, x, t, ctx, cos, sin,
+                                    remat_blocks=pol)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        wan_dit.wan_dit_forward(params, CFG, x, t, ctx, cos, sin,
+                                remat_blocks="not_a_policy")
