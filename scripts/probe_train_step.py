@@ -84,6 +84,8 @@ def main():
     remat = not args.no_remat
     if remat and args.remat_policy:
         remat = args.remat_policy  # string policy -> _remat_wrap
+        if remat.startswith("save_names:"):
+            cfg = cfg.replace(remat_tag_names=True)  # names must exist
 
     dev = jax.devices()[0]
     log(f"device: {dev.device_kind} ({dev.platform}); model {args.model}, "
@@ -131,6 +133,14 @@ def main():
         init_fn, step_fn = make_train_step(mesh, cfg, opt, remat=remat)
         state = init_fn(params)
         run = lambda s, r: step_fn(s, batch, r)
+        # init_fn reshards through a jitted identity (fresh buffers, no
+        # caller alias — db17a4e), so the ORIGINAL tree would stay resident
+        # (+2.8 GiB bf16 at 1.3B) for the whole probe. Full-FT never touches
+        # it again: free it, or the 15.75-GiB-tight step ResourceExhausts.
+        jax.block_until_ready(state)
+        for leaf in jax.tree.leaves(params):
+            leaf.delete()
+        params = None
     jax.block_until_ready(state)
     log(f"state init: {time.time()-t0:.1f}s")
 

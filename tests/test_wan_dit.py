@@ -285,9 +285,10 @@ def test_remat_policy_matches(setup):
     are numerically identical to the unremat forward."""
     params, x, t, ctx, cos, sin = setup
     a = wan_dit.wan_dit_forward(params, CFG, x, t, ctx, cos, sin)
-    for pol in ("dots_with_no_batch_dims_saveable",
-                "save_names:attn_out,xattn_out"):
-        b = wan_dit.wan_dit_forward(params, CFG, x, t, ctx, cos, sin,
+    tag_cfg = CFG.replace(remat_tag_names=True)  # names exist only when on
+    for pol, cfg in (("dots_with_no_batch_dims_saveable", CFG),
+                     ("save_names:attn_out,xattn_out", tag_cfg)):
+        b = wan_dit.wan_dit_forward(params, cfg, x, t, ctx, cos, sin,
                                     remat_blocks=pol)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
     import pytest as _pytest

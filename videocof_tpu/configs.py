@@ -56,6 +56,12 @@ class WanDiTConfig:
     # eliminates 2x ~580 MB fp32 HLO temps per attention at the 14B
     # 29.6k-token geometry.
     rope_dtype: str = "float32"
+    # Tag self-/cross-attention outputs with jax.ad_checkpoint
+    # checkpoint_name so a 'save_names:attn_out,xattn_out' remat policy can
+    # save them. OFF by default: the name primitives change every traced
+    # graph (invalidating compiled-executable caches) and are only needed
+    # when that policy is requested.
+    remat_tag_names: bool = False
     # Residual-stream storage dtype. "float32" (default) carries the stream
     # in fp32 between blocks (extra precision vs the reference, whose
     # autocast-bf16 blocks keep x in bf16); "bfloat16" halves stream-sized

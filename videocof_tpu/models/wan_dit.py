@@ -288,8 +288,9 @@ def wan_block_apply(p: Params, cfg: WanDiTConfig, x, e0, context,
     y = _attn_qkv(tx.astype(context.dtype), p["self_attn"], cfg.num_heads, eps,
                   rope_cs=rope_cs, kv_mask=seq_mask, backend=attn_backend,
                   rope_dtype=jnp.dtype(cfg.rope_dtype))
-    # no-op tag unless a name-based remat policy is active (_remat_wrap)
-    y = _checkpoint_name(y, "attn_out")
+    if cfg.remat_tag_names:   # only for 'save_names:' remat policies —
+        # the name primitive would otherwise churn every traced graph
+        y = _checkpoint_name(y, "attn_out")
     x = (x.astype(jnp.float32) + y.astype(jnp.float32) * e_[2]).astype(sdt)
 
     # cross-attention (t2v: plain text K/V — `wan_transformer3d.py:308-336`;
@@ -311,7 +312,8 @@ def wan_block_apply(p: Params, cfg: WanDiTConfig, x, e0, context,
         y = _attn_qkv(nxc, p["cross_attn"], cfg.num_heads,
                       eps, kv_in=context, kv_mask=context_mask,
                       backend=xattn_backend)
-    y = _checkpoint_name(y, "xattn_out")
+    if cfg.remat_tag_names:
+        y = _checkpoint_name(y, "xattn_out")
     x = (x.astype(jnp.float32) + y.astype(jnp.float32)).astype(sdt)
 
     # gated FFN (optionally in sequential token chunks — bounds the
