@@ -58,6 +58,8 @@ def main():
     ap.add_argument("--rank", type=int, default=16)
     ap.add_argument("--adafactor", action="store_true",
                     help="factored optimizer state instead of AdamW")
+    ap.add_argument("--ffn-chunks", type=int, default=1,
+                    help="bound the [L, ffn_dim] FFN temp to 1/N (cfg knob)")
     ap.add_argument("--no-remat", action="store_true")
     ap.add_argument("--remat-policy", default=None,
                     help="jax.checkpoint_policies name (e.g. "
@@ -77,6 +79,8 @@ def main():
         from videocof_tpu.configs import WAN_TINY as cfg
     else:
         cfg = WAN21_T2V_14B if args.model == "14b" else WAN21_T2V_1_3B
+    if args.ffn_chunks > 1:
+        cfg = cfg.replace(ffn_chunks=args.ffn_chunks)
     f, h, w = (int(x) for x in args.grid.split(","))
     tokens = f * h * w
     pt, ph, pw = cfg.patch_size
@@ -104,6 +108,7 @@ def main():
     jax.block_until_ready(params)
     n_params = sum(x.size for x in jax.tree.leaves(params))
     log(f"init: {time.time()-t0:.1f}s; params {n_params/1e9:.2f}B")
+
 
     # CoF training batch: 9 source latent frames stay clean + ground +
     # target are denoised (pipeline_wan.py:735-737's training-side mirror)
@@ -169,6 +174,7 @@ def main():
         "train_tflops_per_s_3x_fwd": round(tf, 1),
         "train_mfu_vs_197tf": round(tf / 197.0, 3),
         "optimizer": "adafactor" if args.adafactor else "adamw",
+        "ffn_chunks": args.ffn_chunks,
         "remat": remat if isinstance(remat, bool) else f"policy:{remat}",
         "lora_rank": args.rank if args.lora else None,
         "hbm": mem,

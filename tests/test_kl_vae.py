@@ -191,3 +191,31 @@ def test_load_kl_vae_dir(tmp_path):
     z = jnp.ones((1, cfg.latent_channels, 4, 4), jnp.float32)
     out = kl_vae.decode_latents(lparams, lcfg, z)
     assert out.shape == (1, 3, 8, 8)
+
+
+def test_factory_wires_flux_vae_subdir(tmp_path, monkeypatch):
+    """A flux checkpoint dir with a vae/ subdir gets the in-repo KL-VAE
+    decode path wired automatically by load_family_pipeline."""
+    import videocof_tpu.factory as factory
+    from videocof_tpu.pipeline import image_pipelines
+
+    (tmp_path / "transformer").mkdir()
+    (tmp_path / "transformer" / "config.json").write_text(
+        json.dumps({"_class_name": "FluxTransformer2DModel"}))
+    (tmp_path / "vae").mkdir()
+    (tmp_path / "vae" / "config.json").write_text(json.dumps(
+        {"latent_channels": 2, "block_out_channels": [8, 12]}))
+
+    seen = {}
+
+    def fake(cls_tdir, vae_path=None, dtype=None, quantize=None, **kw):
+        seen["tdir"] = cls_tdir
+        seen["vae_path"] = vae_path
+        return "sentinel"
+
+    monkeypatch.setattr(image_pipelines.FluxPipeline, "from_pretrained",
+                        staticmethod(fake))
+    out = factory.load_family_pipeline(str(tmp_path))
+    assert out == "sentinel"
+    assert seen["tdir"].endswith("transformer")
+    assert seen["vae_path"].endswith("vae")

@@ -138,3 +138,45 @@ def test_trainer_lora_mode_and_export(tmp_path, base):
     assert not np.allclose(
         np.asarray(merged["blocks"]["self_attn"]["q"]["kernel"]),
         np.asarray(dit["blocks"]["self_attn"]["q"]["kernel"]))
+
+
+def test_inscan_fusion_matches_full_tree(base):
+    """wan_dit_forward(lora=...) (per-block fusion inside the scan — the
+    memory-bounded training path) == forward over apply_lora_adapters'
+    full fused tree, for bf16 AND fp8 base storage."""
+    from videocof_tpu.utils.fp8 import quantize_params_fp8
+
+    ad = init_lora_adapters(jax.random.PRNGKey(5), CFG, rank=4)
+    # non-trivial up so the delta actually changes the forward
+    ad["blocks"] = jax.tree.map(
+        lambda l: l + 0.02 * jax.random.normal(
+            jax.random.PRNGKey(6), l.shape, l.dtype), ad["blocks"])
+    scale = ad["alpha"] / ad["rank"]
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, CFG.in_dim, 5, 4, 6)),
+                    jnp.float32)
+    t = jnp.array([500.0])
+    ctx = jnp.asarray(rng.standard_normal((1, CFG.text_len, CFG.text_dim)),
+                      jnp.float32)
+    cos, sin = wan_dit.make_rope_for_geometry(CFG, (5, 2, 3))
+    args = (x, t, ctx, jnp.asarray(cos), jnp.asarray(sin))
+
+    full = apply_lora_adapters(base, ad)
+    want = np.asarray(wan_dit.wan_dit_forward(full, CFG, *args))
+    got = np.asarray(wan_dit.wan_dit_forward(
+        base, CFG, *args, lora=(ad["blocks"], scale)))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+    # changed vs no-lora (the adapters are non-trivial)
+    plain = np.asarray(wan_dit.wan_dit_forward(base, CFG, *args))
+    assert np.abs(want - plain).max() > 1e-4
+
+    # fp8 frozen base: in-scan fusion dequantizes per block — the
+    # LoRA-over-fp8 configuration apply_lora_adapters refuses
+    qbase = quantize_params_fp8(jax.tree.map(np.asarray, base))
+    qbase = jax.tree.map(jnp.asarray, qbase)
+    got_q = np.asarray(wan_dit.wan_dit_forward(
+        qbase, CFG, *args, lora=(ad["blocks"], scale)))
+    assert np.isfinite(got_q).all()
+    # fp8 storage error dominates the diff; just pin it is in-family
+    assert np.abs(got_q - want).mean() < 0.15 * (np.abs(want).mean() + 1e-6)

@@ -390,6 +390,7 @@ def wan_dit_forward(
     remat_blocks: bool = False,
     sp=None,
     seq_lens: Optional[jax.Array] = None,       # [B] varlen token counts
+    lora=None,                  # ([L,...]-stacked adapter blocks, scale)
 ) -> jax.Array:
     """Velocity prediction [B, out_dim, F, H, W].
 
@@ -400,7 +401,7 @@ def wan_dit_forward(
     out, _ = wan_dit_forward_with_residual(
         params, cfg, x, t, context, rope_cos, rope_sin,
         context_mask=context_mask, attn_backend=attn_backend,
-        remat_blocks=remat_blocks, sp=sp, seq_lens=seq_lens)
+        remat_blocks=remat_blocks, sp=sp, seq_lens=seq_lens, lora=lora)
     return out
 
 
@@ -422,6 +423,8 @@ def wan_dit_forward_with_residual(
     y_camera: Optional[jax.Array] = None,   # [B, D, F, H', W'] camera feats
     sp=None,                                # parallel.SPContext or None
     seq_lens: Optional[jax.Array] = None,   # [B] per-sample valid tokens
+    lora=None,                # ([L,...]-stacked adapter blocks, scale) —
+                              # per-block fusion inside the scan, see below
 ) -> Tuple[jax.Array, jax.Array]:
     """Forward that exposes the TeaCache token-stream residual: returns
     (velocity, residual). With ``skip_blocks=True`` the block stack is
@@ -547,10 +550,26 @@ def wan_dit_forward_with_residual(
                                context_mask=context_mask,
                                attn_backend=attn_backend)
 
-    body_fn = _remat_wrap(block_fn, remat_blocks)
+    if lora is not None:
+        # per-block adapter fusion INSIDE the scan (models/lora.py
+        # fuse_block_adapters): only one block's W_eff materializes at a
+        # time — a full-tree apply_lora_adapters copy costs +param-size
+        # HBM, which the 16 GB LoRA training config cannot afford
+        from .lora import fuse_block_adapters
+        ad_blocks, lora_scale = lora
 
-    def body(carry, bp):
-        return body_fn(bp, carry), None
+        def fused_fn(xs_, carry):
+            bp, ad = xs_
+            return block_fn(fuse_block_adapters(bp, ad, lora_scale), carry)
+
+        body_fn = _remat_wrap(fused_fn, remat_blocks)
+        scan_xs = (params["blocks"], ad_blocks)
+    else:
+        body_fn = _remat_wrap(block_fn, remat_blocks)
+        scan_xs = params["blocks"]
+
+    def body(carry, xs_):
+        return body_fn(xs_, carry), None
 
     if isinstance(skip_blocks, bool):
         if skip_blocks:
@@ -558,7 +577,7 @@ def wan_dit_forward_with_residual(
             stream = stream0 + residual
             residual_out = residual
         else:
-            stream, _ = jax.lax.scan(body, stream0, params["blocks"])
+            stream, _ = jax.lax.scan(body, stream0, scan_xs)
             residual_out = stream - stream0
     else:
         # traced skip flag (the fused TeaCache trajectory: the skip plan is
@@ -567,7 +586,7 @@ def wan_dit_forward_with_residual(
         assert residual is not None, "traced skip needs a residual operand"
 
         def run_blocks(_):
-            stream, _ = jax.lax.scan(body, stream0, params["blocks"])
+            stream, _ = jax.lax.scan(body, stream0, scan_xs)
             return stream, stream - stream0
 
         def use_cached(_):

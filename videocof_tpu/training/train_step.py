@@ -32,7 +32,8 @@ class TrainState(NamedTuple):
 
 def flow_matching_loss(params, cfg: WanDiTConfig, x0, context, rope_cos,
                        rope_sin, timesteps, noise, attn_backend=None,
-                       remat: bool = True, frame_mask=None, sp=None):
+                       remat: bool = True, frame_mask=None, sp=None,
+                       lora=None):
     """Rectified-flow loss: x_t = (1-sigma) x0 + sigma n, target v = n - x0.
 
     ``frame_mask`` [F] (1 = denoised frame, 0 = clean conditioning frame)
@@ -50,7 +51,7 @@ def flow_matching_loss(params, cfg: WanDiTConfig, x0, context, rope_cos,
     pred = wan_dit.wan_dit_forward(
         params, cfg, x_t, timesteps.astype(jnp.float32), context,
         rope_cos, rope_sin, attn_backend=attn_backend, remat_blocks=remat,
-        sp=sp)
+        sp=sp, lora=lora)
     if frame_mask is not None:
         m = frame_mask.astype(jnp.float32)[None, None, :, None, None]
         err = jnp.square(pred - target) * m
@@ -163,14 +164,15 @@ def make_lora_train_step(
     Base weights stay frozen (passed per step, FSDP-shardable by the
     caller); only the adapter pytree carries gradients/optimizer state, so
     optimizer memory is ~rank/dim of full fine-tuning. The adapters fuse
-    into the kernels INSIDE the jitted loss (`models.lora
-    .apply_lora_adapters`), so the forward is the production forward — no
-    hook machinery.
+    into the kernels PER BLOCK inside the scanned body (`models.lora
+    .fuse_block_adapters` via `wan_dit_forward(lora=...)`), so the forward
+    is the production forward with no hook machinery AND no full-tree
+    fused-weights copy (+param-size HBM).
 
     init_fn(key) -> LoRATrainState; step_fn(state, base_params, batch, rng)
     -> (state, loss). Batch contract matches `make_train_step`.
     """
-    from ..models.lora import apply_lora_adapters, init_lora_adapters
+    from ..models.lora import init_lora_adapters
 
     optimizer = optimizer or optax.adamw(1e-4, weight_decay=0.0)
     sp_on = use_ulysses and mesh.shape["seq"] > 1
@@ -194,13 +196,17 @@ def make_lora_train_step(
                 "alpha": state.adapters["alpha"]}
 
         def loss_fn(ad_blocks):
-            full = apply_lora_adapters(base_params,
-                                       {**meta, "blocks": ad_blocks})
+            # adapters fuse PER BLOCK inside the scanned body
+            # (lora.fuse_block_adapters via wan_dit_forward(lora=...)):
+            # a full-tree apply_lora_adapters copy costs +param-size HBM
+            # and pushes the 29.6k-token CoF geometry off a 16 GB chip
+            scale = meta["alpha"] / meta["rank"]
             return flow_matching_loss(
-                full, cfg, x0, batch["context"], batch["rope_cos"],
+                base_params, cfg, x0, batch["context"], batch["rope_cos"],
                 batch["rope_sin"], batch["timesteps"], noise,
                 attn_backend=attn, remat=remat,
-                frame_mask=batch.get("frame_mask"), sp=sp)
+                frame_mask=batch.get("frame_mask"), sp=sp,
+                lora=(ad_blocks, scale))
 
         loss, grads = jax.value_and_grad(loss_fn)(state.adapters["blocks"])
         updates, opt_state = optimizer.update(grads, state.opt_state,
