@@ -57,6 +57,10 @@ def main():
     ap.add_argument("--stream-dtype", type=str, default="bfloat16",
                     help="residual-stream dtype (bfloat16 fits the 16 GB "
                          "chip at 29.6k tokens; float32 OOMs by ~1.1 GB)")
+    ap.add_argument("--lora-rank", type=int, default=0,
+                    help="attach rank-R RUNTIME LoRA adapters (bf16 "
+                         "'lora__' node, per-block in-scan fusion) — the "
+                         "fp8-base + released-adapters serving combo")
     args = ap.parse_args()
     f, h, w = (int(x) for x in args.grid.split(","))
 
@@ -73,8 +77,23 @@ def main():
     cos, sin = jnp.asarray(cos), jnp.asarray(sin)
 
     def init_fp8(key):
-        return quantize_params_fp8(
+        p = quantize_params_fp8(
             wan_dit.init_wan_dit(key, cfg, dtype=jnp.bfloat16))
+        if args.lora_rank:
+            from videocof_tpu.models.lora import _target_dims
+            r, Ln = args.lora_rank, cfg.num_layers
+            blocks = {}
+            for n, ((mod, name), (din, dout)) in enumerate(
+                    _target_dims(cfg).items()):
+                k1, k2 = jax.random.split(jax.random.fold_in(key, 100 + n))
+                blocks.setdefault(mod, {})[name] = {
+                    "down": 0.01 * jax.random.normal(k1, (Ln, r, din),
+                                                     jnp.bfloat16),
+                    "up": 0.01 * jax.random.normal(k2, (Ln, dout, r),
+                                                   jnp.bfloat16)}
+            p["lora__"] = {"blocks": blocks,
+                           "scale": jnp.float32(1.0)}
+        return p
 
     def fwd_sum(p, x, t, c, co, si):
         out = wan_dit.wan_dit_forward(p, cfg, x, t, c, co, si)
@@ -197,6 +216,7 @@ def main():
 
     print(json.dumps({
         "model": "wan2.1-t2v-14b", "quantize": "fp8",
+        "lora_rank": args.lora_rank or None,
         "tokens": L, "grid": [f, h, w], "batch": args.batch,
         "step_s": round(step_s, 3),
         "tflops_per_s": round(tflops, 1),

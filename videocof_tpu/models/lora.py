@@ -269,6 +269,86 @@ def apply_lora_adapters(params: Dict[str, Any], adapters: Dict[str, Any],
     return out
 
 
+def load_runtime_lora(loras, cfg: WanDiTConfig
+                      ) -> Tuple[Optional[Dict[str, Any]], Dict[str, Any]]:
+    """Published LoRA files -> RUNTIME adapters for fp8-resident serving.
+
+    The reference's flagship deployment is the Wan 14B base plus its
+    released VideoCoF LoRA adapters; on a 16 GB chip the 14B only fits
+    with fp8 weight storage, and fusing a delta into fp8 kernels is
+    impossible without re-materializing bf16 (`merge_lora` refuses). This
+    builds the same stacked-adapter pytree the trainer uses so the deltas
+    apply PER BLOCK inside the scanned forward
+    (`wan_dit_forward(lora=...)` / a ``"lora__"`` node in the param tree)
+    — no weight mutation, fp8 stays resident.
+
+    ``loras``: list of (state_dict_or_path, multiplier). Multiple files
+    combine by RANK CONCATENATION with ``multiplier * alpha/rank`` folded
+    into each file's up matrices, so the runtime scale is always 1.0.
+
+    Returns (runtime, leftover): ``runtime`` is ``{"blocks": {mod: {name:
+    {down [L,R,din], up [L,dout,R]}}}, "scale": 1.0}`` or None when no
+    block modules exist; ``leftover`` maps non-block dotted module names
+    (text/time embedding, head, patch embed) to their entries — those
+    cannot ride the scanned path and the caller decides whether to
+    merge or skip them.
+    """
+    from .weights import load_state_dict
+
+    L = cfg.num_layers
+    known = _known_module_names(L)
+    # (mod, name) -> list over files of per-layer {layer: (down, up)}
+    per_file: Dict[Tuple[str, str], list] = {}
+    leftover: Dict[str, Any] = {}
+    dims: Dict[Tuple[str, str], Tuple[int, int]] = {}
+
+    for sd, mult in loras:
+        if isinstance(sd, str):
+            sd = load_state_dict(sd)
+        mods = parse_lora_state_dict(sd, L)
+        file_blocks: Dict[Tuple[str, str], Dict[int, Tuple]] = {}
+        for dotted, entry in mods.items():
+            layer, path = known[dotted]
+            if layer is None or path[0] != "blocks":
+                leftover[dotted] = {**entry, "multiplier": mult}
+                continue
+            mod, name = path[1], path[2]
+            down, up = entry["down"], entry["up"]
+            if down.ndim > 2:
+                down = down.reshape(down.shape[0], -1)
+            if up.ndim > 2:
+                up = up.reshape(up.shape[0], -1)
+            rank = down.shape[0]
+            scale = mult * entry.get("alpha", float(rank)) / rank
+            file_blocks.setdefault((mod, name), {})[layer] = (
+                down.astype(np.float32), up.astype(np.float32) * scale)
+            dims[(mod, name)] = (down.shape[1], up.shape[0])
+        for key, layers in file_blocks.items():
+            per_file.setdefault(key, []).append(layers)
+
+    if not per_file:
+        return None, leftover
+
+    blocks: Dict[str, Any] = {}
+    for (mod, name), files in per_file.items():
+        din, dout = dims[(mod, name)]
+        downs, ups = [], []
+        for layers in files:
+            r = max(d.shape[0] for d, _ in layers.values())
+            dn = np.zeros((L, r, din), np.float32)
+            up = np.zeros((L, dout, r), np.float32)
+            for i, (d, u) in layers.items():
+                dn[i, :d.shape[0]] = d
+                up[i, :, :u.shape[1]] = u
+            downs.append(dn)
+            ups.append(up)
+        blocks.setdefault(mod, {})[name] = {
+            "down": jnp.asarray(np.concatenate(downs, axis=1)),
+            "up": jnp.asarray(np.concatenate(ups, axis=2)),
+        }
+    return {"blocks": blocks, "scale": 1.0}, leftover
+
+
 def lora_adapters_to_state_dict(adapters: Dict[str, Any]) -> Dict[str, Any]:
     """Adapters -> kohya-format numpy state dict (lora_unet_* keys), loadable
     by merge_lora and by the reference's lora_utils."""

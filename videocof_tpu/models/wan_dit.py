@@ -550,6 +550,11 @@ def wan_dit_forward_with_residual(
                                context_mask=context_mask,
                                attn_backend=attn_backend)
 
+    if lora is None and "lora__" in params:
+        # runtime serving adapters attached into the param tree
+        # (WanPipeline.set_runtime_lora / lora.load_runtime_lora): the
+        # fp8-resident LoRA path — deltas apply per block, weights unmutated
+        lora = (params["lora__"]["blocks"], params["lora__"]["scale"])
     if lora is not None:
         # per-block adapter fusion INSIDE the scan (models/lora.py
         # fuse_block_adapters): only one block's W_eff materializes at a

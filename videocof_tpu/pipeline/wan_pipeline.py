@@ -102,6 +102,34 @@ class WanPipeline:
         import os as _os
         self.verbose_timing = _os.environ.get("VIDEOCOF_TIMING") == "1"
 
+    # --------------------------------------------------------- runtime LoRA
+    def set_runtime_lora(self, runtime) -> None:
+        """Attach/detach RUNTIME LoRA adapters (`lora.load_runtime_lora`):
+        a ``"lora__"`` node rides the DiT param tree(s) and the forward
+        fuses each block's delta inside the scanned body — the only LoRA
+        path compatible with fp8-resident weights (merging into fp8 would
+        re-materialize bf16; `merge_lora` refuses). ``runtime=None``
+        detaches. Changing the attachment changes the param-tree structure,
+        so compiled executables (incl. AOT precompiled runners) retrace on
+        the next call — expected, one-time."""
+        import jax as _jax
+        import jax.numpy as _jnp
+        for attr in ("dit_params", "dit_params_2"):
+            tree = getattr(self, attr, None)
+            if tree is None:
+                continue
+            if runtime is None:
+                tree.pop("lora__", None)
+            else:
+                tree["lora__"] = {
+                    "blocks": _jax.tree.map(_jnp.asarray, runtime["blocks"]),
+                    "scale": _jnp.float32(runtime.get("scale", 1.0)),
+                }
+        # executables trace against the old tree STRUCTURE; drop them so the
+        # next call retraces rather than mixing cache keys across shapes
+        self._jit_cache.clear()
+        self._rope_cache.clear()
+
     # ----------------------------------------------------------- parallelism
     def enable_sequence_parallel(self, mesh=None, data: int = 1,
                                  seq: Optional[int] = None,

@@ -82,18 +82,34 @@ class VideoCoFController:
         a different path (or multiplier) first unmerges what no longer
         belongs, path=None unmerges everything. On a Wan2.2 MoE pipeline the
         merge state is guarded per expert: every merge/unmerge applies to
-        both expert trees in lockstep. Callers that share the pipeline
-        across threads must hold the generation lock — this mutates
-        pipeline.dit_params (and dit_params_2)."""
+        both expert trees in lockstep. On fp8-quantized pipelines the LoRA
+        is served as RUNTIME adapters (set_runtime_lora) instead of a fused
+        delta. Callers that share the pipeline across threads must hold the
+        generation lock — this mutates pipeline.dit_params (and
+        dit_params_2)."""
         from ..models.lora import merge_lora, unmerge_lora
         want = {path: multiplier} if path else {}
         if self._merged_loras == want:
             return
-        if want and self._params_quantized():
-            raise RuntimeError(
-                "cannot merge a LoRA into fp8-quantized weights at serve "
-                "time; fuse it at load time via "
-                "load_pipeline(lora_paths=[(path, mult)], quantize='fp8')")
+        if self._params_quantized():
+            # fp8-resident weights cannot take a fused delta (merging would
+            # re-materialize bf16). Serve the LoRA as RUNTIME adapters
+            # instead: the forward fuses each block's delta inside the
+            # scanned body (lora.load_runtime_lora / set_runtime_lora).
+            # Non-block modules (text/time embedding, head) cannot ride the
+            # scanned path; they are skipped with a warning.
+            from ..models.lora import load_runtime_lora
+            runtime, leftover = (load_runtime_lora(
+                list(want.items()), self.pipeline.dit_cfg)
+                if want else (None, {}))
+            if leftover:
+                print(f"[controller] runtime LoRA over fp8: skipping "
+                      f"{len(leftover)} non-block module(s): "
+                      f"{sorted(leftover)[:4]}...", flush=True)
+            self.pipeline.set_runtime_lora(runtime)
+            self._merged_loras.clear()
+            self._merged_loras.update(want)
+            return
         attrs = self._expert_attrs()
         for p, m in list(self._merged_loras.items()):
             if want.get(p) != m:
