@@ -180,3 +180,36 @@ def test_controller_runtime_lora_on_quantized(tmp_path):
     ctrl.ensure_lora(None)
     assert "lora__" not in pipe.dit_params
     assert ctrl._merged_loras == {}
+
+
+def test_moe_runtime_lora_lockstep():
+    """set_runtime_lora on a Wan2.2 MoE pipeline attaches/detaches the
+    adapters on BOTH expert trees, and the dual-expert trajectory runs."""
+    from videocof_tpu.configs import T5_TINY, VAE_TINY
+    from videocof_tpu.models import t5_encoder, wan_vae
+    from videocof_tpu.pipeline import Wan22Pipeline
+
+    vcfg = VAE_TINY
+    dcfg = CFG.replace(in_dim=vcfg.z_dim, out_dim=vcfg.z_dim,
+                       text_dim=T5_TINY.dim)
+    pipe = Wan22Pipeline(
+        wan_dit.init_wan_dit(jax.random.PRNGKey(0), dcfg), dcfg,
+        wan_vae.init_wan_vae(jax.random.PRNGKey(1), vcfg), vcfg,
+        t5_params=t5_encoder.init_t5_encoder(jax.random.PRNGKey(2),
+                                             T5_TINY),
+        t5_cfg=T5_TINY, dtype=jnp.float32,
+        dit_params_2=wan_dit.init_wan_dit(jax.random.PRNGKey(3), dcfg),
+        boundary=0.875)
+    runtime, _ = load_runtime_lora([(_lora_sd(11), 1.0)], dcfg)
+    pipe.set_runtime_lora(runtime)
+    assert "lora__" in pipe.dit_params and "lora__" in pipe.dit_params_2
+
+    video = np.random.default_rng(0).uniform(
+        -1, 1, (1, 3, 9, 32, 32)).astype(np.float32)
+    out = pipe(video, "edit", source_frames=9, reasoning_frames=4,
+               num_inference_steps=2, seed=4, output_latents=True)
+    assert np.isfinite(out.latents).all()
+
+    pipe.set_runtime_lora(None)
+    assert "lora__" not in pipe.dit_params
+    assert "lora__" not in pipe.dit_params_2
