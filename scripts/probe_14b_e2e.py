@@ -70,6 +70,9 @@ def main():
                          "the full-VAE co-residency is infeasible "
                          "(probe_vae_memory: enc/dec chunk programs need "
                          "~4-5 GiB incl. streaming caches vs ~1.6 free)")
+    ap.add_argument("--lora-rank", type=int, default=0,
+                    help="attach rank-R runtime LoRA adapters (bf16 "
+                         "'lora__' node; zero measured step overhead)")
     args = ap.parse_args()
 
     import jax
@@ -96,8 +99,25 @@ def main():
     height, width, source_frames, reasoning_frames = 480, 832, 33, 4
 
     def init_fp8(key):
-        return quantize_params_fp8(
+        p = quantize_params_fp8(
             wan_dit.init_wan_dit(key, cfg, dtype=jnp.bfloat16))
+        if args.lora_rank:
+            # runtime adapters ride the tree as a 'lora__' node; the forward
+            # fuses each block's delta in-scan (lora.fuse_block_adapters) —
+            # the fp8-base + released-adapters serving combo, end to end
+            from videocof_tpu.models.lora import _target_dims
+            r, Ln = args.lora_rank, cfg.num_layers
+            blocks = {}
+            for n, ((mod, name), (din, dout)) in enumerate(
+                    _target_dims(cfg).items()):
+                k1, k2 = jax.random.split(jax.random.fold_in(key, 100 + n))
+                blocks.setdefault(mod, {})[name] = {
+                    "down": 0.01 * jax.random.normal(k1, (Ln, r, din),
+                                                     jnp.bfloat16),
+                    "up": 0.01 * jax.random.normal(k2, (Ln, dout, r),
+                                                   jnp.bfloat16)}
+            p["lora__"] = {"blocks": blocks, "scale": jnp.float32(1.0)}
+        return p
 
     p_abs = jax.eval_shape(init_fp8, jax.random.PRNGKey(0))
 
@@ -375,8 +395,9 @@ def main():
     except Exception:
         pass
 
-    metric = ("sec_per_video_%dstep_480p_14b_fp8%s"
-              % (args.steps, "_cfg" if do_cfg else ""))
+    metric = ("sec_per_video_%dstep_480p_14b_fp8%s%s"
+              % (args.steps, "_cfg" if do_cfg else "",
+                 f"_lora{args.lora_rank}" if args.lora_rank else ""))
     print(json.dumps({
         "metric": metric,
         "value": round(value, 3), "unit": "s",
