@@ -225,3 +225,41 @@ def test_flux_fp8_tree_gets_tp_specs():
         "blocks"]["attn"]["q"]["kernel"]["scale"].shape
     ok = sharded["blocks"]["attn"]["o"]["kernel"]
     assert _shard_shape(ok["fp8"]) == (Ld, d // 4, d)
+
+
+# ------------------------------------------------------------------ CogVideoX
+
+def test_cogvideox_tp_forward_exact():
+    """The name rules cover CogVideoX too: q/k/v/o + ff column/row, the
+    norm1/norm2 AdaLN .lin matmuls column, per-head-dim qk LayerNorms
+    replicated — TP forward == single-device."""
+    from videocof_tpu.models import cogvideox as cog
+
+    cfg = cog.COGVIDEOX_TINY
+    params = cog.init_cogvideox(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 2, cfg.in_channels, 6, 6)),
+                    jnp.float32)
+    txt = jnp.asarray(rng.standard_normal((1, 7, cfg.text_embed_dim)),
+                      jnp.float32)
+    t = jnp.asarray([500.0])
+    base = np.asarray(cog.cogvideox_forward(params, cfg, x, txt, t))
+
+    mesh = make_mesh(model=4)
+    validate_tp(cfg, mesh)
+    sharded = jax.device_put(params, tp_param_shardings(mesh, params))
+    d = cfg.inner_dim
+    b = sharded["blocks"]
+    assert _shard_shape(b["attn"]["q"]["kernel"])[-1] == d // 4
+    assert _shard_shape(b["ff"]["fc2"]["kernel"])[-2] == d  # 4d/4
+    assert _shard_shape(b["norm1"]["lin"]["kernel"])[-1] == 6 * d // 4
+    assert _shard_shape(b["attn"]["norm_q"]["scale"])[-1] == \
+        cfg.attention_head_dim                      # replicated
+    attn = make_tp_attention(mesh)
+
+    @jax.jit
+    def fwd(p, xx, tt):
+        return cog.cogvideox_forward(p, cfg, xx, tt, t, attn_backend=attn)
+
+    out = np.asarray(fwd(sharded, x, txt))
+    np.testing.assert_allclose(out, base, atol=2e-4, rtol=2e-4)

@@ -26,7 +26,8 @@ Column/row assignment per block (kernels are [layers, in, out]-stacked):
                           fc2                         row
     modulation / norms / embeddings / head            replicated
 
-The same name rules cover the image families (Flux / QwenImage,
+The same name rules cover the sibling families (CogVideoX / Flux /
+QwenImage,
 `models/flux.py` / `models/qwenimage.py`; reference adapters
 `qwenimage_transformer2d.py`, `dist/qwen_xfuser.py` expose only SP):
 
