@@ -398,11 +398,22 @@ class WanPipeline:
         normalize, streaming VAE encode (chunk loop traced inline), noise
         draw, concat — is ONE compiled program. On the remote transport
         that's 1 dispatch where the chunked path pays ~8-10 (50-100 ms
-        each). `=0` reverts to the per-chunk dispatch path."""
+        each). `=0` reverts to the per-chunk dispatch path.
+
+        Long inputs fall back to the chunked path automatically: the fused
+        program traces the streaming chunk loop INLINE, and at the 4x
+        extrapolation length (133+4 frames, ~34 chunks in one program) the
+        XLA schedule needs 41.6 GiB — a compile-time OOM on a 16 GB chip
+        (measured r5). ``VIDEOCOF_ENCODE_FUSED_MAX_FRAMES`` (default 57)
+        bounds the fused path to geometries where it is known to fit."""
         import os as _os
         video = jnp.asarray(video)
-        if noise is None and _os.environ.get("VIDEOCOF_ENCODE_FUSED",
-                                             "1") == "1":
+        n_px_frames = (video.shape[1] if video.ndim == 4
+                       else video.shape[2])
+        fused_max = int(_os.environ.get("VIDEOCOF_ENCODE_FUSED_MAX_FRAMES",
+                                        "57"))
+        if (noise is None and n_px_frames <= fused_max
+                and _os.environ.get("VIDEOCOF_ENCODE_FUSED", "1") == "1"):
             ckey = ("cot_prep_fused", video.shape, str(video.dtype),
                     ground_latent_count, self.vae_encode_chunk)
             if ckey not in self._vae_jit:
