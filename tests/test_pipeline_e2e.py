@@ -207,3 +207,32 @@ def test_teacache_forced_plan_step0_sanitized(pipe, video, monkeypatch):
     monkeypatch.delenv("VIDEOCOF_STEPWISE")
     np.testing.assert_allclose(stepwise.videos, want.videos,
                                atol=(1.0 / 255.0) + 1e-6)
+
+
+def test_cot_prep_fused_falls_back_past_frame_bound(pipe, monkeypatch):
+    """The fused one-program CoT prep OOMs XLA compile at the 4x length
+    (41.6 GiB schedule on a 15.75 GiB chip, r5) — past
+    VIDEOCOF_ENCODE_FUSED_MAX_FRAMES it must take the chunked path, and
+    both paths agree on short inputs."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    short = jnp.asarray(rng.uniform(-1, 1, (1, 3, 9, 32, 32)),
+                        jnp.float32)
+    key = jax.random.PRNGKey(3)
+    pipe._vae_jit.clear()
+    out_fused = pipe.prepare_cot_latents(short, 1, key)
+    assert any(isinstance(k, tuple) and k and k[0] == "cot_prep_fused"
+               for k in pipe._vae_jit)
+    monkeypatch.setenv("VIDEOCOF_ENCODE_FUSED", "0")
+    out_chunked = pipe.prepare_cot_latents(short, 1, key)
+    np.testing.assert_allclose(np.asarray(out_fused),
+                               np.asarray(out_chunked), atol=2e-5)
+    monkeypatch.delenv("VIDEOCOF_ENCODE_FUSED")
+
+    # past the bound: no new fused entry even with fusion enabled
+    monkeypatch.setenv("VIDEOCOF_ENCODE_FUSED_MAX_FRAMES", "8")
+    pipe._vae_jit.clear()
+    pipe.prepare_cot_latents(short, 1, key)   # 9 frames > bound of 8
+    assert not any(isinstance(k, tuple) and k and k[0] == "cot_prep_fused"
+                   for k in pipe._vae_jit)

@@ -264,13 +264,21 @@ class WanPipeline:
             return wan_vae22, wan_vae22_streaming
         return wan_vae, wan_vae_streaming
 
+    @staticmethod
+    def _encode_fused_ok(n_px_frames: int) -> bool:
+        """Fused one-program encode only below the frame bound: the inline
+        chunk loop's XLA schedule needs 41.6 GiB at 133+4 frames (compile-
+        time OOM on 16 GB, r5) — long inputs take the per-chunk path."""
+        import os as _os
+        return (n_px_frames <= int(_os.environ.get(
+                    "VIDEOCOF_ENCODE_FUSED_MAX_FRAMES", "57"))
+                and _os.environ.get("VIDEOCOF_ENCODE_FUSED", "1") == "1")
+
     def vae_encode(self, video: jax.Array) -> jax.Array:
         whole, stream = self._vae_mods()
         if video.shape[2] > self.vae_streaming_threshold_frames:
-            import os as _os
             fused = getattr(stream, "encode_streaming_fused", None)
-            if fused is not None and \
-                    _os.environ.get("VIDEOCOF_ENCODE_FUSED", "1") == "1":
+            if fused is not None and self._encode_fused_ok(video.shape[2]):
                 # whole streaming encode as ONE program (same chunk-sized
                 # live ranges, ~6-8x fewer tunnel dispatches); =0 reverts to
                 # one dispatch per chunk
@@ -410,10 +418,7 @@ class WanPipeline:
         video = jnp.asarray(video)
         n_px_frames = (video.shape[1] if video.ndim == 4
                        else video.shape[2])
-        fused_max = int(_os.environ.get("VIDEOCOF_ENCODE_FUSED_MAX_FRAMES",
-                                        "57"))
-        if (noise is None and n_px_frames <= fused_max
-                and _os.environ.get("VIDEOCOF_ENCODE_FUSED", "1") == "1"):
+        if noise is None and self._encode_fused_ok(n_px_frames):
             ckey = ("cot_prep_fused", video.shape, str(video.dtype),
                     ground_latent_count, self.vae_encode_chunk)
             if ckey not in self._vae_jit:
