@@ -39,6 +39,11 @@ class Wan22Pipeline(WanPipeline):
         self.dit_params_2 = dit_params_2      # high-noise expert (optional)
         self.boundary = boundary
         self.num_train_timesteps = num_train_timesteps
+        if dit_params_2 is not None:
+            # dual-expert residency (2x weights): the chunk-3 decode
+            # programs that fit beside ONE 1.3B ResourceExhaust beside two
+            # (measured r5) — keep the smaller-footprint chunk here
+            self.vae_decode_chunk = 2
 
     def _split_idx(self, sched) -> int:
         """Leading steps routed to the high-noise expert (host-side static:
