@@ -40,10 +40,12 @@ class Wan22Pipeline(WanPipeline):
         self.boundary = boundary
         self.num_train_timesteps = num_train_timesteps
         if dit_params_2 is not None:
-            # dual-expert residency (2x weights): the chunk-3 decode
-            # programs that fit beside ONE 1.3B ResourceExhaust beside two
-            # (measured r5) — keep the smaller-footprint chunk here
+            # dual-expert residency (2x weights, measured r5): the chunk-3
+            # decode programs AND the fused one-program encode that fit
+            # beside ONE 1.3B ResourceExhaust beside two — keep the
+            # smaller-footprint chunk and the per-chunk encode here
             self.vae_decode_chunk = 2
+            self.encode_fused_enabled = False
 
     def _split_idx(self, sched) -> int:
         """Leading steps routed to the high-noise expert (host-side static:

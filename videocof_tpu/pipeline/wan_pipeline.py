@@ -264,13 +264,16 @@ class WanPipeline:
             return wan_vae22, wan_vae22_streaming
         return wan_vae, wan_vae_streaming
 
-    @staticmethod
-    def _encode_fused_ok(n_px_frames: int) -> bool:
-        """Fused one-program encode only below the frame bound: the inline
-        chunk loop's XLA schedule needs 41.6 GiB at 133+4 frames (compile-
-        time OOM on 16 GB, r5) — long inputs take the per-chunk path."""
+    def _encode_fused_ok(self, n_px_frames: int) -> bool:
+        """Fused one-program encode only below the frame bound AND when the
+        pipeline allows it: the inline chunk loop's XLA schedule needs
+        41.6 GiB at 133+4 frames (compile-time OOM on 16 GB, r5), and even
+        at 33+4 frames it ResourceExhausts beside DUAL-expert weight
+        residency (Wan2.2 MoE sets ``encode_fused_enabled = False``) —
+        those paths take the per-chunk dispatches instead."""
         import os as _os
-        return (n_px_frames <= int(_os.environ.get(
+        return (getattr(self, "encode_fused_enabled", True)
+                and n_px_frames <= int(_os.environ.get(
                     "VIDEOCOF_ENCODE_FUSED_MAX_FRAMES", "57"))
                 and _os.environ.get("VIDEOCOF_ENCODE_FUSED", "1") == "1")
 
