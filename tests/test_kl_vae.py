@@ -219,3 +219,63 @@ def test_factory_wires_flux_vae_subdir(tmp_path, monkeypatch):
     assert out == "sentinel"
     assert seen["tdir"].endswith("transformer")
     assert seen["vae_path"].endswith("vae")
+
+
+def test_flux_pixels_through_controller_and_api(tmp_path):
+    """The full serving chain for Flux WITH the in-repo KL-VAE: controller
+    generate_media returns pixel images, and the HTTP handler's reply
+    carries base64_image (not base64_latents)."""
+    import base64
+    import threading
+    import urllib.request
+
+    from http.server import ThreadingHTTPServer
+
+    from videocof_tpu.configs import GenerationConfig
+    from videocof_tpu.models import flux as flux_lib
+    from videocof_tpu.pipeline.image_pipelines import FluxPipeline
+    from videocof_tpu.serving.api import ENDPOINT, make_handler
+    from videocof_tpu.serving.controller import VideoCoFController
+
+    dcfg = flux_lib.FLUX_TINY
+    vcfg = kl_vae.KL_VAE_TINY.replace(latent_channels=dcfg.in_channels // 4)
+    vparams = kl_vae.init_kl_vae_decoder(jax.random.PRNGKey(0), vcfg)
+    pipe = FluxPipeline(
+        flux_lib.init_flux(jax.random.PRNGKey(1), dcfg), dcfg,
+        decode_fn=kl_vae.make_decode_fn(vparams, vcfg))
+    ctrl = VideoCoFController(pipe, defaults=GenerationConfig(
+        num_inference_steps=2))
+
+    txt = np.zeros((1, 6, dcfg.joint_attention_dim), np.float32)
+    pooled = np.zeros((1, dcfg.pooled_projection_dim), np.float32)
+    out = ctrl.generate_media(txt, pooled_projections=pooled,
+                              height=32, width=32, num_inference_steps=2,
+                              seed=0)
+    assert out["images"].shape == (1, 3, 8, 8)   # pixels, not latents
+
+    import io
+
+    def b64_npy(a):
+        buf = io.BytesIO()
+        np.save(buf, a, allow_pickle=False)
+        return base64.b64encode(buf.getvalue()).decode()
+
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(ctrl, threading.Lock()))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{ENDPOINT}",
+            data=json.dumps({"text_embeddings": b64_npy(txt),
+                             "pooled_projections": b64_npy(pooled),
+                             "height": 32, "width": 32,
+                             "sample_step_slider": 2}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            resp = json.load(r)
+        assert resp["message"] == "Success" and resp["family"] == "flux"
+        assert "base64_image" in resp, sorted(resp)
+        assert len(base64.b64decode(resp["base64_image"])) > 50
+    finally:
+        server.shutdown()
